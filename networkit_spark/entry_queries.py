@@ -1,0 +1,211 @@
+"""Driver-contract query registry: Spark callables + matching DuckDB oracles.
+
+Each operator from SURVEY.md §2 that we claim as done registers here:
+``QUERIES[name] = (spark, sf_dir) -> DataFrame`` and ``ORACLES[name]`` = the
+ANSI-SQL equivalent DuckDB runs on the same parquet tables. Column names are
+aliased identically on both sides (the driver hashes values after sorting
+columns by name). Float columns are rounded to 7 decimals on both sides so
+cross-engine summation-order noise (~1e-13 relative) cannot flip the hash.
+
+Iterative kernels register *fixed-iteration* variants here (deterministic,
+SQL-expressible by unrolling the recurrence into a CTE chain); the
+convergence-driven engine API lives in ``networkit_spark.operators.*`` and is
+covered by pytest golden fixtures instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import nodes_range
+from networkit_spark.operators.pagerank import pagerank_fixed
+from networkit_spark.sources.pages import build_edges, synth_pages
+from networkit_spark.testgraph import (
+    EDGES_BODY,
+    EDGES_CTE,
+    NN_CTE,
+    UEDGES_CTE,
+    doc_edges,
+    doc_edges_undirected,
+)
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _n_docs(spark: SparkSession, sf_dir: str) -> int:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+
+# ---------------------------------------------------------------------------
+# Graph construction / scans (SURVEY §2.1-2.2)
+# ---------------------------------------------------------------------------
+
+@register(
+    "edge_table",
+    f"WITH {EDGES_CTE} SELECT src, dst, CAST(weight AS DOUBLE) AS weight FROM edges",
+)
+def q_edge_table(spark, sf_dir):
+    return doc_edges(spark, sf_dir)
+
+
+@register(
+    "edge_table_undirected",
+    f"WITH {UEDGES_CTE} SELECT src, dst, CAST(weight AS DOUBLE) AS weight FROM uedges",
+)
+def q_edge_table_undirected(spark, sf_dir):
+    return doc_edges_undirected(spark, sf_dir)
+
+
+@register(
+    "out_degree",
+    f"""
+WITH {EDGES_CTE}
+SELECT d.doc_id AS node,
+       CAST(coalesce(cnt, 0) AS BIGINT) AS deg,
+       CAST(coalesce(wsum, 0.0) AS DOUBLE) AS wdeg
+FROM documents d
+LEFT JOIN (SELECT src, count(*) AS cnt, CAST(sum(weight) AS DOUBLE) AS wsum
+           FROM edges GROUP BY src) t ON d.doc_id = t.src
+""",
+)
+def q_out_degree(spark, sf_dir):
+    """Degree table incl. zero-degree nodes (GraphTools weightedDegree analog)."""
+    e = doc_edges(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("node")
+    )
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("deg"), F.sum("weight").alias("wdeg")
+    )
+    return docs.join(deg, "node", "left").fillna({"deg": 0, "wdeg": 0.0}).select(
+        "node", "deg", F.col("wdeg").cast("double").alias("wdeg")
+    )
+
+
+@register(
+    "in_degree",
+    f"""
+WITH {EDGES_CTE}
+SELECT d.doc_id AS node, CAST(coalesce(cnt, 0) AS BIGINT) AS indeg
+FROM documents d
+LEFT JOIN (SELECT dst, count(*) AS cnt FROM edges GROUP BY dst) t ON d.doc_id = t.dst
+""",
+)
+def q_in_degree(spark, sf_dir):
+    e = doc_edges(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("node")
+    )
+    deg = e.groupBy(F.col("dst").alias("node")).agg(F.count("*").alias("indeg"))
+    return docs.join(deg, "node", "left").fillna({"indeg": 0})
+
+
+@register(
+    "ingest_edges",
+    f"""
+WITH {NN_CTE},
+urls AS (
+    SELECT doc_id AS id,
+           'https://site' || (doc_id % 97) || '.example/p/' || doc_id AS url
+    FROM documents
+),
+dict AS (SELECT id, dense_rank() OVER (ORDER BY url) - 1 AS nid FROM urls),
+{EDGES_BODY}
+SELECT d1.nid AS src, d2.nid AS dst, CAST(1.0 AS DOUBLE) AS weight
+FROM edges e JOIN dict d1 ON e.src = d1.id JOIN dict d2 ON e.dst = d2.id
+""",
+)
+def q_ingest_edges(spark, sf_dir):
+    """END-TO-END ingest: synthesize pages -> extract_text/hrefs -> dictionary
+    encode -> edge table. The oracle recomputes the expected edges
+    arithmetically and maps urls to ids by the same lexicographic dense rank,
+    so this validates the whole extraction pipeline (SURVEY §2.1)."""
+    n = _n_docs(spark, sf_dir)
+    pages = synth_pages(spark, n)
+    _nodes, edges = build_edges(pages)
+    return edges
+
+
+# ---------------------------------------------------------------------------
+# PageRank (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+def _pagerank_oracle_sql(iterations: int, damp: float = 0.85) -> str:
+    """Unrolled fixed-iteration PageRank as an ANSI CTE chain."""
+    parts = [
+        f"WITH {EDGES_CTE}",
+        ", deg AS (SELECT src AS node, CAST(sum(weight) AS DOUBLE) AS wdeg FROM edges GROUP BY src)",
+        ", contrib AS (SELECT e.src, e.dst, CAST(e.weight AS DOUBLE)/d.wdeg AS frac"
+        "   FROM edges e JOIN deg d ON e.src = d.node)",
+        ", nodes AS (SELECT doc_id AS node FROM documents)",
+        ", s0 AS (SELECT node, CAST(1.0 AS DOUBLE)/n AS score FROM nodes CROSS JOIN nn)",
+    ]
+    for k in range(1, iterations + 1):
+        prev = f"s{k - 1}"
+        parts.append(
+            f", s{k} AS ("
+            f" SELECT nodes.node,"
+            f" {damp}*coalesce(t.m, CAST(0.0 AS DOUBLE)) + CAST({1.0 - damp} AS DOUBLE)/nn.n AS score"
+            f" FROM nodes CROSS JOIN nn"
+            f" LEFT JOIN (SELECT c.dst, sum(c.frac * p.score) AS m"
+            f"            FROM contrib c JOIN {prev} p ON c.src = p.node"
+            f"            GROUP BY c.dst) t ON nodes.node = t.dst)"
+        )
+    last = f"s{iterations}"
+    parts.append(
+        f", tot AS (SELECT sum(score) AS s FROM {last})"
+        f" SELECT node, round(score / s, 7) AS score FROM {last} CROSS JOIN tot"
+    )
+    return "\n".join(parts)
+
+
+@register("pagerank_fixed10", _pagerank_oracle_sql(10))
+def q_pagerank_fixed10(spark, sf_dir):
+    n = _n_docs(spark, sf_dir)
+    e = doc_edges(spark, sf_dir)
+    scores = pagerank_fixed(e, nodes_range(spark, n), iterations=10)
+    return scores.select("node", F.round("score", 7).alias("score"))
+
+
+@register(
+    "pagerank_top20",
+    _pagerank_oracle_sql(10).replace(
+        "SELECT node, round(score / s, 7) AS score FROM s10 CROSS JOIN tot",
+        "SELECT node, round(score / s, 7) AS score FROM s10 CROSS JOIN tot "
+        "ORDER BY score DESC, node ASC LIMIT 20",
+    ),
+)
+def q_pagerank_top20(spark, sf_dir):
+    """ranking() analog (centrality.pyx:83): top-k by score."""
+    return (
+        q_pagerank_fixed10(spark, sf_dir)
+        .orderBy(F.desc("score"), F.asc("node"))
+        .limit(20)
+    )
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # late imports so every operator module's registrations are loaded
+    from networkit_spark import entry_queries_graph, entry_queries_text  # noqa: F401
+
+    return dict(QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    from networkit_spark import entry_queries_graph, entry_queries_text  # noqa: F401
+
+    return dict(ORACLES)

@@ -1,0 +1,245 @@
+"""Power-iteration PageRank over the edge table.
+
+Behavior parity with the reference implementation
+(``cpp/centrality/PageRank.cpp:21-128``, wrapper
+``networkit/centrality.pyx:2334-2416``; defaults damp=0.85, tol=1e-8,
+normalized=False, NO_SINK_HANDLING, L2 convergence):
+
+1.  init ``score[u] = 1/n``; weighted out-degree table (``:28-32``);
+2.  superstep: gather over **incoming** edges
+    ``pr[u] = damp * sum_{v->u} score[v]*w(v,u)/deg[v] + (1-damp)/n``
+    (``:68-78``, Newman Ch.7 verbal definition);
+3.  directed + (DISTRIBUTE_SINKS or normalized): add
+    ``damp/n * sum_{sinks} score[s]`` to every node (``:84-91``);
+4.  converge when ``iterations >= maxIterations`` or
+    ``||new - old||_{L2|L1} <= tol`` (``:53-63``);
+5.  post: normalized -> divide by norm factor (``:101-114``); non-normalized
+    directed + NO_SINK_HANDLING -> rescale so sum == 1 (``:117-122``).
+
+Spark-first physical design (what changes at 100 TB):
+
+- the per-superstep work is ONE shuffle: ``scores ⋈ contrib`` on ``src`` then
+  ``groupBy(dst)`` with partial (map-side) aggregation. ``contrib`` =
+  ``edges ⋈ out-degrees`` is computed once, hash-partitioned by ``src`` and
+  persisted, so only the (node, score) frontier moves per superstep
+  (north_star). Hub-vertex skew on the gather side is handled by partial
+  aggregation (map-side combine collapses each partition's messages to one
+  row per dst) + AQE skew splitting;
+- the convergence norm is computed from the same materialized state
+  (old+new score in one row) — no extra join, one scalar agg per superstep;
+- state is checkpointed per-iteration through
+  :class:`networkit_spark.plans.iteration.SuperstepRunner` (resume +
+  lineage truncation + metrics).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import nodes_from_edges, transpose
+from networkit_spark.plans.iteration import SuperstepRunner
+
+NO_SINK_HANDLING = "none"
+DISTRIBUTE_SINKS = "distribute"
+
+
+@dataclass
+class PageRankResult:
+    scores_df: DataFrame  # (node long, score double)
+    iterations: int
+    converged: bool
+    metrics: list
+
+    def scores(self) -> DataFrame:
+        return self.scores_df
+
+    def ranking(self, k: int | None = None) -> DataFrame:
+        """Ref: ``centrality.pyx:83 ranking()`` — sort desc; top-k via limit."""
+        out = self.scores_df.orderBy(F.desc("score"), F.asc("node"))
+        return out.limit(k) if k else out
+
+    def maximum(self) -> float:
+        """Ref: ``PageRank.cpp:124-126`` max score."""
+        return self.scores_df.agg(F.max("score")).first()[0]
+
+
+class PageRank:
+    def __init__(
+        self,
+        damp: float = 0.85,
+        tol: float = 1e-8,
+        normalized: bool = False,
+        distribute_sinks: str = NO_SINK_HANDLING,
+        max_iterations: int = 250,
+        norm: str = "l2",
+    ):
+        self.damp = damp
+        self.tol = tol
+        self.normalized = normalized
+        self.distribute_sinks = distribute_sinks
+        self.max_iterations = max_iterations
+        self.norm = norm
+
+    def run(
+        self,
+        edges: DataFrame,
+        nodes: DataFrame | None = None,
+        directed: bool = True,
+        runner: SuperstepRunner | None = None,
+        resume: bool = False,
+        shuffle_partitions: int | None = None,
+    ) -> PageRankResult:
+        """``edges(src, dst, weight)`` directed as stored; undirected input
+        must already be symmetrized (both directions present)."""
+        spark = edges.sparkSession
+        runner = runner or SuperstepRunner(spark, run_id="pagerank")
+        nodes = nodes if nodes is not None else nodes_from_edges(edges)
+        n = nodes.count()
+        teleport = (1.0 - self.damp) / n
+        sink_factor = self.damp / n
+
+        # out-degree (weighted) once; contrib(src, dst, frac=w/deg[src]).
+        deg = edges.groupBy(F.col("src").alias("node")).agg(F.sum("weight").alias("wdeg"))
+        contrib = (
+            edges.join(deg.withColumnRenamed("node", "src"), "src")
+            .select("src", "dst", (F.col("weight") / F.col("wdeg")).alias("frac"))
+        )
+        P = shuffle_partitions or spark.sparkContext.defaultParallelism
+        contrib = contrib.repartition(P, "src").persist()
+        m = contrib.count()  # materialize once; every superstep reuses this partitioning
+
+        handle_sinks = directed and (
+            self.distribute_sinks == DISTRIBUTE_SINKS or self.normalized
+        )
+        sinks = None
+        if handle_sinks:
+            # sinks = nodes with (unweighted) degree 0 (PageRank.cpp:34-41)
+            sinks = nodes.join(
+                edges.select(F.col("src").alias("id")).distinct(), "id", "left_anti"
+            ).persist()
+            sinks.count()
+
+        init = nodes.select(
+            F.col("id").alias("node"), F.lit(1.0 / n).alias("score")
+        ).repartition(P, "node")
+
+        def step(state: DataFrame, i: int):
+            msgs = (
+                contrib.join(
+                    state.select(F.col("node").alias("src"), "score"), "src"
+                )
+                .groupBy("dst")
+                .agg(F.sum(F.col("frac") * F.col("score")).alias("m"))
+            )
+            sink_add = 0.0
+            if handle_sinks:
+                row = state.join(
+                    sinks.withColumnRenamed("id", "node"), "node", "left_semi"
+                ).agg(F.sum("score")).first()
+                sink_add = sink_factor * (row[0] or 0.0)
+            new = (
+                state.join(msgs.withColumnRenamed("dst", "node"), "node", "left")
+                .select(
+                    "node",
+                    (
+                        self.damp * F.coalesce(F.col("m"), F.lit(0.0))
+                        + F.lit(teleport + sink_add)
+                    ).alias("score"),
+                    F.col("score").alias("prev"),
+                )
+            )
+            return new, {"edges_processed": m}
+
+        # Delta (convergence norm) is computed from the same materialized
+        # per-iteration state (new + prev score in one row): one scalar agg,
+        # no extra join — the analog of parallelSumForNodes (PageRank.cpp:59).
+        def step_final(state: DataFrame, i: int):
+            new, info = step(state, i)
+            new = new.localCheckpoint(eager=True)
+            delta = (
+                new.agg(
+                    F.sqrt(F.sum(F.pow(F.col("score") - F.col("prev"), 2)))
+                ).first()[0]
+                if self.norm == "l2"
+                else new.agg(F.sum(F.abs(F.col("score") - F.col("prev")))).first()[0]
+            )
+            info["delta"] = float(delta or 0.0)
+            return new.select("node", "score"), info
+
+        res = runner.run(
+            init,
+            step_final,
+            converged_fn=lambda info: info["delta"] <= self.tol,
+            max_iterations=self.max_iterations,
+            resume=resume,
+        )
+
+        scores = res.state
+        # post-processing (PageRank.cpp:100-123)
+        if self.normalized:
+            if directed:
+                srow = scores.join(
+                    sinks.withColumnRenamed("id", "node"), "node", "left_semi"
+                ).agg(F.sum("score")).first()
+                sink_sum = srow[0] or 0.0
+                norm_factor = (1.0 / n) * ((1.0 - self.damp) + self.damp * sink_sum)
+            else:
+                norm_factor = teleport
+            scores = scores.select("node", (F.col("score") / norm_factor).alias("score"))
+        elif directed and self.distribute_sinks == NO_SINK_HANDLING:
+            total = scores.agg(F.sum("score")).first()[0]
+            scores = scores.select("node", (F.col("score") / total).alias("score"))
+
+        contrib.unpersist()
+        if sinks is not None:
+            sinks.unpersist()
+        return PageRankResult(
+            scores_df=scores,
+            iterations=res.iterations,
+            converged=res.converged,
+            metrics=res.metrics,
+        )
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iterations: int,
+    damp: float = 0.85,
+    rescale_sum1: bool = True,
+) -> DataFrame:
+    """Deterministic fixed-iteration PageRank as one unrolled DataFrame plan.
+
+    No driver-side convergence decisions — the oracle-checkable variant
+    (the DuckDB oracle unrolls the same recurrence as CTEs). Teleport-only
+    semantics (NO_SINK_HANDLING) + final sum-to-1 rescale.
+    """
+    n = nodes.count()
+    teleport = (1.0 - damp) / n
+    deg = edges.groupBy(F.col("src").alias("node")).agg(F.sum("weight").alias("wdeg"))
+    contrib = edges.join(deg.withColumnRenamed("node", "src"), "src").select(
+        "src", "dst", (F.col("weight") / F.col("wdeg")).alias("frac")
+    )
+    scores = nodes.select(F.col("id").alias("node"), F.lit(1.0 / n).alias("score"))
+    for i in range(iterations):
+        msgs = (
+            contrib.join(scores.select(F.col("node").alias("src"), "score"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("frac") * F.col("score")).alias("m"))
+        )
+        scores = (
+            nodes.select(F.col("id").alias("node"))
+            .join(msgs.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                (damp * F.coalesce(F.col("m"), F.lit(0.0)) + F.lit(teleport)).alias("score"),
+            )
+        )
+        scores = scores.localCheckpoint(eager=True)
+    if rescale_sum1:
+        total = scores.agg(F.sum("score")).first()[0]
+        scores = scores.select("node", (F.col("score") / total).alias("score"))
+    return scores

@@ -1,0 +1,160 @@
+"""Superstep iteration runtime: convergence loop + checkpoint/resume + metrics.
+
+The reference's iterative kernels hold state in double-buffered in-memory
+vectors and loop on one thread (``PageRank.cpp:29,66-96`` ``scoreData``/``pr``
++ ``std::swap``; ``PLP.cpp:69``; ``ParallelConnectedComponents.cpp:32-76``).
+The distributed equivalents this runtime provides:
+
+- **double buffering** -> immutable DataFrame per iteration;
+- **lineage control** -> iterative DataFrame plans grow per superstep, so
+  each committed iteration is persisted (parquet state table — the
+  Iceberg-compatible layout ``<state_dir>/<run_id>/iter=<k>/``) and read
+  back, truncating the plan. Between commits, ``localCheckpoint`` keeps the
+  loop fast.
+- **resume** -> the latest committed iteration's parquet is the restart
+  point; ``SuperstepRunner.run`` with the same ``run_id`` continues from it
+  (north_rule: resumable mid-iteration with per-partition lineage — parquet
+  state is written by Spark tasks, one file per partition, so partition
+  lineage is the file manifest itself).
+- **metrics** -> every superstep appends
+  ``(run_id, iteration, delta, rows, wall_sec, extra...)`` to
+  ``<state_dir>/<run_id>/metrics.jsonl`` — the bench harness and the
+  convergence tests both read this.
+
+On a real cluster the state dir lives on the shared store (S3/HDFS) as an
+Iceberg table partitioned by ``iteration``; locally it is a plain directory.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+
+@dataclass
+class SuperstepResult:
+    state: DataFrame
+    iterations: int
+    converged: bool
+    metrics: list[dict] = field(default_factory=list)
+
+
+class SuperstepRunner:
+    """Run ``state <- step(state, i)`` until ``converged(info)`` or max iters.
+
+    ``step_fn(state, iteration) -> (new_state, info_dict)``. ``info_dict``
+    carries whatever the kernel measures (delta norm, changed-node count,
+    edges processed); ``converged_fn(info) -> bool`` reads it. State
+    DataFrames must be deterministic functions of the previous state so that
+    resume is exact.
+    """
+
+    def __init__(
+        self,
+        spark,
+        run_id: str = "run",
+        state_dir: str | None = None,
+        checkpoint_every: int = 5,
+        use_local_checkpoint: bool = True,
+    ):
+        self.spark = spark
+        self.run_id = run_id
+        self.state_dir = state_dir
+        self.checkpoint_every = max(1, checkpoint_every)
+        self.use_local_checkpoint = use_local_checkpoint
+
+    # -- state layout --------------------------------------------------------
+    def _iter_path(self, i: int) -> str:
+        return os.path.join(self.state_dir, self.run_id, f"iter={i}")
+
+    def _metrics_path(self) -> str:
+        return os.path.join(self.state_dir, self.run_id, "metrics.jsonl")
+
+    def latest_committed(self) -> int | None:
+        """Highest iteration with a _SUCCESS marker (atomic parquet commit)."""
+        if not self.state_dir:
+            return None
+        base = os.path.join(self.state_dir, self.run_id)
+        if not os.path.isdir(base):
+            return None
+        its = []
+        for name in os.listdir(base):
+            if name.startswith("iter=") and os.path.exists(
+                os.path.join(base, name, "_SUCCESS")
+            ):
+                its.append(int(name.split("=", 1)[1]))
+        return max(its) if its else None
+
+    def _commit(self, state: DataFrame, i: int) -> DataFrame:
+        path = self._iter_path(i)
+        state.write.mode("overwrite").parquet(path)
+        fresh = self.spark.read.parquet(path)
+        # drop older iterations to bound storage (keep last 2 for safety)
+        base = os.path.join(self.state_dir, self.run_id)
+        for name in os.listdir(base):
+            if name.startswith("iter=") and int(name.split("=", 1)[1]) < i - 1:
+                shutil.rmtree(os.path.join(base, name), ignore_errors=True)
+        return fresh
+
+    def _log_metrics(self, rec: dict) -> None:
+        if not self.state_dir:
+            return
+        os.makedirs(os.path.dirname(self._metrics_path()), exist_ok=True)
+        with open(self._metrics_path(), "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+    # -- the loop ------------------------------------------------------------
+    def run(
+        self,
+        init_state: DataFrame | Callable[[], DataFrame],
+        step_fn: Callable[[DataFrame, int], tuple[DataFrame, dict]],
+        converged_fn: Callable[[dict], bool] | None = None,
+        max_iterations: int = 100,
+        resume: bool = False,
+    ) -> SuperstepResult:
+        start_iter = 0
+        last = self.latest_committed() if (resume and self.state_dir) else None
+        if last is not None:
+            state = self.spark.read.parquet(self._iter_path(last))
+            start_iter = last + 1
+        else:
+            state = init_state() if callable(init_state) else init_state
+            if self.use_local_checkpoint:
+                state = state.localCheckpoint(eager=True)
+
+        metrics: list[dict] = []
+        converged = False
+        i = start_iter
+        while i < max_iterations:
+            t0 = time.monotonic()
+            state_next, info = step_fn(state, i)
+            durable = self.state_dir and (
+                (i + 1) % self.checkpoint_every == 0 or i + 1 == max_iterations
+            )
+            if durable:
+                state_next = self._commit(state_next, i)
+            elif self.use_local_checkpoint:
+                state_next = state_next.localCheckpoint(eager=True)
+            wall = time.monotonic() - t0
+            rec = {
+                "run_id": self.run_id,
+                "iteration": i,
+                "wall_sec": round(wall, 4),
+                **{k: v for k, v in info.items()},
+            }
+            metrics.append(rec)
+            self._log_metrics(rec)
+            state = state_next
+            i += 1
+            if converged_fn is not None and converged_fn(info):
+                converged = True
+                if self.state_dir and not durable:
+                    state = self._commit(state, i - 1)
+                break
+        return SuperstepResult(state=state, iterations=i - start_iter, converged=converged, metrics=metrics)

@@ -1,0 +1,51 @@
+"""SparkSession factory with the engine's scale-oriented defaults.
+
+The reference controls parallelism with ``omp_set_num_threads``
+(``networkit/engineering.pyx:28-34``); our equivalent knob is the master
+thread count + ``spark.sql.shuffle.partitions``. Defaults below are tuned for
+iterative link-graph workloads:
+
+- AQE on (runtime coalescing + skew-join splitting — hub vertices in web
+  graphs produce heavily skewed join keys),
+- Arrow enabled (every pandas-UDF kernel rides Arrow batches),
+- shuffle partitions sized to cores (not the 200 default, which at local
+  scale just multiplies scheduling overhead; on a real cluster callers pass
+  ``shuffle_partitions ~= 2-3x total cores``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    app_name: str = "networkit_spark",
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession configured for iterative graph kernels."""
+    cores = cores or DEFAULT_CPUS
+    shuffle_partitions = shuffle_partitions or cores
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark

@@ -1,0 +1,10 @@
+import pytest
+
+from networkit_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(cores=4, shuffle_partitions=4, app_name="networkit_spark_tests")
+    yield s
+    s.stop()
