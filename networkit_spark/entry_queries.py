@@ -157,7 +157,7 @@ def _pagerank_oracle_sql(iterations: int, damp: float = 0.85) -> str:
     for k in range(1, iterations + 1):
         prev = f"s{k - 1}"
         parts.append(
-            f", s{k} AS ("
+            f", s{k} AS MATERIALIZED ("
             f" SELECT nodes.node,"
             f" {damp}*coalesce(t.m, CAST(0.0 AS DOUBLE)) + CAST({1.0 - damp} AS DOUBLE)/nn.n AS score"
             f" FROM nodes CROSS JOIN nn"

@@ -1,3 +1,274 @@
-"""Graph-kernel query registrations beyond PageRank (CC, PLP, triangles,
-centrality family, k-core, BFS, link prediction). Populated as operators land;
-importing this module registers everything into ``entry_queries.QUERIES``."""
+"""Graph-kernel query registrations: connected components, PLP, triangles,
+clustering coefficients, modularity. Each pairs the Spark operator from
+``networkit_spark.operators.*`` with an unrolled ANSI-SQL oracle over the
+same deterministic documents-derived graph (``testgraph.py``)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from networkit_spark.entry_queries import register
+from networkit_spark.graph import nodes_range
+from networkit_spark.operators.community import modularity
+from networkit_spark.operators.components import components_fixed
+from networkit_spark.operators.plp import plp_fixed
+from networkit_spark.operators.triangles import (
+    global_clustering_coefficient,
+    local_clustering_coefficient,
+    total_triangles,
+    triangle_counts,
+    triangle_edge_score,
+)
+from networkit_spark.testgraph import UEDGES_CTE, doc_edges_undirected
+
+CC_ITERS = 15
+PLP_ITERS = 5
+
+
+def _n_docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+
+# ---------------------------------------------------------------------------
+# Connected components (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+def _cc_oracle_sql(iterations: int, final: str) -> str:
+    parts = [
+        f"WITH {UEDGES_CTE}",
+        ", l0 AS (SELECT doc_id AS node, doc_id AS label FROM documents)",
+    ]
+    for k in range(1, iterations + 1):
+        prev = f"l{k - 1}"
+        parts.append(
+            f", l{k} AS MATERIALIZED ("
+            f" SELECT n.node, least(n.label, coalesce(t.ml, n.label)) AS label"
+            f" FROM {prev} n LEFT JOIN ("
+            f"   SELECT e.dst AS node, min(p.label) AS ml"
+            f"   FROM uedges e JOIN {prev} p ON e.src = p.node GROUP BY e.dst"
+            f" ) t ON n.node = t.node)"
+        )
+    parts.append(final.format(last=f"l{iterations}"))
+    return "\n".join(parts)
+
+
+@register(
+    "connected_components",
+    _cc_oracle_sql(CC_ITERS, "SELECT node, label FROM {last}"),
+)
+def q_connected_components(spark, sf_dir):
+    """Hash-min CC, labels = min node id per component (fixed 15 rounds —
+    beyond convergence for this graph; pytest asserts equality with the
+    convergence-driven engine)."""
+    n = _n_docs(spark, sf_dir)
+    e = doc_edges_undirected(spark, sf_dir)
+    return components_fixed(e, nodes_range(spark, n), iterations=CC_ITERS)
+
+
+@register(
+    "component_sizes",
+    _cc_oracle_sql(
+        CC_ITERS,
+        "SELECT label, CAST(count(*) AS BIGINT) AS size FROM {last} GROUP BY label",
+    ),
+)
+def q_component_sizes(spark, sf_dir):
+    return q_connected_components(spark, sf_dir).groupBy("label").agg(
+        F.count("*").alias("size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PLP label propagation (SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+def _plp_oracle_sql(iterations: int, final: str) -> str:
+    parts = [
+        f"WITH {UEDGES_CTE}",
+        ", p0 AS (SELECT doc_id AS node, doc_id AS label FROM documents)",
+    ]
+    for k in range(1, iterations + 1):
+        prev = f"p{k - 1}"
+        parts.append(
+            f", p{k} AS MATERIALIZED ("
+            f" SELECT n.node, coalesce(t.nlabel, n.label) AS label"
+            f" FROM {prev} n LEFT JOIN ("
+            f"   SELECT node, nlabel FROM ("
+            f"     SELECT e.dst AS node, p.label AS nlabel,"
+            f"            row_number() OVER (PARTITION BY e.dst"
+            f"              ORDER BY sum(e.weight) DESC, p.label ASC) AS rk"
+            f"     FROM uedges e JOIN {prev} p ON e.src = p.node"
+            f"     GROUP BY e.dst, p.label"
+            f"   ) WHERE rk = 1"
+            f" ) t ON n.node = t.node)"
+        )
+    parts.append(final.format(last=f"p{iterations}"))
+    return "\n".join(parts)
+
+
+@register("plp_fixed5", _plp_oracle_sql(PLP_ITERS, "SELECT node, label FROM {last}"))
+def q_plp_fixed5(spark, sf_dir):
+    """Synchronous PLP, 5 supersteps, argmax weight tie->smallest label."""
+    n = _n_docs(spark, sf_dir)
+    e = doc_edges_undirected(spark, sf_dir)
+    return plp_fixed(e, nodes_range(spark, n), iterations=PLP_ITERS)
+
+
+@register(
+    "plp_community_sizes",
+    _plp_oracle_sql(
+        PLP_ITERS,
+        "SELECT label, CAST(count(*) AS BIGINT) AS size FROM {last} GROUP BY label",
+    ),
+)
+def q_plp_community_sizes(spark, sf_dir):
+    return q_plp_fixed5(spark, sf_dir).groupBy("label").agg(F.count("*").alias("size"))
+
+
+# ---------------------------------------------------------------------------
+# Triangles / clustering coefficients (SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+TRI_CTE = (
+    UEDGES_CTE
+    + """,
+udeg AS (SELECT src AS node, count(*) AS d FROM uedges GROUP BY src),
+eo AS (
+    SELECT e.src, e.dst, d2.d AS degdst
+    FROM uedges e
+    JOIN udeg d1 ON e.src = d1.node
+    JOIN udeg d2 ON e.dst = d2.node
+    WHERE d1.d < d2.d OR (d1.d = d2.d AND e.src < e.dst)
+),
+tri AS (
+    SELECT a.src AS ta, a.dst AS tb, b.dst AS tc
+    FROM eo a JOIN eo b ON a.src = b.src
+    WHERE (a.degdst < b.degdst OR (a.degdst = b.degdst AND a.dst < b.dst))
+      AND EXISTS (SELECT 1 FROM eo x WHERE x.src = a.dst AND x.dst = b.dst)
+)
+"""
+)
+
+
+@register(
+    "triangle_total",
+    f"WITH {TRI_CTE} SELECT CAST(count(*) AS BIGINT) AS triangles FROM tri",
+)
+def q_triangle_total(spark, sf_dir):
+    e = doc_edges_undirected(spark, sf_dir)
+    t = total_triangles(e)
+    return e.sparkSession.createDataFrame([(t,)], "triangles long")
+
+
+@register(
+    "triangle_per_node",
+    f"""
+WITH {TRI_CTE},
+corners AS (
+    SELECT ta AS node FROM tri UNION ALL SELECT tb FROM tri UNION ALL SELECT tc FROM tri
+)
+SELECT d.doc_id AS node, CAST(coalesce(t.c, 0) AS BIGINT) AS triangles
+FROM documents d
+LEFT JOIN (SELECT node, count(*) AS c FROM corners GROUP BY node) t ON d.doc_id = t.node
+""",
+)
+def q_triangle_per_node(spark, sf_dir):
+    n = _n_docs(spark, sf_dir)
+    e = doc_edges_undirected(spark, sf_dir)
+    return triangle_counts(e, nodes_range(spark, n))
+
+
+@register(
+    "local_clustering_coefficient",
+    f"""
+WITH {TRI_CTE},
+corners AS (
+    SELECT ta AS node FROM tri UNION ALL SELECT tb FROM tri UNION ALL SELECT tc FROM tri
+),
+tc AS (SELECT node, count(*) AS c FROM corners GROUP BY node)
+SELECT d.doc_id AS node,
+       round(CASE WHEN coalesce(u.d, 0) >= 2
+             THEN CAST(2.0 AS DOUBLE) * coalesce(t.c, 0) / (u.d * (u.d - 1))
+             ELSE CAST(0.0 AS DOUBLE) END, 7) AS lcc
+FROM documents d
+LEFT JOIN udeg u ON d.doc_id = u.node
+LEFT JOIN tc t ON d.doc_id = t.node
+""",
+)
+def q_lcc(spark, sf_dir):
+    n = _n_docs(spark, sf_dir)
+    e = doc_edges_undirected(spark, sf_dir)
+    out = local_clustering_coefficient(e, nodes_range(spark, n))
+    return out.select("node", F.round("lcc", 7).alias("lcc"))
+
+
+@register(
+    "global_clustering_coefficient",
+    f"""
+WITH {TRI_CTE},
+w AS (SELECT CAST(sum(d * (d - 1) / 2) AS DOUBLE) AS wedges FROM udeg),
+t AS (SELECT count(*) AS n_tri FROM tri)
+SELECT round(CASE WHEN wedges > 0 THEN 3.0 * n_tri / wedges ELSE 0.0 END, 7) AS global_cc
+FROM w CROSS JOIN t
+""",
+)
+def q_global_cc(spark, sf_dir):
+    e = doc_edges_undirected(spark, sf_dir)
+    v = global_clustering_coefficient(e)
+    return e.sparkSession.createDataFrame([(round(v, 7),)], "global_cc double")
+
+
+@register(
+    "triangle_edge_score",
+    f"""
+WITH {TRI_CTE},
+pairs AS (
+    SELECT least(ta, tb) AS u, greatest(ta, tb) AS v FROM tri
+    UNION ALL SELECT least(ta, tc), greatest(ta, tc) FROM tri
+    UNION ALL SELECT least(tb, tc), greatest(tb, tc) FROM tri
+),
+cnt AS (SELECT u, v, count(*) AS c FROM pairs GROUP BY u, v)
+SELECT e.src, e.dst, CAST(coalesce(cnt.c, 0) AS BIGINT) AS score
+FROM (SELECT src, dst FROM uedges WHERE src < dst) e
+LEFT JOIN cnt ON e.src = cnt.u AND e.dst = cnt.v
+""",
+)
+def q_triangle_edge_score(spark, sf_dir):
+    e = doc_edges_undirected(spark, sf_dir)
+    return triangle_edge_score(e)
+
+
+# ---------------------------------------------------------------------------
+# Modularity of the PLP partition (SURVEY §2.7 quality measures)
+# ---------------------------------------------------------------------------
+
+@register(
+    "modularity_plp",
+    _plp_oracle_sql(
+        PLP_ITERS,
+        """
+, m AS (SELECT CAST(sum(weight) AS DOUBLE) / 2 AS m FROM uedges)
+, wdeg AS (SELECT src AS node, CAST(sum(weight) AS DOUBLE) AS wdeg FROM uedges GROUP BY src)
+, intra AS (
+    SELECT CAST(coalesce(sum(e.weight), 0) AS DOUBLE) / 2 AS iw
+    FROM uedges e
+    JOIN {last} a ON e.src = a.node
+    JOIN {last} b ON e.dst = b.node
+    WHERE a.label = b.label
+)
+, vols AS (
+    SELECT l.label, CAST(sum(coalesce(w.wdeg, 0)) AS DOUBLE) AS vol
+    FROM {last} l LEFT JOIN wdeg w ON l.node = w.node GROUP BY l.label
+)
+SELECT round(intra.iw / m.m - (SELECT sum(vol * vol) FROM vols) / (4 * m.m * m.m), 7) AS q
+FROM intra CROSS JOIN m
+""",
+    ),
+)
+def q_modularity_plp(spark, sf_dir):
+    """Modularity.cpp:23-70 semantics over the PLP(5) partition."""
+    n = _n_docs(spark, sf_dir)
+    e = doc_edges_undirected(spark, sf_dir)
+    labels = plp_fixed(e, nodes_range(spark, n), iterations=PLP_ITERS)
+    q = modularity(e, labels)
+    return e.sparkSession.createDataFrame([(round(q, 7),)], "q double")

@@ -1,0 +1,169 @@
+"""Community quality metrics + partition similarity + clustering generators.
+
+Reference: ``cpp/community/Modularity.cpp:23-70`` (coverage minus expected
+coverage), ``Coverage.cpp``, ``EdgeCut.cpp``, partition-similarity family
+(``JaccardMeasure``, ``RandMeasure``, ``NMIDistance`` — contingency-table
+based, ``networkit/community.pyx:983-1141``), ``ClusteringGenerator.cpp``
+(singleton / one / continuous synthetic partitions).
+
+All are one-or-two-shuffle DataFrame aggregations:
+
+- modularity needs (a) intra-cluster edge weight (edges joined to labels on
+  both endpoints — two hash joins, broadcast when the label table is small)
+  and (b) per-cluster volume (degree table joined to labels);
+- similarity measures need the contingency table
+  ``groupBy(labelA, labelB).count()`` and its marginals.
+
+Convention: ``edges`` symmetrized undirected (both directions present);
+``labels(node, label)`` total over the node set.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _intra_weight(edges: DataFrame, labels: DataFrame) -> float:
+    """Sum of undirected intra-cluster edge weight (each edge once)."""
+    la = labels.select(F.col("node").alias("src"), F.col("label").alias("la"))
+    lb = labels.select(F.col("node").alias("dst"), F.col("label").alias("lb"))
+    both = edges.join(la, "src").join(lb, "dst")
+    s = both.filter(F.col("la") == F.col("lb")).agg(F.sum("weight")).first()[0] or 0.0
+    return s / 2.0  # symmetrized table stores each undirected edge twice
+
+
+def modularity(edges: DataFrame, labels: DataFrame) -> float:
+    """Q = intra/m - sum_c (vol_c / (2m))^2. Ref: ``Modularity.cpp:23-70``
+    (coverage - expected coverage; per-cluster volume via incident weight
+    sums, ``:46-57``)."""
+    m = (edges.agg(F.sum("weight")).first()[0] or 0.0) / 2.0
+    if m == 0:
+        return 0.0
+    intra = _intra_weight(edges, labels)
+    wdeg = edges.groupBy(F.col("src").alias("node")).agg(F.sum("weight").alias("wdeg"))
+    vols = (
+        labels.join(wdeg, "node", "left")
+        .fillna({"wdeg": 0.0})
+        .groupBy("label")
+        .agg(F.sum("wdeg").alias("vol"))
+    )
+    exp_cov = (vols.agg(F.sum(F.col("vol") * F.col("vol"))).first()[0] or 0.0) / (
+        (2.0 * m) ** 2
+    )
+    return intra / m - exp_cov
+
+
+def coverage(edges: DataFrame, labels: DataFrame) -> float:
+    """Intra-cluster edge weight fraction. Ref: ``Coverage.cpp``."""
+    m = (edges.agg(F.sum("weight")).first()[0] or 0.0) / 2.0
+    return (_intra_weight(edges, labels) / m) if m else 0.0
+
+
+def edge_cut(edges: DataFrame, labels: DataFrame) -> float:
+    """Total weight of inter-cluster edges. Ref: ``EdgeCut.cpp``."""
+    m = (edges.agg(F.sum("weight")).first()[0] or 0.0) / 2.0
+    return m - _intra_weight(edges, labels)
+
+
+# -- partition similarity (contingency-table measures) -----------------------
+
+def _contingency(a: DataFrame, b: DataFrame) -> DataFrame:
+    return (
+        a.select("node", F.col("label").alias("la"))
+        .join(b.select("node", F.col("label").alias("lb")), "node")
+        .groupBy("la", "lb")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def _pair_counts(a: DataFrame, b: DataFrame):
+    """(n, s11-ish building blocks) for Rand/Jaccard from the contingency
+    table: sum over cells of C(c,2), and marginal sums."""
+    ct = _contingency(a, b).persist()
+    n = ct.agg(F.sum("c")).first()[0]
+    sum_cells = ct.agg(F.sum(F.col("c") * (F.col("c") - 1) / 2)).first()[0] or 0.0
+    sum_a = (
+        ct.groupBy("la").agg(F.sum("c").alias("s"))
+        .agg(F.sum(F.col("s") * (F.col("s") - 1) / 2)).first()[0] or 0.0
+    )
+    sum_b = (
+        ct.groupBy("lb").agg(F.sum("c").alias("s"))
+        .agg(F.sum(F.col("s") * (F.col("s") - 1) / 2)).first()[0] or 0.0
+    )
+    ct.unpersist()
+    return n, sum_cells, sum_a, sum_b
+
+
+def rand_index(a: DataFrame, b: DataFrame) -> float:
+    """Fraction of node pairs on which the partitions agree.
+    Ref: ``RandMeasure`` (``community.pyx:983``) — returned as similarity."""
+    n, s, sa, sb = _pair_counts(a, b)
+    total = n * (n - 1) / 2
+    if total == 0:
+        return 1.0
+    agree = total - (sa + sb - 2 * s)
+    return agree / total
+
+
+def adjusted_rand_index(a: DataFrame, b: DataFrame) -> float:
+    """Ref: ``AdjustedRandMeasure`` (``community.pyx:1141``)."""
+    n, s, sa, sb = _pair_counts(a, b)
+    total = n * (n - 1) / 2
+    if total == 0:
+        return 1.0
+    expected = sa * sb / total
+    max_index = (sa + sb) / 2
+    if max_index == expected:
+        return 1.0
+    return (s - expected) / (max_index - expected)
+
+
+def jaccard_partition_similarity(a: DataFrame, b: DataFrame) -> float:
+    """Pairs co-clustered in both / pairs co-clustered in either.
+    Ref: ``JaccardMeasure`` (``community.pyx:1065``)."""
+    _, s, sa, sb = _pair_counts(a, b)
+    denom = sa + sb - s
+    return (s / denom) if denom else 1.0
+
+
+def nmi(a: DataFrame, b: DataFrame) -> float:
+    """Normalized mutual information (max-normalized).
+    Ref: ``NMIDistance`` (``community.pyx:1102``) returns 1 - NMI."""
+    ct = _contingency(a, b).collect()
+    n = sum(r["c"] for r in ct)
+    pa, pb = {}, {}
+    for r in ct:
+        pa[r["la"]] = pa.get(r["la"], 0) + r["c"]
+        pb[r["lb"]] = pb.get(r["lb"], 0) + r["c"]
+    mi = 0.0
+    for r in ct:
+        pij = r["c"] / n
+        mi += pij * math.log(pij * n * n / (pa[r["la"]] * pb[r["lb"]]))
+    ha = -sum((c / n) * math.log(c / n) for c in pa.values())
+    hb = -sum((c / n) * math.log(c / n) for c in pb.values())
+    hmax = max(ha, hb)
+    return (mi / hmax) if hmax > 0 else 1.0
+
+
+# -- synthetic partitions (ClusteringGenerator parity) -----------------------
+
+def singleton_partition(nodes: DataFrame) -> DataFrame:
+    """Every node its own cluster. Ref: ``ClusteringGenerator`` makeSingleton."""
+    return nodes.select(F.col("id").alias("node"), F.col("id").alias("label"))
+
+
+def one_partition(nodes: DataFrame) -> DataFrame:
+    """All nodes in one cluster."""
+    return nodes.select(F.col("id").alias("node"), F.lit(0).cast("long").alias("label"))
+
+
+def continuous_balanced_partition(nodes: DataFrame, k: int) -> DataFrame:
+    """k contiguous blocks by node id. Ref: makeContinuousBalancedClustering."""
+    n = nodes.count()
+    size = max(1, (n + k - 1) // k)
+    return nodes.select(
+        F.col("id").alias("node"), (F.col("id") / size).cast("long").alias("label")
+    )

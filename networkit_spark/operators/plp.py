@@ -1,0 +1,157 @@
+"""PLP — label propagation community detection.
+
+Reference: ``cpp/community/PLP.cpp:24-117`` (header ``PLP.hpp:26-52``;
+Python ``networkit/community.pyx:772-845``). Semantics reproduced:
+
+1. init: unique label per node (singleton partition) unless a base
+   clustering is given (``PLP.cpp:30-34``);
+2. ``updateThreshold = n/1e5`` when unset (``:39-42``);
+3. iterate while ``nUpdated > updateThreshold and nIterations <
+   maxIterations`` (``:69``): each active non-isolated node adopts the
+   **heaviest** incident label (sum of incident edge weights per neighbor
+   label, ``:85-88``), ties -> smallest label id (``std::max_element`` over
+   an ordered map keeps the first maximum, ``:91-96``);
+4. isolated nodes stay singletons (``:50-61``).
+
+The reference sweep is *semi-synchronous* (in-sweep updates visible under
+OpenMP -> nondeterministic run-to-run). We implement the **synchronous**
+variant: deterministic, order-independent, and the one with a clean
+relational meaning — per-superstep
+
+    cand(u, l) = sum of w(u,v) over neighbors v with label(v) = l
+    label'(u)  = argmax_l (cand, tie-> min l)
+
+expressed as hash-agg + ``max_by``-style struct max (no window sort). The
+reference's own tests compare PLP *structurally* (planted partitions /
+modularity — ``CommunityGTest.cpp:204-281``), which is the bar we use too.
+
+Scale: identical shuffle profile to PageRank (edges x labels join on src,
+agg by dst) + one more agg for the argmax; the frontier optimization
+(propagate only changed nodes) applies verbatim.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import nodes_from_edges
+from networkit_spark.plans.iteration import SuperstepRunner
+
+
+@dataclass
+class PLPResult:
+    labels_df: DataFrame  # (node long, label long)
+    iterations: int
+    converged: bool
+    metrics: list
+
+    def get_partition(self) -> DataFrame:
+        return self.labels_df
+
+    def number_of_communities(self) -> int:
+        return self.labels_df.select("label").distinct().count()
+
+    def community_sizes(self) -> DataFrame:
+        return self.labels_df.groupBy("label").agg(F.count("*").alias("size"))
+
+
+def _argmax_labels(cand: DataFrame) -> DataFrame:
+    """argmax by (weight desc, label asc) without a window sort:
+    max(struct(w, -label)) — one hash agg, skew-safe via partial agg."""
+    return (
+        cand.groupBy("node")
+        .agg(F.max(F.struct(F.col("w"), (-F.col("label")).alias("nl"))).alias("top"))
+        .select("node", (-F.col("top.nl")).alias("nlabel"))
+    )
+
+
+class PLP:
+    def __init__(
+        self,
+        update_threshold: int | None = None,
+        max_iterations: int = 100,
+    ):
+        self.update_threshold = update_threshold
+        self.max_iterations = max_iterations
+
+    def run(
+        self,
+        edges: DataFrame,
+        nodes: DataFrame | None = None,
+        base_clustering: DataFrame | None = None,
+        runner: SuperstepRunner | None = None,
+        resume: bool = False,
+    ) -> PLPResult:
+        """``edges`` must be symmetrized (undirected graph, both directions)."""
+        spark = edges.sparkSession
+        runner = runner or SuperstepRunner(spark, run_id="plp")
+        nodes = nodes if nodes is not None else nodes_from_edges(edges)
+        n = nodes.count()
+        theta = (
+            self.update_threshold
+            if self.update_threshold is not None
+            else max(0, int(n / 1e5))
+        )
+
+        e = edges.select("src", "dst", "weight").persist()
+        m = e.count()
+
+        if base_clustering is not None:
+            init = base_clustering.select("node", "label")
+        else:
+            init = nodes.select(F.col("id").alias("node"), F.col("id").alias("label"))
+
+        def step(state: DataFrame, i: int):
+            cand = (
+                e.join(state.select(F.col("node").alias("src"), "label"), "src")
+                .groupBy(F.col("dst").alias("node"), "label")
+                .agg(F.sum("weight").alias("w"))
+            )
+            best = _argmax_labels(cand)
+            new = (
+                state.join(best, "node", "left")
+                .select(
+                    "node",
+                    F.coalesce(F.col("nlabel"), F.col("label")).alias("label"),
+                    F.col("label").alias("prev"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = new.filter(F.col("label") != F.col("prev")).count()
+            return new.select("node", "label"), {"changed": changed, "edges_processed": m}
+
+        res = runner.run(
+            init,
+            step,
+            converged_fn=lambda info: info["changed"] <= theta,
+            max_iterations=self.max_iterations,
+            resume=resume,
+        )
+        e.unpersist()
+        return PLPResult(
+            labels_df=res.state,
+            iterations=res.iterations,
+            converged=res.converged,
+            metrics=res.metrics,
+        )
+
+
+def plp_fixed(edges: DataFrame, nodes: DataFrame, iterations: int) -> DataFrame:
+    """Fixed-iteration synchronous PLP (deterministic, oracle-expressible)."""
+    labels = nodes.select(F.col("id").alias("node"), F.col("id").alias("label"))
+    for _ in range(iterations):
+        cand = (
+            edges.join(labels.select(F.col("node").alias("src"), "label"), "src")
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.sum("weight").alias("w"))
+        )
+        best = _argmax_labels(cand)
+        labels = (
+            labels.join(best, "node", "left")
+            .select("node", F.coalesce(F.col("nlabel"), F.col("label")).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels

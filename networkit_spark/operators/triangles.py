@@ -1,0 +1,153 @@
+"""Triangle counting, local/global clustering coefficients, edge triangle scores.
+
+Reference: ``cpp/centrality/LocalClusteringCoefficient.cpp:16-88`` (node
+iterator; ``turbo`` mode pre-builds a degree-ordered orientation, ``:24-43``),
+``cpp/global/ClusteringCoefficient.cpp:19-270`` (exact/avg/global + wedge
+sampling), ``cpp/edgescores/TriangleEdgeScore.cpp:18-110`` (per-edge counts).
+Inputs must be simple undirected graphs (the reference rejects directed /
+self-loops, ``LocalClusteringCoefficient.cpp:8-13``): pass the symmetrized,
+deduplicated, loop-free edge table.
+
+Algorithm — the reference's ``turbo`` orientation IS the scalable plan:
+
+1. orient each undirected edge from the (degree, id)-smaller endpoint to the
+   larger (``isOutEdge = deg(u)>deg(v) or (==, u<v)``,
+   ``LocalClusteringCoefficient.cpp:25-27``, reversed sign, same effect):
+   every triangle is enumerated exactly once, and out-degrees in the
+   oriented graph are bounded by O(sqrt(m)) (arboricity bound) — this is
+   the skew-killer: hub vertices never fan out their full neighborhood;
+2. wedges: self-join of oriented edges on the common *source*
+   (pairs of out-neighbors); closing check: join wedge (x, y) against
+   oriented edges — two shuffle joins total;
+3. per-node counts: each triangle (s, x, y) increments all three corners —
+   ``explode`` + hash agg;
+4. ``lcc(u) = 2*tri(u) / (d(u) (d(u)-1))`` (``:82``); global CC =
+   ``3*triangles / wedges`` with ``wedges = sum d(d-1)/2``
+   (``ClusteringCoefficient.cpp:195-206``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import nodes_from_edges
+
+
+def orient_edges(und_edges: DataFrame) -> DataFrame:
+    """Degree-ordered orientation of a symmetrized simple graph.
+
+    Input: both (u,v) and (v,u) rows. Output: one row per undirected edge,
+    pointing (deg, id)-upward, with the degree of src and dst attached.
+    """
+    deg = und_edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
+    e = (
+        und_edges.select("src", "dst")
+        .join(deg.select(F.col("node").alias("src"), F.col("d").alias("sd")), "src")
+        .join(deg.select(F.col("node").alias("dst"), F.col("d").alias("dd")), "dst")
+    )
+    return e.filter(
+        (F.col("sd") < F.col("dd"))
+        | ((F.col("sd") == F.col("dd")) & (F.col("src") < F.col("dst")))
+    ).select("src", "dst", "sd", "dd")
+
+
+def enumerate_triangles(und_edges: DataFrame) -> DataFrame:
+    """(a, b, c) one row per triangle, a/b/c in orientation order."""
+    eo = orient_edges(und_edges)
+    e1 = eo.select(F.col("src").alias("s"), F.col("dst").alias("x"),
+                   F.col("dd").alias("xd"))
+    e2 = eo.select(F.col("src").alias("s"), F.col("dst").alias("y"),
+                   F.col("dd").alias("yd"))
+    wedges = e1.join(e2, "s").filter(
+        (F.col("xd") < F.col("yd"))
+        | ((F.col("xd") == F.col("yd")) & (F.col("x") < F.col("y")))
+    )
+    closing = eo.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    return wedges.join(closing, ["x", "y"], "left_semi").select(
+        F.col("s").alias("a"), F.col("x").alias("b"), F.col("y").alias("c")
+    )
+
+
+def triangle_counts(und_edges: DataFrame, nodes: DataFrame | None = None) -> DataFrame:
+    """(node, triangles) — per-node triangle participation counts."""
+    tri = enumerate_triangles(und_edges)
+    corners = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("node")
+    )
+    counts = corners.groupBy("node").agg(F.count("*").alias("triangles"))
+    nodes = nodes if nodes is not None else nodes_from_edges(und_edges)
+    return (
+        nodes.select(F.col("id").alias("node"))
+        .join(counts, "node", "left")
+        .fillna({"triangles": 0})
+    )
+
+
+def total_triangles(und_edges: DataFrame) -> int:
+    return enumerate_triangles(und_edges).count()
+
+
+def local_clustering_coefficient(
+    und_edges: DataFrame, nodes: DataFrame | None = None
+) -> DataFrame:
+    """(node, lcc). Ref: ``LocalClusteringCoefficient.cpp:82`` —
+    ``c(u) = 2*tri / (d(d-1))``, 0 for degree < 2."""
+    nodes = nodes if nodes is not None else nodes_from_edges(und_edges)
+    tri = triangle_counts(und_edges, nodes)
+    deg = und_edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
+    return (
+        tri.join(deg, "node", "left")
+        .fillna({"d": 0})
+        .select(
+            "node",
+            F.when(
+                F.col("d") >= 2,
+                2.0 * F.col("triangles") / (F.col("d") * (F.col("d") - 1)),
+            )
+            .otherwise(0.0)
+            .alias("lcc"),
+        )
+    )
+
+
+def global_clustering_coefficient(und_edges: DataFrame) -> float:
+    """Transitivity: 3*triangles / wedges. Ref:
+    ``ClusteringCoefficient::exactGlobal`` (``ClusteringCoefficient.cpp:195-206``)."""
+    deg = und_edges.groupBy("src").agg(F.count("*").alias("d"))
+    wedges = deg.agg(F.sum(F.col("d") * (F.col("d") - 1) / 2)).first()[0] or 0
+    if wedges == 0:
+        return 0.0
+    return 3.0 * total_triangles(und_edges) / float(wedges)
+
+
+def avg_local_clustering_coefficient(und_edges: DataFrame, nodes: DataFrame | None = None) -> float:
+    """Ref: ``ClusteringCoefficient::avgLocal`` — mean of per-node LCC."""
+    return (
+        local_clustering_coefficient(und_edges, nodes).agg(F.avg("lcc")).first()[0]
+        or 0.0
+    )
+
+
+def triangle_edge_score(und_edges: DataFrame) -> DataFrame:
+    """(src, dst, score) — #triangles through each undirected edge, keyed with
+    src < dst. Ref: ``cpp/edgescores/TriangleEdgeScore.cpp:18-110``."""
+    tri = enumerate_triangles(und_edges)
+    pairs = tri.select(
+        F.explode(
+            F.array(
+                F.struct(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")),
+                F.struct(F.least("a", "c").alias("u"), F.greatest("a", "c").alias("v")),
+                F.struct(F.least("b", "c").alias("u"), F.greatest("b", "c").alias("v")),
+            )
+        ).alias("e")
+    ).select(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
+    counts = pairs.groupBy("u", "v").agg(F.count("*").alias("score"))
+    base = und_edges.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    )
+    return (
+        base.join(counts, ["u", "v"], "left")
+        .fillna({"score": 0})
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"), "score")
+    )

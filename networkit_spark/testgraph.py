@@ -68,7 +68,7 @@ raw_links AS (
     UNION ALL
     SELECT doc_id, doc_id % 20 FROM documents WHERE doc_id % 5 <> 0
 ),
-edges AS (
+edges AS MATERIALIZED (
     SELECT DISTINCT src, dst, CAST(1.0 AS DOUBLE) AS weight FROM raw_links WHERE src <> dst
 )
 """
@@ -78,7 +78,7 @@ EDGES_CTE = NN_CTE + ",\n" + EDGES_BODY
 UEDGES_CTE = (
     EDGES_CTE
     + """,
-uedges AS (
+uedges AS MATERIALIZED (
     SELECT DISTINCT src, dst, CAST(1.0 AS DOUBLE) AS weight FROM (
         SELECT src, dst FROM edges
         UNION ALL
