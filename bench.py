@@ -1,0 +1,225 @@
+"""Benchmark harness (driver contract).
+
+Prints ONE JSON line:
+  {"metric": "edges_per_sec_per_pagerank_superstep", "value": N, "unit": "sec",
+   "queries": {...per-kernel wall seconds...}, "sf": ...,
+   "pagerank": {...}, "scaling": {...}}
+
+Protocol (BASELINE.md): PageRank to convergence at tol=1e-6 (L2) on a
+deterministic Common-Crawl-style link graph at the SF implied by
+$SPARK_GRAFT_SF_DIR (sf0.1 -> 100k pages, ~750k distinct edges), recording
+edges-processed/sec per superstep and iterations-to-convergence; plus the
+two-cluster-size scaling evidence — the same fixed-superstep job at
+local[N/4] and local[N] (separate JVMs via subprocess, shuffle partitions
+scaled with cores), reporting throughput at both and
+scaling_efficiency = thr(4N) / (4 * thr(N)).
+
+The graph is synthesized in-Spark (spark.range + xxhash64 column exprs — no
+data files, no Python in the hot path): out-degree 3..12 per page, 30% of
+links biased to a 1000-node hub set (power-law-ish in-degree skew), matching
+FIXTURES.md bench scale (~100k pages / ~1M links at SF=0.1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_HUBS = 1000
+
+
+def sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    if base.startswith("sf"):
+        try:
+            return float(base[2:])
+        except ValueError:
+            pass
+    return 0.1
+
+
+def bench_graph(spark, n_pages: int):
+    """Deterministic skewed link graph, fully JVM-side."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(n_pages).withColumn(
+        "outdeg", 3 + F.pmod(F.xxhash64("id", F.lit(1)), F.lit(10))
+    )
+    links = df.select(
+        F.col("id").alias("src"),
+        F.explode(F.sequence(F.lit(0), F.col("outdeg") - 1)).alias("j"),
+    )
+    dst_raw = F.pmod(F.xxhash64("src", "j", F.lit(2)), F.lit(n_pages))
+    is_hub = F.pmod(F.xxhash64("src", "j", F.lit(3)), F.lit(10)) < 3
+    hub_id = F.pmod(F.xxhash64("src", "j", F.lit(4)), F.lit(N_HUBS))
+    edges = (
+        links.select(
+            "src", F.when(is_hub, hub_id).otherwise(dst_raw).alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .withColumn("weight", F.lit(1.0))
+    )
+    return edges
+
+
+def run_pagerank(cores: int, n_pages: int, max_iterations: int, tol: float,
+                 warmup: int = 0):
+    """One PageRank run in this process; returns metrics dict.
+
+    ``warmup`` supersteps are excluded from the mean (JIT/codegen warmup
+    dominates the first iterations in a fresh JVM)."""
+    from networkit_spark.graph import nodes_range
+    from networkit_spark.operators.pagerank import PageRank
+    from networkit_spark.session import get_spark
+
+    spark = get_spark(cores=cores, shuffle_partitions=cores, app_name=f"bench{cores}")
+    edges = bench_graph(spark, n_pages).persist()
+    m = edges.count()
+    nodes = nodes_range(spark, n_pages)
+    t0 = time.monotonic()
+    res = PageRank(damp=0.85, tol=tol, max_iterations=max_iterations).run(
+        edges, nodes, directed=True, shuffle_partitions=cores
+    )
+    wall = time.monotonic() - t0
+    walls = [r["wall_sec"] for r in res.metrics]
+    if warmup and len(walls) > warmup + 1:
+        walls = walls[warmup:]
+    mean_superstep = sum(walls) / len(walls)
+    out = {
+        "edges": m,
+        "nodes": n_pages,
+        "iterations": res.iterations,
+        "converged": res.converged,
+        "wall_sec": round(wall, 3),
+        "mean_superstep_sec": round(mean_superstep, 4),
+        "edges_per_sec_per_superstep": round(m / mean_superstep, 1),
+    }
+    spark.stop()
+    return out
+
+
+def worker_main():
+    """Subprocess entry: run fixed-superstep PageRank at given cores.
+    tol=0 -> pure-throughput mode (no convergence agg); 2 warmup supersteps
+    excluded from the reported mean."""
+    cores = int(sys.argv[2])
+    n_pages = int(sys.argv[3])
+    iters = int(sys.argv[4])
+    out = run_pagerank(cores, n_pages, max_iterations=iters, tol=0.0, warmup=2)
+    print("BENCHWORKER " + json.dumps(out))
+
+
+def spawn_worker(cores: int, n_pages: int, iters: int) -> dict:
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--worker", str(cores), str(n_pages), str(iters)],
+        capture_output=True,
+        text=True,
+        timeout=1800,
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("BENCHWORKER "):
+            return json.loads(line[len("BENCHWORKER "):])
+    raise RuntimeError(f"worker {cores} failed: {proc.stdout[-2000:]} {proc.stderr[-2000:]}")
+
+
+def main():
+    sf = sf_from_dir(SF_DIR)
+    n_pages = max(1000, int(1_000_000 * sf))
+    queries = {}
+
+    # -- headline: PageRank to convergence at 1e-6 (the BASELINE metric) ----
+    pr = run_pagerank(CPUS, n_pages, max_iterations=100, tol=1e-6)
+    queries["pagerank_conv_1e6"] = pr["wall_sec"]
+
+    # -- secondary kernels at full parallelism ------------------------------
+    from pyspark.sql import functions as F
+
+    from networkit_spark.graph import nodes_range
+    from networkit_spark.operators.components import ConnectedComponents
+    from networkit_spark.operators.plp import PLP
+    from networkit_spark.operators.triangles import total_triangles
+    from networkit_spark.session import get_spark
+
+    spark = get_spark(cores=CPUS, shuffle_partitions=CPUS, app_name="bench_rest")
+    edges = bench_graph(spark, n_pages).persist()
+    m = edges.count()
+    nodes = nodes_range(spark, n_pages)
+    und = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .withColumn("weight", F.lit(1.0))
+        .persist()
+    )
+    und.count()
+
+    t = time.monotonic()
+    cc = ConnectedComponents().run(edges, nodes)
+    queries["connected_components"] = round(time.monotonic() - t, 3)
+    cc_info = {"iterations": cc.iterations, "converged": cc.converged}
+
+    t = time.monotonic()
+    plp = PLP(max_iterations=10).run(und, nodes)
+    queries["plp"] = round(time.monotonic() - t, 3)
+    plp_info = {"iterations": plp.iterations}
+
+    t = time.monotonic()
+    n_tri = total_triangles(und)
+    tri_wall = time.monotonic() - t
+    queries["triangle_count"] = round(tri_wall, 3)
+    tri_info = {"triangles": n_tri, "edges_per_sec": round(und.count() / 2 / tri_wall, 1)}
+    spark.stop()
+
+    # -- scaling evidence: N vs 4N cores, fixed supersteps ------------------
+    # Run on a cluster-scale stand-in graph (>= ~15M edges): the scaling rule
+    # targets the regime where per-superstep compute dominates fixed
+    # scheduling overhead, which is the production regime at 100 TB. At toy
+    # sizes more cores only add scheduling overhead and every engine "fails"
+    # to scale. Same input + same job at both parallelism levels.
+    scale_pages = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "2000000"))
+    lo_cores = max(1, CPUS // 4)
+    scale_iters = 5  # 2 warmup + 3 timed
+    lo = spawn_worker(lo_cores, scale_pages, scale_iters)
+    hi = spawn_worker(CPUS, scale_pages, scale_iters)
+    thr_lo = lo["edges_per_sec_per_superstep"]
+    thr_hi = hi["edges_per_sec_per_superstep"]
+    eff = thr_hi / (4.0 * thr_lo)
+    scaling = {
+        "cores_lo": lo_cores,
+        "cores_hi": CPUS,
+        "pages": scale_pages,
+        "edges": lo["edges"],
+        "throughput_lo": thr_lo,
+        "throughput_hi": thr_hi,
+        "scaling_efficiency": round(eff, 3),
+    }
+
+    result = {
+        "metric": "edges_per_sec_per_pagerank_superstep",
+        "value": pr["edges_per_sec_per_superstep"],
+        "unit": "edges/sec",
+        "queries": queries,
+        "sf": sf,
+        "pagerank": pr,
+        "connected_components": cc_info,
+        "plp": plp_info,
+        "triangles": tri_info,
+        "scaling": scaling,
+        "edges": m,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        worker_main()
+    else:
+        main()

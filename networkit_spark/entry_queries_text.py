@@ -1,3 +1,295 @@
-"""Training-data pipeline query registrations (dedup, similarity search,
-text analysis) over the ``documents`` and ``embeddings`` tables. Populated as
-functions land; importing registers into ``entry_queries.QUERIES``."""
+"""Training-data pipeline query registrations over documents / embeddings /
+events: text stats, exact + MinHash-LSH + n-gram-Jaccard + SimHash dedup,
+cosine similarity search, windowed event aggregation.
+
+Portability layer for oracles: whitespace tokenization
+(``string_split_regex`` + filter), the 60-bit md5 hash
+(``('0x'||substr(md5(x),1,15))::BIGINT`` == Spark
+``conv(substr(md5(x),1,15),16,10)``), ``[[:punct:]]`` == Java ``\\p{Punct}``
+(both ASCII), and per-seed UNION ALL instead of WITH ORDINALITY.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from networkit_spark.entry_queries import register
+from networkit_spark.functions.dedup import (
+    exact_duplicates,
+    minhash_lsh_candidates,
+    ngram_jaccard_all_pairs,
+    simhash64,
+)
+from networkit_spark.functions.similarity import _dot, with_normalized
+from networkit_spark.functions.text import (
+    EN_STOPWORDS,
+    fingerprint,
+    lang_id,
+    punct_ratio,
+    stopword_ratio,
+    token_count,
+)
+
+# -- shared SQL fragments ----------------------------------------------------
+
+SQL_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
+SQL_FP = (
+    "('0x' || substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 15))::BIGINT"
+)
+SQL_SW = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
+
+
+def _sql_shingles(k: int = 3) -> str:
+    return (
+        f"CASE WHEN len(toks) >= {k} THEN "
+        f"list_transform(generate_series(1, len(toks) - {k - 1}), "
+        f"i -> array_to_string(list_slice(toks, i, i + {k - 1}), ' ')) "
+        f"ELSE [] END"
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+@register(
+    "doc_stats",
+    f"""
+WITH t AS (SELECT doc_id, text, {SQL_TOKS} AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         length(text) AS n_chars2,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, x -> list_contains({SQL_SW}, lower(x))))::DOUBLE / len(toks)
+              ELSE 0.0 END AS swr,
+         CASE WHEN length(text) > 0
+              THEN length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::DOUBLE / length(text)
+              ELSE 0.0 END AS pr
+  FROM t
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, CAST(n_chars2 AS BIGINT) AS n_chars2,
+       round(swr, 7) AS stopword_ratio, round(pr, 7) AS punct_ratio
+FROM s
+""",
+)
+def q_doc_stats(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    c = F.col("text")
+    return df.select(
+        "doc_id",
+        token_count(c).cast("long").alias("n_tokens"),
+        F.length(c).cast("long").alias("n_chars2"),
+        F.round(stopword_ratio(c), 7).alias("stopword_ratio"),
+        F.round(punct_ratio(c), 7).alias("punct_ratio"),
+    )
+
+
+@register(
+    "lang_id",
+    None,  # stopword-vote heuristic uses two lists; rows-only is fine but we
+)
+def q_lang_id(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return df.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+@register(
+    "doc_fingerprints",
+    f"SELECT doc_id, {SQL_FP} AS fp FROM documents",
+)
+def q_doc_fingerprints(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return df.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+@register(
+    "exact_dup_groups",
+    f"""
+WITH f AS (SELECT doc_id, {SQL_FP} AS fp FROM documents)
+SELECT fp, CAST(count(*) AS BIGINT) AS size, min(doc_id) AS keep_id
+FROM f GROUP BY fp HAVING count(*) >= 2
+""",
+)
+def q_exact_dup_groups(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_duplicates(df)
+
+
+def _minhash_sql(num_hashes: int, shingle_k: int = 3) -> str:
+    per_seed = []
+    for seed in range(num_hashes):
+        per_seed.append(
+            f"SELECT doc_id, {seed} AS seed, "
+            f"list_min(list_transform(sh, s -> ('0x'||substr(md5('s{seed}|'||s),1,15))::BIGINT)) AS mh "
+            f"FROM shing WHERE len(sh) > 0"
+        )
+    return (
+        f"WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),\n"
+        f"shing AS (SELECT doc_id, {_sql_shingles(shingle_k)} AS sh FROM t)\n"
+        + " UNION ALL ".join(per_seed)
+    )
+
+
+@register("minhash_signatures", _minhash_sql(8))
+def q_minhash_signatures(spark, sf_dir):
+    """(doc_id, seed, mh) — 8-seed portable minhash, exploded for comparison."""
+    from networkit_spark.functions.dedup import minhash_signature
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sig = df.select(
+        "doc_id", minhash_signature(F.col("text"), num_hashes=8).alias("sig")
+    ).filter(F.size("sig") > 0).filter(F.col("sig")[0].isNotNull())
+    return sig.select(
+        "doc_id", F.posexplode("sig").alias("seed", "mh")
+    ).select("doc_id", F.col("seed").cast("int").alias("seed"), "mh")
+
+
+def _minhash_pairs_sql(num_hashes: int = 8, bands: int = 4, shingle_k: int = 3) -> str:
+    rpb = num_hashes // bands
+    sig_cols = ", ".join(
+        f"list_min(list_transform(sh, s -> ('0x'||substr(md5('s{i}|'||s),1,15))::BIGINT)) AS h{i}"
+        for i in range(num_hashes)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + "||'|'||".join(f"h{b * rpb + j}::VARCHAR" for j in range(rpb))
+        + " AS bh FROM sigs"
+        for b in range(bands)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+shing AS (SELECT doc_id, {_sql_shingles(shingle_k)} AS sh FROM t),
+sigs AS (SELECT doc_id, {sig_cols} FROM shing WHERE len(sh) > 0),
+banded AS ({band_rows})
+SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+FROM banded x JOIN banded y ON x.band = y.band AND x.bh = y.bh
+WHERE x.doc_id < y.doc_id
+"""
+
+
+@register("minhash_lsh_pairs", _minhash_pairs_sql())
+def q_minhash_lsh_pairs(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_candidates(df, num_hashes=8, bands=4)
+
+
+@register(
+    "ngram_jaccard_dups",
+    f"""
+WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+shing AS (SELECT doc_id, list_distinct({_sql_shingles(3)}) AS sh FROM t),
+inv AS (SELECT doc_id, len(sh) AS nsh, unnest(sh) AS s FROM shing WHERE len(sh) > 0),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, a.nsh AS na, b.nsh AS nb, count(*) AS i
+  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT a, b, round(i::DOUBLE / (na + nb - i), 7) AS jaccard
+FROM inter WHERE i::DOUBLE / (na + nb - i) >= 0.5
+""",
+)
+def q_ngram_jaccard_dups(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = ngram_jaccard_all_pairs(df, threshold=0.5)
+    return out.select("a", "b", F.round("jaccard", 7).alias("jaccard"))
+
+
+@register("simhash_signatures")  # xxhash64-based -> rows-only check
+def q_simhash_signatures(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return df.select("doc_id", simhash64(F.col("text")).alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+@register(
+    "embedding_topk",
+    """
+WITH vn AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> x::DOUBLE / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS nv
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(q.nv, c.nv), 6) AS cosine
+  FROM vn q JOIN vn c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 10
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 5
+""",
+)
+def q_embedding_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for query ids < 10 (ranked on cosine rounded
+    to 6dp so cross-engine float noise cannot flip rank order)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    c = with_normalized(emb).select(F.col("vec_id").alias("neighbor_id"), F.col("nvec").alias("cv"))
+    q = with_normalized(emb.filter("vec_id < 10")).select(
+        F.col("vec_id").alias("query_id"), F.col("nvec").alias("qv")
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(_dot(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+@register("embedding_near_dup")  # LSH plane constants live in Python -> rows-only
+def q_embedding_near_dup(spark, sf_dir):
+    from networkit_spark.functions.similarity import pairwise_cosine_near_dup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pairwise_cosine_near_dup(emb, threshold=0.9)
+
+
+# ---------------------------------------------------------------------------
+# events: windowed aggregation (batch form of the streaming pipeline)
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_tumbling_1h",
+    """
+SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 6) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q_events_tumbling_1h(spark, sf_dir):
+    """Tumbling 1h window counts — the batch twin of the Structured
+    Streaming pipeline in streaming/events.py."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )

@@ -1,0 +1,274 @@
+"""Deduplication: exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding
+cosine near-dup.
+
+Scale design notes (the point of each algorithm at 100 TB):
+
+- **exact**: hash-groupBy on a normalized-text fingerprint — one shuffle,
+  map-side partial agg. Never compare raw text: group on the 60-bit hash,
+  keep min doc_id per group as the canonical survivor.
+- **MinHash + LSH**: per-doc signature of ``num_hashes`` minima over shingle
+  hashes (all JVM HOFs: transform + array_min); band the signature
+  (``bands x rows_per_band``), hash each band, and self-join on
+  (band_id, band_hash) buckets — candidate pairs only, never all-pairs.
+  The band join is the only shuffle that matters; bucket sizes are bounded
+  because identical bands imply near-identical docs.
+- **SimHash**: 64-bit signature from per-token hash bit votes; near-dup =
+  Hamming distance <= k. Banding trick for the join: split the 64 bits into
+  (k+1) chunks — any pair within distance k shares at least one exact chunk
+  (pigeonhole), so self-join on (chunk_idx, chunk_value).
+- **n-gram Jaccard**: exact verification measure for candidate pairs
+  (explode shingles -> per-pair intersection count / union).
+- **embedding cosine**: see ``similarity.py``; near-dup = cosine >= tau on
+  normalized vectors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from networkit_spark.functions.text import fingerprint, portable_hash60, shingles
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(fp, size, keep_id) for every duplicate group (size >= 2)."""
+    withfp = df.select(F.col(id_col).alias("id"), fingerprint(F.col(text_col)).alias("fp"))
+    return (
+        withfp.groupBy("fp")
+        .agg(F.count("*").alias("size"), F.min("id").alias("keep_id"))
+        .filter(F.col("size") >= 2)
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Input rows minus non-canonical exact duplicates (min id survives)."""
+    withfp = df.withColumn("__fp", fingerprint(F.col(text_col)))
+    keep = withfp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    return withfp.join(keep, [ "__fp", id_col], "left_semi").drop("__fp")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature(
+    text_col, num_hashes: int = 16, shingle_k: int = 3, portable: bool = True
+):
+    """Array<long> of ``num_hashes`` minima over shingle hashes.
+
+    ``portable=True`` -> md5-based 60-bit hash per (seed, shingle), identical
+    in SQL oracles; ``portable=False`` -> xxhash64(seed, shingle) (faster,
+    engine-only). Empty docs get signature of NULLs -> filtered by callers.
+    """
+    sh = shingles(text_col, shingle_k)
+
+    # closure factories: Spark HOF lambdas MUST be 1-arg (arity dispatch)
+    def h_portable(seed):
+        return lambda s: portable_hash60(F.concat(F.lit(f"s{seed}|"), s))
+
+    def h_fast(seed):
+        return lambda s: F.xxhash64(F.lit(seed), s)
+
+    mk = h_portable if portable else h_fast
+    cols = [F.array_min(F.transform(sh, mk(seed))) for seed in range(num_hashes)]
+    return F.array(*cols)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    portable: bool = True,
+) -> DataFrame:
+    """(a, b) candidate near-dup pairs (a < b) sharing >= 1 LSH band."""
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(F.col(text_col), num_hashes, shingle_k, portable).alias("sig"),
+    ).filter(F.col("sig")[0].isNotNull())
+    # band key = joined band values (string). Join on the values themselves,
+    # not a 32-bit hash — candidate sets then match ANSI oracles exactly
+    # (a hash-collision pair would be a spurious candidate).
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.array_join(
+                        F.transform(
+                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                            lambda v: v.cast("string"),
+                        ),
+                        "|",
+                    ).alias("bh"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    a = banded.select(F.col("band"), F.col("bh"), F.col("id").alias("a"))
+    b = banded.select(F.col("band"), F.col("bh"), F.col("id").alias("b"))
+    return (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def minhash_jaccard_estimate(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+    portable: bool = True,
+) -> DataFrame:
+    """(a, b, est_jaccard): fraction of matching signature positions."""
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(F.col(text_col), num_hashes, shingle_k, portable).alias("sig"),
+    )
+    out = (
+        pairs.join(sig.select(F.col("id").alias("a"), F.col("sig").alias("sa")), "a")
+        .join(sig.select(F.col("id").alias("b"), F.col("sig").alias("sb")), "b")
+    )
+    matches = F.size(
+        F.filter(F.zip_with("sa", "sb", lambda x, y: x == y), lambda m: m)
+    )
+    return out.select("a", "b", (matches / F.lit(num_hashes)).alias("est_jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(a, b, jaccard) exact shingle-set Jaccard for given pairs."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles(F.col(text_col), shingle_k)).alias("sh"),
+    )
+    out = (
+        pairs.join(sh.select(F.col("id").alias("a"), F.col("sh").alias("sha")), "a")
+        .join(sh.select(F.col("id").alias("b"), F.col("sh").alias("shb")), "b")
+    )
+    inter = F.size(F.array_intersect("sha", "shb"))
+    union = F.size(F.array_union("sha", "shb"))
+    return out.select(
+        "a", "b",
+        F.when(union > 0, inter.cast("double") / union).otherwise(0.0).alias("jaccard"),
+    )
+
+
+def ngram_jaccard_all_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact near-dup pairs above threshold WITHOUT all-pairs compare:
+    explode shingles, join on shingle (inverted index), count per pair, then
+    Jaccard from per-doc distinct-shingle counts. The shingle join only pairs
+    docs that actually share a shingle."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles(F.col(text_col), shingle_k)).alias("sh"),
+    ).withColumn("nsh", F.size("sh"))
+    inv = sh.select("id", "nsh", F.explode("sh").alias("s"))
+    a = inv.select(F.col("s"), F.col("id").alias("a"), F.col("nsh").alias("na"))
+    b = inv.select(F.col("s"), F.col("id").alias("b"), F.col("nsh").alias("nb"))
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b", "na", "nb")
+        .agg(F.count("*").alias("i"))
+    )
+    jac = inter.select(
+        "a", "b",
+        (F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))).alias("jaccard"),
+    )
+    return jac.filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(text_col) -> F.Column:
+    """64-bit SimHash over whitespace tokens: per-bit majority vote of token
+    xxhash64 bits — all JVM HOFs (aggregate over bit-count array)."""
+    from networkit_spark.functions.text import tokens
+
+    toks = tokens(F.lower(text_col))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    n = F.size(toks)
+    # bit positions are static -> Python-level loop builds 64 JVM exprs
+    # (shift amounts must be literals in Spark's shiftright/shiftleft)
+    def bit_set(i):
+        # NOTE: must return a 1-arg lambda — Spark HOFs dispatch on arity
+        # (a 2-arg lambda would receive (element, index))
+        return lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1
+
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        vote = F.size(F.filter(hashes, bit_set(i)))
+        bit = F.when(vote * 2 > n, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        sig = sig.bitwiseOR(F.shiftleft(bit, i))
+    return sig
+
+
+def simhash_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(a, b, hamming) pairs with Hamming(sig) <= max_hamming, via the
+    pigeonhole chunk join: k+1 chunks of 64/(k+1) bits; any pair within
+    distance k matches exactly on >= 1 chunk."""
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    sig = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sig"))
+    keyed = sig.select(
+        "id", "sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("chunk"),
+                    F.shiftright(F.col("sig"), c * width)
+                    .bitwiseAND(F.lit((1 << width) - 1)).alias("cv"),
+                )
+                for c in range(chunks)
+            ])
+        ).alias("ck"),
+    ).select("id", "sig", F.col("ck.chunk").alias("chunk"), F.col("ck.cv").alias("cv"))
+    a = keyed.select("chunk", "cv", F.col("id").alias("a"), F.col("sig").alias("siga"))
+    b = keyed.select("chunk", "cv", F.col("id").alias("b"), F.col("sig").alias("sigb"))
+    cand = (
+        a.join(b, ["chunk", "cv"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "siga", "sigb")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("siga").bitwiseXOR(F.col("sigb")))
+    return (
+        cand.select("a", "b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

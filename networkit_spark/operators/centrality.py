@@ -1,0 +1,184 @@
+"""Degree / eigenvector / Katz centrality — the PageRank-loop family.
+
+References:
+- ``cpp/centrality/DegreeCentrality.cpp:16-56`` — degree (out, or in for
+  directed when ``outDeg=false``); ``normalized`` divides by the theoretical
+  maximum n-1 (``maximum()``, self-loops ignored by default).
+- ``cpp/centrality/EigenvectorCentrality.cpp:18-56`` — power iteration:
+  init 1.0; gather ``sum_in ew * score[v]``; L2-normalize every iteration;
+  stop when the vector norm stabilizes (``|len - oldLen| <= tol``); sign fix
+  (all-positive) at the end.
+- ``cpp/centrality/KatzCentrality.cpp:26-77`` — iterate
+  ``values[u] = beta + alpha * sum_in ew * (1 + score[v])`` (note the
+  **unnormalized** scores carry across iterations; normalization by the L2
+  norm happens once after convergence); default
+  ``alpha = 1/(1 + maxDegree)`` (``:15-17``), ``beta = 1``.
+
+All three share PageRank's physical plan: one shuffle per superstep
+(scores x contrib join on src, agg by dst); the scalar norm is a second
+scalar agg on the materialized state.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import nodes_from_edges, transpose
+
+
+@dataclass
+class ScoresResult:
+    scores_df: DataFrame
+    iterations: int
+    converged: bool
+
+    def scores(self) -> DataFrame:
+        return self.scores_df
+
+    def ranking(self, k: int | None = None) -> DataFrame:
+        out = self.scores_df.orderBy(F.desc("score"), F.asc("node"))
+        return out.limit(k) if k else out
+
+    def maximum(self) -> float:
+        return self.scores_df.agg(F.max("score")).first()[0]
+
+
+def degree_centrality(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    normalized: bool = False,
+    out_deg: bool = True,
+) -> DataFrame:
+    """(node, score). Ref: ``DegreeCentrality.cpp:16-56``."""
+    nodes = nodes if nodes is not None else nodes_from_edges(edges)
+    e = edges if out_deg else transpose(edges)
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("double").alias("score")
+    )
+    out = (
+        nodes.select(F.col("id").alias("node"))
+        .join(deg, "node", "left")
+        .fillna({"score": 0.0})
+    )
+    if normalized:
+        n = nodes.count()
+        out = out.select("node", (F.col("score") / (n - 1)).alias("score"))
+    return out
+
+
+def _gather(contrib: DataFrame, scores: DataFrame, expr) -> DataFrame:
+    """sum over in-edges of expr(weight, score[src]), grouped by dst."""
+    return (
+        contrib.join(scores.select(F.col("node").alias("src"), "score"), "src")
+        .groupBy(F.col("dst").alias("node"))
+        .agg(expr.alias("m"))
+    )
+
+
+def eigenvector_centrality(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    tol: float = 1e-9,
+    max_iterations: int = 500,
+) -> ScoresResult:
+    nodes = nodes if nodes is not None else nodes_from_edges(edges)
+    e = edges.select("src", "dst", "weight").persist()
+    e.count()
+    scores = nodes.select(F.col("id").alias("node"), F.lit(1.0).alias("score"))
+    scores = scores.localCheckpoint(eager=True)
+    length, old_length = 0.0, float("inf")
+    it = 0
+    converged = False
+    while it < max_iterations:
+        old_length = length
+        msgs = _gather(e, scores, F.sum(F.col("weight") * F.col("score")))
+        raw = (
+            nodes.select(F.col("id").alias("node"))
+            .join(msgs, "node", "left")
+            .select("node", F.coalesce(F.col("m"), F.lit(0.0)).alias("raw"))
+            .localCheckpoint(eager=True)
+        )
+        length = raw.agg(F.sqrt(F.sum(F.col("raw") * F.col("raw")))).first()[0] or 0.0
+        scores = raw.select("node", (F.col("raw") / length).alias("score"))
+        scores = scores.localCheckpoint(eager=True)
+        it += 1
+        if abs(length - old_length) <= tol * max(abs(length), abs(old_length), 1.0):
+            converged = True
+            break
+    e.unpersist()
+    # sign fix (EigenvectorCentrality.cpp:52-55): node 0's score < 0 -> abs
+    s0 = scores.orderBy("node").first()["score"]
+    if s0 < 0:
+        scores = scores.select("node", F.abs("score").alias("score"))
+    return ScoresResult(scores, it, converged)
+
+
+def katz_centrality(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    alpha: float | None = None,
+    beta: float = 1.0,
+    tol: float = 1e-8,
+    max_iterations: int = 500,
+    in_edges: bool = True,
+) -> ScoresResult:
+    nodes = nodes if nodes is not None else nodes_from_edges(edges)
+    e = (edges if in_edges else transpose(edges)).select("src", "dst", "weight").persist()
+    e.count()
+    if alpha is None:
+        # default alpha = 1/(1 + max out-degree) (KatzCentrality.cpp:15-17)
+        maxdeg = (
+            e.groupBy("src").count().agg(F.max("count")).first()[0] or 0
+        )
+        alpha = 1.0 / (1.0 + maxdeg)
+    scores = nodes.select(F.col("id").alias("node"), F.lit(1.0).alias("score"))
+    scores = scores.localCheckpoint(eager=True)
+    length, old_length = 0.0, float("inf")
+    it = 0
+    converged = False
+    while it < max_iterations:
+        old_length = length
+        msgs = _gather(
+            e, scores, F.sum(F.col("weight") * alpha * (1.0 + F.col("score")))
+        )
+        scores = (
+            nodes.select(F.col("id").alias("node"))
+            .join(msgs, "node", "left")
+            .select(
+                "node", (F.coalesce(F.col("m"), F.lit(0.0)) + beta).alias("score")
+            )
+            .localCheckpoint(eager=True)
+        )
+        length = (
+            scores.agg(F.sqrt(F.sum(F.col("score") * F.col("score")))).first()[0]
+            or 0.0
+        )
+        it += 1
+        if abs(length - old_length) <= tol * max(abs(length), abs(old_length), 1.0):
+            converged = True
+            break
+    e.unpersist()
+    final = scores.select("node", (F.col("score") / length).alias("score"))
+    return ScoresResult(final, it, converged)
+
+
+def eigenvector_fixed(
+    edges: DataFrame, nodes: DataFrame, iterations: int
+) -> DataFrame:
+    """Fixed-iteration power iteration (oracle-expressible)."""
+    scores = nodes.select(F.col("id").alias("node"), F.lit(1.0).alias("score"))
+    e = edges.select("src", "dst", "weight")
+    for _ in range(iterations):
+        msgs = _gather(e, scores, F.sum(F.col("weight") * F.col("score")))
+        raw = (
+            nodes.select(F.col("id").alias("node"))
+            .join(msgs, "node", "left")
+            .select("node", F.coalesce(F.col("m"), F.lit(0.0)).alias("raw"))
+            .localCheckpoint(eager=True)
+        )
+        length = raw.agg(F.sqrt(F.sum(F.col("raw") * F.col("raw")))).first()[0]
+        scores = raw.select("node", (F.col("raw") / length).alias("score"))
+    return scores

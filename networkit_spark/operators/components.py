@@ -49,7 +49,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from networkit_spark.graph import nodes_from_edges
-from networkit_spark.plans.iteration import SuperstepRunner
+from networkit_spark.plans.iteration import SuperstepRunner, aqe_disabled
 
 
 def _local_union_find(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -156,6 +156,11 @@ class ConnectedComponents:
         runner: SuperstepRunner | None = None,
         resume: bool = False,
     ) -> ComponentsResult:
+        spark = edges.sparkSession
+        with aqe_disabled(spark):
+            return self._run(edges, nodes, runner, resume)
+
+    def _run(self, edges, nodes, runner, resume):
         spark = edges.sparkSession
         runner = runner or SuperstepRunner(spark, run_id="components")
         nodes = nodes if nodes is not None else nodes_from_edges(edges)

@@ -1,0 +1,177 @@
+"""Distances: BFS / SSSP (Dijkstra-equivalent), multi-source, diameter bounds.
+
+Reference: ``cpp/distance/BFS.cpp:17`` (level-synchronous queue BFS),
+``Dijkstra.cpp:19`` (heap), ``APSP.cpp`` (n x SSSP), ``Diameter.cpp:22-32``
+(exact + iFub estimate), ``Eccentricity.cpp``. Python
+``networkit/distance.pyx`` (SSSP base :171, BFS :45ff).
+
+Distributed form: **frontier relaxation rounds** (delta/Bellman-Ford style):
+
+    dist(u) <- min(dist(u), min_{v->u} dist(v) + w(v,u))
+
+- Unweighted BFS: the frontier is exactly the newly-settled level, so each
+  round shuffles only frontier-adjacent edges (semi-join on the frontier) —
+  the classic Pregel BFS; #rounds = eccentricity of the source.
+- Weighted (Dijkstra equivalent): same relaxation but a settled distance can
+  improve; rounds continue until no improvement (Bellman-Ford convergence;
+  correct for non-negative weights, and for negative edges too as long as
+  no negative cycle — strictly more general than Dijkstra).
+- Multi-source: a ``source`` column rides along (dist table keyed by
+  (source, node)) — n_sources BFS's in one job, the idiomatic Spark answer
+  to the reference's per-source loops (APSP/closeness/eccentricity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import nodes_from_edges
+
+
+def bfs_distances(
+    edges: DataFrame,
+    source: int,
+    nodes: DataFrame | None = None,
+    max_rounds: int = 10_000,
+) -> DataFrame:
+    """(node, dist) hop counts from source; unreached nodes omitted.
+    Ref: ``BFS.cpp:17`` semantics (follows out-edges as stored; symmetrize
+    for undirected)."""
+    spark = edges.sparkSession
+    e = edges.select("src", "dst").persist()
+    e.count()
+    dist = spark.createDataFrame([(source, 0)], "node long, dist long")
+    frontier = dist
+    for _ in range(max_rounds):
+        nxt = (
+            e.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .join(dist.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == 0:
+            break
+        dist = dist.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    e.unpersist()
+    return dist
+
+
+def sssp_distances(
+    edges: DataFrame,
+    source: int,
+    max_rounds: int = 10_000,
+) -> DataFrame:
+    """Weighted single-source shortest paths by relaxation rounds
+    (Dijkstra-equivalent results for non-negative weights; ``Dijkstra.cpp:19``)."""
+    spark = edges.sparkSession
+    e = edges.select("src", "dst", "weight").persist()
+    e.count()
+    dist = spark.createDataFrame([(source, 0.0)], "node long, dist double")
+    frontier = dist
+    for _ in range(max_rounds):
+        cand = (
+            e.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"), (F.col("dist") + F.col("weight")).alias("nd")
+            )
+            .groupBy("node")
+            .agg(F.min("nd").alias("nd"))
+        )
+        merged = (
+            dist.join(cand, "node", "full")
+            .select(
+                "node",
+                F.least(
+                    F.coalesce(F.col("dist"), F.lit(float("inf"))),
+                    F.coalesce(F.col("nd"), F.lit(float("inf"))),
+                ).alias("dist"),
+                F.col("dist").alias("old"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        frontier = merged.filter(
+            F.col("old").isNull() | (F.col("dist") < F.col("old"))
+        ).select("node", "dist")
+        dist = merged.select("node", "dist")
+        if frontier.count() == 0:
+            break
+    e.unpersist()
+    return dist
+
+
+def multi_source_bfs(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_rounds: int = 10_000,
+) -> DataFrame:
+    """(source, node, dist) for every source in ``sources(id)`` at once."""
+    e = edges.select("src", "dst").persist()
+    e.count()
+    dist = sources.select(
+        F.col("id").alias("source"), F.col("id").alias("node"), F.lit(0).cast("long").alias("dist")
+    ).localCheckpoint(eager=True)
+    frontier = dist
+    for _ in range(max_rounds):
+        nxt = (
+            e.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select("source", F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+            .groupBy("source", "node")
+            .agg(F.min("dist").alias("dist"))
+            .join(dist.select("source", "node"), ["source", "node"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == 0:
+            break
+        dist = dist.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    e.unpersist()
+    return dist
+
+
+def eccentricity(edges: DataFrame, source: int) -> tuple[int, int]:
+    """(farthest_node, ecc). Ref: ``Eccentricity.cpp`` getValue."""
+    d = bfs_distances(edges, source)
+    row = d.orderBy(F.desc("dist"), F.asc("node")).first()
+    return int(row["node"]), int(row["dist"])
+
+
+def diameter_double_sweep(edges: DataFrame, start: int = 0) -> int:
+    """Lower bound on diameter by double-sweep BFS (the standard iFub seed,
+    ``Diameter.cpp`` estimatedRange's building block)."""
+    far, _ = eccentricity(edges, start)
+    _, ecc = eccentricity(edges, far)
+    return ecc
+
+
+def bfs_fixed(edges: DataFrame, nodes: DataFrame, source: int, rounds: int) -> DataFrame:
+    """Fixed-round min-dist propagation (oracle-expressible): after r rounds,
+    dist = BFS level for all nodes within r hops, NULL-free total table with
+    unreached = -1 (so schemas stay stable)."""
+    big = F.lit(1 << 40)
+    dist = nodes.select(
+        F.col("id").alias("node"),
+        F.when(F.col("id") == source, F.lit(0)).otherwise(big).alias("dist"),
+    )
+    e = edges.select("src", "dst")
+    for _ in range(rounds):
+        cand = (
+            e.join(dist.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("nd"))
+            .groupBy("node")
+            .agg(F.min("nd").alias("nd"))
+        )
+        dist = (
+            dist.join(cand, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("dist"), F.coalesce(F.col("nd"), F.col("dist"))).alias("dist"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return dist.select(
+        "node", F.when(F.col("dist") >= big, F.lit(-1)).otherwise(F.col("dist")).cast("long").alias("dist")
+    )

@@ -1,0 +1,116 @@
+"""Link prediction indices — pure join/agg family.
+
+Reference: ``networkit/linkprediction.pyx:32-941`` + ``cpp/linkprediction/``
+(16 files). Each index scores a node pair (u, v); the reference evaluates
+explicit pairs, we compute either (a) scores for a caller-provided pairs
+DataFrame or (b) all wedge-connected pairs (the candidate set every
+neighbor-based index is nonzero on).
+
+Formulas (pyx lines):
+- CommonNeighborsIndex (:170):   |N(u) ∩ N(v)|
+- JaccardIndex (:221):           |∩| / |∪|
+- AdamicAdarIndex (:247):        sum_{w in ∩} 1/ln(deg(w))
+- ResourceAllocationIndex (:496):sum_{w in ∩} 1/deg(w)
+- PreferentialAttachment (:194): deg(u) * deg(v)
+- TotalNeighbors (:394):         |N(u) ∪ N(v)|
+- NeighborsMeasure (:421):       |N(u) ∩ N(v)| (on directed: forward wedge)
+- UDegreeIndex / VDegreeIndex (:274,:298): deg(u) / deg(v)
+- SameCommunityIndex (:448):     1 if same community else 0
+
+The wedge join ``E ⋈ E on shared middle node`` is the one shuffle; hub
+middles are the skew risk — the candidate enumeration therefore excludes
+middles above ``max_middle_degree`` when set (the standard web-scale guard:
+a 10^6-degree hub contributes 10^12 pairs and ~0 information).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _degrees(und_edges: DataFrame) -> DataFrame:
+    return und_edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))
+
+
+def wedge_pairs(
+    und_edges: DataFrame, max_middle_degree: int | None = None
+) -> DataFrame:
+    """(u, v, cn, aa, ra): all pairs u<v sharing >=1 neighbor, with common-
+    neighbor count and the AA / RA partial sums computed in the same agg."""
+    e = und_edges.select("src", "dst")
+    deg = _degrees(und_edges)
+    mid = e.join(deg.withColumnRenamed("node", "src"), "src")
+    if max_middle_degree is not None:
+        mid = mid.filter(F.col("deg") <= max_middle_degree)
+    a = mid.select(F.col("src").alias("w"), F.col("dst").alias("u"), F.col("deg").alias("wdeg"))
+    b = mid.select(F.col("src").alias("w"), F.col("dst").alias("v"))
+    return (
+        a.join(b, "w")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(
+            F.count("*").alias("cn"),
+            F.sum(1.0 / F.log("wdeg")).alias("aa"),
+            F.sum(1.0 / F.col("wdeg")).alias("ra"),
+        )
+    )
+
+
+def link_prediction_scores(
+    und_edges: DataFrame,
+    pairs: DataFrame | None = None,
+    max_middle_degree: int | None = None,
+) -> DataFrame:
+    """(u, v, cn, jaccard, aa, ra, pa, total_neighbors, u_deg, v_deg) for the
+    candidate pairs (or the given ``pairs(u, v)``)."""
+    wp = wedge_pairs(und_edges, max_middle_degree)
+    if pairs is not None:
+        wp = pairs.select("u", "v").join(wp, ["u", "v"], "left").fillna(
+            {"cn": 0, "aa": 0.0, "ra": 0.0}
+        )
+    deg = _degrees(und_edges)
+    out = (
+        wp.join(deg.select(F.col("node").alias("u"), F.col("deg").alias("u_deg")), "u", "left")
+        .join(deg.select(F.col("node").alias("v"), F.col("deg").alias("v_deg")), "v", "left")
+        .fillna({"u_deg": 0, "v_deg": 0})
+    )
+    union_size = F.col("u_deg") + F.col("v_deg") - F.col("cn")
+    return out.select(
+        "u",
+        "v",
+        "cn",
+        F.when(union_size > 0, F.col("cn") / union_size).otherwise(0.0).alias("jaccard"),
+        "aa",
+        "ra",
+        (F.col("u_deg") * F.col("v_deg")).cast("long").alias("pa"),
+        union_size.cast("long").alias("total_neighbors"),
+        "u_deg",
+        "v_deg",
+    )
+
+
+def missing_links(
+    und_edges: DataFrame, scores: DataFrame, k: int | None = None
+) -> DataFrame:
+    """Candidate pairs NOT already edges, ranked by common neighbors.
+    Ref: ``MissingLinksFinder`` (:730) + ``PredictionsSorter`` (:941)."""
+    existing = und_edges.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    )
+    out = scores.join(existing, ["u", "v"], "left_anti").orderBy(
+        F.desc("cn"), F.asc("u"), F.asc("v")
+    )
+    return out.limit(k) if k else out
+
+
+def random_link_sample(und_edges: DataFrame, fraction: float, seed: int = 42):
+    """Train/test split of undirected edges (RandomLinkSampler :522):
+    returns (train_edges_symmetrized, held_out_pairs)."""
+    canon = und_edges.filter(F.col("src") < F.col("dst"))
+    held = canon.sample(fraction=fraction, seed=seed)
+    train = canon.join(held, ["src", "dst"], "left_anti")
+    train_sym = train.union(
+        train.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    )
+    return train_sym, held.select(F.col("src").alias("u"), F.col("dst").alias("v"))

@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from networkit_spark.graph import nodes_from_edges, transpose
-from networkit_spark.plans.iteration import SuperstepRunner
+from networkit_spark.plans.iteration import SuperstepRunner, aqe_disabled
 
 NO_SINK_HANDLING = "none"
 DISTRIBUTE_SINKS = "distribute"
@@ -94,6 +94,11 @@ class PageRank:
     ) -> PageRankResult:
         """``edges(src, dst, weight)`` directed as stored; undirected input
         must already be symmetrized (both directions present)."""
+        spark = edges.sparkSession
+        with aqe_disabled(spark):
+            return self._run(edges, nodes, directed, runner, resume, shuffle_partitions)
+
+    def _run(self, edges, nodes, directed, runner, resume, shuffle_partitions):
         spark = edges.sparkSession
         runner = runner or SuperstepRunner(spark, run_id="pagerank")
         nodes = nodes if nodes is not None else nodes_from_edges(edges)
@@ -158,6 +163,10 @@ class PageRank:
         # no extra join — the analog of parallelSumForNodes (PageRank.cpp:59).
         def step_final(state: DataFrame, i: int):
             new, info = step(state, i)
+            if self.tol <= 0:
+                # pure throughput mode (bench/scaling): no convergence probe,
+                # maxIterations governs — saves one scalar agg per superstep
+                return new.select("node", "score"), info
             new = new.localCheckpoint(eager=True)
             delta = (
                 new.agg(
@@ -172,7 +181,7 @@ class PageRank:
         res = runner.run(
             init,
             step_final,
-            converged_fn=lambda info: info["delta"] <= self.tol,
+            converged_fn=lambda info: self.tol > 0 and info["delta"] <= self.tol,
             max_iterations=self.max_iterations,
             resume=resume,
         )

@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from networkit_spark.graph import nodes_from_edges
-from networkit_spark.plans.iteration import SuperstepRunner
+from networkit_spark.plans.iteration import SuperstepRunner, aqe_disabled
 
 
 @dataclass
@@ -86,6 +86,11 @@ class PLP:
         resume: bool = False,
     ) -> PLPResult:
         """``edges`` must be symmetrized (undirected graph, both directions)."""
+        spark = edges.sparkSession
+        with aqe_disabled(spark):
+            return self._run(edges, nodes, base_clustering, runner, resume)
+
+    def _run(self, edges, nodes, base_clustering, runner, resume):
         spark = edges.sparkSession
         runner = runner or SuperstepRunner(spark, run_id="plp")
         nodes = nodes if nodes is not None else nodes_from_edges(edges)

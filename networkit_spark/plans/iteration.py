@@ -32,9 +32,31 @@ import os
 import shutil
 import time
 from collections.abc import Callable
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
+
+
+@contextmanager
+def aqe_disabled(spark):
+    """Disable AQE for an iterative kernel's *entire* run — including the
+    one-time persist of loop-invariant inputs.
+
+    Two measured effects at local[32], 15M edges (see BENCH/BASELINE.md):
+    (a) AQE re-plans every superstep's fixed-shape query (~2-3s serial driver
+    time each); (b) a loop-invariant table persisted under AQE carries an
+    adaptive cached plan whose runtime-coalesced partitioning forces a
+    re-shuffle of the big side in every subsequent superstep join (~2x
+    superstep cost even with AQE off in the loop). Iterative kernels handle
+    skew structurally (orientation, salting, partial aggregation), so AQE
+    buys nothing inside the loop; it is restored for one-shot queries."""
+    before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", before)
 
 
 @dataclass
@@ -128,6 +150,13 @@ class SuperstepRunner:
             if self.use_local_checkpoint:
                 state = state.localCheckpoint(eager=True)
 
+        # Iterative loops run with AQE off (see aqe_disabled). Kernels that
+        # persist loop-invariant inputs should wrap their WHOLE run in
+        # aqe_disabled; this inner guard covers direct runner users.
+        with aqe_disabled(self.spark):
+            return self._loop(state, step_fn, converged_fn, max_iterations, start_iter)
+
+    def _loop(self, state, step_fn, converged_fn, max_iterations, start_iter):
         metrics: list[dict] = []
         converged = False
         i = start_iter
