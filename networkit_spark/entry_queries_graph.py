@@ -272,3 +272,236 @@ def q_modularity_plp(spark, sf_dir):
     labels = plp_fixed(e, nodes_range(spark, n), iterations=PLP_ITERS)
     q = modularity(e, labels)
     return e.sparkSession.createDataFrame([(round(q, 7),)], "q double")
+
+
+# ---------------------------------------------------------------------------
+# Centrality family (SURVEY §2.7): degree / eigenvector / Katz
+# ---------------------------------------------------------------------------
+
+from networkit_spark.operators.centrality import (  # noqa: E402
+    degree_centrality,
+    eigenvector_fixed,
+    katz_fixed,
+)
+from networkit_spark.operators.distance import bfs_fixed  # noqa: E402
+from networkit_spark.operators.kcore import coreness_fixed, k_core  # noqa: E402
+from networkit_spark.operators.linkprediction import link_prediction_scores  # noqa: E402
+
+
+@register(
+    "degree_centrality_normalized",
+    f"""
+WITH {UEDGES_CTE},
+nn2 AS (SELECT count(*) AS n FROM documents),
+deg AS (SELECT src AS node, count(*) AS d FROM uedges GROUP BY src)
+SELECT dd.doc_id AS node,
+       round(coalesce(deg.d, 0)::DOUBLE / (nn2.n - 1), 7) AS score
+FROM documents dd CROSS JOIN nn2 LEFT JOIN deg ON dd.doc_id = deg.node
+""",
+)
+def q_degree_centrality_normalized(spark, sf_dir):
+    """DegreeCentrality.cpp:16-56 — normalized by theoretical max n-1."""
+    n = _n_docs(spark, sf_dir)
+    e = doc_edges_undirected(spark, sf_dir)
+    out = degree_centrality(e, nodes_range(spark, n), normalized=True)
+    return out.select("node", F.round("score", 7).alias("score"))
+
+
+def _eigenvector_oracle_sql(iterations: int) -> str:
+    parts = [
+        f"WITH {UEDGES_CTE}",
+        ", nodes AS (SELECT doc_id AS node FROM documents)",
+        ", s0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS score FROM nodes)",
+    ]
+    for k in range(1, iterations + 1):
+        prev = f"s{k - 1}"
+        parts.append(
+            f", r{k} AS MATERIALIZED ("
+            f" SELECT n.node, coalesce(t.m, CAST(0.0 AS DOUBLE)) AS raw"
+            f" FROM nodes n LEFT JOIN ("
+            f"   SELECT e.dst, sum(e.weight * p.score) AS m"
+            f"   FROM uedges e JOIN {prev} p ON e.src = p.node GROUP BY e.dst"
+            f" ) t ON n.node = t.dst)"
+            f", s{k} AS MATERIALIZED ("
+            f" SELECT node, raw / (SELECT sqrt(sum(raw*raw)) FROM r{k}) AS score FROM r{k})"
+        )
+    parts.append(f"SELECT node, round(score, 7) AS score FROM s{iterations}")
+    return "\n".join(parts)
+
+
+@register("eigenvector_fixed10", _eigenvector_oracle_sql(10))
+def q_eigenvector_fixed10(spark, sf_dir):
+    """EigenvectorCentrality.cpp:18-56 — power iteration, per-step L2 norm."""
+    n = _n_docs(spark, sf_dir)
+    e = doc_edges_undirected(spark, sf_dir)
+    out = eigenvector_fixed(e, nodes_range(spark, n), iterations=10)
+    return out.select("node", F.round("score", 7).alias("score"))
+
+
+KATZ_ALPHA = 0.05
+KATZ_BETA = 1.0
+
+
+def _katz_oracle_sql(iterations: int) -> str:
+    parts = [
+        f"WITH {UEDGES_CTE}",
+        ", nodes AS (SELECT doc_id AS node FROM documents)",
+        ", s0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS score FROM nodes)",
+    ]
+    for k in range(1, iterations + 1):
+        prev = f"s{k - 1}"
+        parts.append(
+            f", s{k} AS MATERIALIZED ("
+            f" SELECT n.node, coalesce(t.m, CAST(0.0 AS DOUBLE)) + {KATZ_BETA} AS score"
+            f" FROM nodes n LEFT JOIN ("
+            f"   SELECT e.dst, sum(e.weight * {KATZ_ALPHA} * (1.0 + p.score)) AS m"
+            f"   FROM uedges e JOIN {prev} p ON e.src = p.node GROUP BY e.dst"
+            f" ) t ON n.node = t.dst)"
+        )
+    last = f"s{iterations}"
+    parts.append(
+        f"SELECT node, round(score / (SELECT sqrt(sum(score*score)) FROM {last}), 7) AS score"
+        f" FROM {last}"
+    )
+    return "\n".join(parts)
+
+
+@register("katz_fixed10", _katz_oracle_sql(10))
+def q_katz_fixed10(spark, sf_dir):
+    """KatzCentrality.cpp:26-77 — beta + alpha*sum_in w*(1+score); end-normalized."""
+    n = _n_docs(spark, sf_dir)
+    e = doc_edges_undirected(spark, sf_dir)
+    out = katz_fixed(e, nodes_range(spark, n), iterations=10, alpha=KATZ_ALPHA, beta=KATZ_BETA)
+    return out.select("node", F.round("score", 7).alias("score"))
+
+
+# ---------------------------------------------------------------------------
+# k-core / coreness (SURVEY §2.7 CoreDecomposition)
+# ---------------------------------------------------------------------------
+
+def _coreness_oracle_sql(iterations: int) -> str:
+    parts = [
+        f"WITH {UEDGES_CTE}",
+        ", nodes AS (SELECT doc_id AS node FROM documents)",
+        ", c0 AS (SELECT n.node, coalesce(d.d, 0) AS c FROM nodes n LEFT JOIN"
+        "   (SELECT src AS node, count(*) AS d FROM uedges GROUP BY src) d ON n.node = d.node)",
+    ]
+    for k in range(1, iterations + 1):
+        prev = f"c{k - 1}"
+        parts.append(
+            f", c{k} AS MATERIALIZED ("
+            f" SELECT n.node, coalesce(t.h, 0) AS c"
+            f" FROM nodes n LEFT JOIN ("
+            f"   SELECT node, max(rk) AS h FROM ("
+            f"     SELECT e.dst AS node, p.c AS cv,"
+            f"            row_number() OVER (PARTITION BY e.dst ORDER BY p.c DESC) AS rk"
+            f"     FROM uedges e JOIN {prev} p ON e.src = p.node"
+            f"   ) WHERE cv >= rk GROUP BY node"
+            f" ) t ON n.node = t.node)"
+        )
+    parts.append(f"SELECT node, CAST(c AS BIGINT) AS core FROM c{iterations}")
+    return "\n".join(parts)
+
+
+@register("coreness_fixed8", _coreness_oracle_sql(8))
+def q_coreness_fixed8(spark, sf_dir):
+    """CoreDecomposition analog via h-index iteration (8 rounds; pytest
+    asserts the fixed point equals iterated peeling)."""
+    n = _n_docs(spark, sf_dir)
+    e = doc_edges_undirected(spark, sf_dir)
+    return coreness_fixed(e, nodes_range(spark, n), iterations=8)
+
+
+def _kcore_oracle_sql(k: int, rounds: int) -> str:
+    parts = [f"WITH {UEDGES_CTE}", ", e0 AS (SELECT src, dst FROM uedges)"]
+    for r in range(1, rounds + 1):
+        prev = f"e{r - 1}"
+        parts.append(
+            f", k{r} AS MATERIALIZED (SELECT src AS node FROM {prev} GROUP BY src HAVING count(*) >= {k})"
+            f", e{r} AS MATERIALIZED ("
+            f" SELECT e.src, e.dst FROM {prev} e"
+            f" JOIN k{r} a ON e.src = a.node JOIN k{r} b ON e.dst = b.node)"
+        )
+    parts.append(f"SELECT src, dst FROM e{rounds}")
+    return "\n".join(parts)
+
+
+@register("kcore3_edges", _kcore_oracle_sql(3, 8))
+def q_kcore3_edges(spark, sf_dir):
+    e = doc_edges_undirected(spark, sf_dir)
+    return k_core(e, 3, max_rounds=8).select("src", "dst")
+
+
+# ---------------------------------------------------------------------------
+# BFS (SURVEY §2.7 distance)
+# ---------------------------------------------------------------------------
+
+def _bfs_oracle_sql(source: int, rounds: int) -> str:
+    big = 1 << 40
+    parts = [
+        f"WITH {UEDGES_CTE}",
+        f", d0 AS (SELECT doc_id AS node, CASE WHEN doc_id = {source} THEN 0 ELSE {big} END AS dist FROM documents)",
+    ]
+    for k in range(1, rounds + 1):
+        prev = f"d{k - 1}"
+        parts.append(
+            f", d{k} AS MATERIALIZED ("
+            f" SELECT n.node, least(n.dist, coalesce(t.nd, n.dist)) AS dist"
+            f" FROM {prev} n LEFT JOIN ("
+            f"   SELECT e.dst AS node, min(p.dist + 1) AS nd"
+            f"   FROM uedges e JOIN {prev} p ON e.src = p.node GROUP BY e.dst"
+            f" ) t ON n.node = t.node)"
+        )
+    parts.append(
+        f"SELECT node, CAST(CASE WHEN dist >= {big} THEN -1 ELSE dist END AS BIGINT) AS dist"
+        f" FROM d{rounds}"
+    )
+    return "\n".join(parts)
+
+
+@register("bfs_from0_fixed10", _bfs_oracle_sql(0, 10))
+def q_bfs_from0_fixed10(spark, sf_dir):
+    """BFS.cpp level-synchronous semantics, 10 fixed rounds, unreached=-1."""
+    n = _n_docs(spark, sf_dir)
+    e = doc_edges_undirected(spark, sf_dir)
+    return bfs_fixed(e, nodes_range(spark, n), source=0, rounds=10)
+
+
+# ---------------------------------------------------------------------------
+# Link prediction (SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+@register(
+    "link_prediction",
+    f"""
+WITH {UEDGES_CTE},
+deg AS (SELECT src AS node, count(*) AS deg FROM uedges GROUP BY src),
+wp AS (
+  SELECT a.dst AS u, b.dst AS v,
+         count(*) AS cn,
+         sum(1.0 / ln(d.deg)) AS aa,
+         sum(1.0 / d.deg) AS ra
+  FROM uedges a
+  JOIN uedges b ON a.src = b.src AND a.dst < b.dst
+  JOIN deg d ON a.src = d.node
+  GROUP BY 1, 2
+)
+SELECT wp.u, wp.v, CAST(wp.cn AS BIGINT) AS cn,
+       round(wp.cn::DOUBLE / (du.deg + dv.deg - wp.cn), 7) AS jaccard,
+       round(wp.aa, 7) AS aa, round(wp.ra, 7) AS ra,
+       CAST(du.deg * dv.deg AS BIGINT) AS pa
+FROM wp JOIN deg du ON wp.u = du.node JOIN deg dv ON wp.v = dv.node
+""",
+)
+def q_link_prediction(spark, sf_dir):
+    """CN/Jaccard/AA/RA/PA over all wedge-connected pairs
+    (linkprediction.pyx formulas; one fused wedge join)."""
+    e = doc_edges_undirected(spark, sf_dir)
+    out = link_prediction_scores(e)
+    return out.select(
+        "u", "v", "cn",
+        F.round("jaccard", 7).alias("jaccard"),
+        F.round("aa", 7).alias("aa"),
+        F.round("ra", 7).alias("ra"),
+        "pa",
+    )

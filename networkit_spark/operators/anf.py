@@ -1,0 +1,169 @@
+"""ANF — approximate neighborhood function / effective diameter.
+
+Reference: ``cpp/distance/EffectiveDiameterApproximation.cpp`` (defaults
+``k=64, r=7``, header :37): per node, k Flajolet-Martin bitmasks, one bit set
+at geometric position at init; each hop ORs every node's masks with its
+neighbors' (``mCurr[v][j] |= mPrev[u][j]``); estimated reachable count =
+``2^(mean lowest-unset-bit) / 0.77351``; effective diameter = hops until the
+estimate reaches ``ratio * n``. Also ``NeighborhoodFunction(Approximation)``
+and ``HopPlotApproximation`` — all the same loop, different readouts.
+
+Differences from the reference (documented, deliberate):
+- init is hash-deterministic (trailing zeros of ``xxhash64(node, j)``)
+  instead of ``Aux::Random`` — reproducible under any parallelism; the
+  estimator's distribution is identical (geometric(1/2) positions);
+- per-hop state is k long columns aggregated with ``bit_or`` — the OR-gather
+  is exactly the PageRank message shuffle with a different combiner, so the
+  same one-shuffle-per-superstep profile; works on any number of components
+  (the reference throws on more than one).
+
+The exact twin (:func:`effective_diameter_exact`) runs multi-source BFS —
+usable on small graphs and as the test oracle.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import nodes_from_edges
+from networkit_spark.plans.iteration import aqe_disabled
+
+CORRECTION = 0.77351
+
+
+def _init_masks(nodes: DataFrame, k: int, n_bits: int) -> DataFrame:
+    """mask_j(u): one bit at position = trailing zeros of xxhash64(u, j),
+    capped at n_bits (bit dropped beyond, like the reference's cap)."""
+    cap = 1 << (n_bits - 1)
+    cols = []
+    for j in range(k):
+        h = F.xxhash64(F.col("id"), F.lit(j))
+        # h & -h isolates the lowest set bit == 2^(trailing zeros); trailing
+        # zeros of a uniform hash are geometric(1/2) — the FM init position.
+        low = h.bitwiseAND(-h)
+        cols.append(
+            F.when((h != 0) & (low > 0) & (low <= F.lit(cap)), low)
+            .otherwise(F.lit(0).cast("long"))
+            .alias(f"m{j}")
+        )
+    return nodes.select(F.col("id").alias("node"), *cols)
+
+
+def _estimate(masks: DataFrame, k: int) -> F.Column:
+    """Per-row estimated reachable count: 2^(mean lowest-zero-bit)/0.77351."""
+    lows = []
+    for j in range(k):
+        m = F.col(f"m{j}")
+        # lowest zero bit index: trailing ones count = bit_count(m & ~(m+1))
+        # (Column.__invert__ is logical NOT — must use bitwise_not for ints)
+        lows.append(
+            F.bit_count(
+                m.bitwiseAND(F.bitwise_not(m + F.lit(1).cast("long")))
+            ).cast("double")
+        )
+    mean_b = sum(lows) / F.lit(float(k))
+    return F.pow(F.lit(2.0), mean_b) / CORRECTION
+
+
+def neighborhood_function_approx(
+    und_edges: DataFrame,
+    nodes: DataFrame | None = None,
+    k: int = 32,
+    r: int = 7,
+    max_h: int = 64,
+) -> list[tuple[int, float]]:
+    """[(h, estimated #pairs within h hops)] until saturation.
+
+    Ref: ``NeighborhoodFunctionApproximation`` — the global readout
+    (sum of per-node estimates) per hop.
+    """
+    spark = und_edges.sparkSession
+    with aqe_disabled(spark):
+        nodes = nodes if nodes is not None else nodes_from_edges(und_edges)
+        n = nodes.count()
+        n_bits = min(62, int(math.ceil(math.log2(max(2, n)))) + r)
+        e = und_edges.select("src", "dst").persist()
+        e.count()
+        masks = _init_masks(nodes, k, n_bits).localCheckpoint(eager=True)
+        out: list[tuple[int, float]] = []
+        prev_sum = None
+        for h in range(1, max_h + 1):
+            nbr = (
+                e.join(masks.withColumnRenamed("node", "src"), "src")
+                .groupBy(F.col("dst").alias("node"))
+                .agg(*[F.bit_or(f"m{j}").alias(f"n{j}") for j in range(k)])
+            )
+            masks = (
+                masks.join(nbr, "node", "left")
+                .select(
+                    "node",
+                    *[
+                        F.coalesce(
+                            F.col(f"m{j}").bitwiseOR(F.col(f"n{j}")), F.col(f"m{j}")
+                        ).alias(f"m{j}")
+                        for j in range(k)
+                    ],
+                )
+                .localCheckpoint(eager=True)
+            )
+            est = masks.select(_estimate(masks, k).alias("e")).agg(F.sum("e")).first()[0]
+            out.append((h, float(est)))
+            if prev_sum is not None and abs(est - prev_sum) < 1e-9:
+                break  # saturated: all masks stable
+            prev_sum = est
+        e.unpersist()
+        return out
+
+
+def effective_diameter_approx(
+    und_edges: DataFrame,
+    nodes: DataFrame | None = None,
+    ratio: float = 0.9,
+    k: int = 32,
+    r: int = 7,
+    max_h: int = 64,
+) -> float:
+    """Smallest h where the estimated reachable-pair count reaches ``ratio``
+    of its saturated value, linearly interpolated between hops (the standard
+    ANF effective-diameter readout)."""
+    nf = neighborhood_function_approx(und_edges, nodes, k, r, max_h)
+    total = nf[-1][1]
+    target = ratio * total
+    prev_h, prev_v = 0, 0.0
+    for h, v in nf:
+        if v >= target:
+            if v == prev_v:
+                return float(h)
+            return prev_h + (target - prev_v) / (v - prev_v)
+        prev_h, prev_v = h, v
+    return float(nf[-1][0])
+
+
+def effective_diameter_exact(
+    und_edges: DataFrame, nodes: DataFrame | None = None, ratio: float = 0.9
+) -> float:
+    """Exact readout via multi-source BFS (test oracle; ``EffectiveDiameter``
+    exact variant in the reference). O(n * m) — small graphs only."""
+    from networkit_spark.operators.distance import multi_source_bfs
+
+    nodes = nodes if nodes is not None else nodes_from_edges(und_edges)
+    dists = multi_source_bfs(und_edges, nodes)
+    counts = sorted(
+        (r["dist"], r["cnt"])
+        for r in dists.groupBy("dist").agg(F.count("*").alias("cnt")).collect()
+    )
+    total = sum(c for _, c in counts)
+    target = ratio * total
+    acc = 0
+    prev_h, prev_acc = 0, 0
+    for h, c in counts:
+        acc += c
+        if acc >= target:
+            if acc == prev_acc:
+                return float(h)
+            return prev_h + (target - prev_acc) / (acc - prev_acc) * (h - prev_h)
+        prev_h, prev_acc = h, acc
+    return float(counts[-1][0]) if counts else 0.0

@@ -165,6 +165,34 @@ def katz_centrality(
     return ScoresResult(final, it, converged)
 
 
+def katz_fixed(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iterations: int,
+    alpha: float | None = None,
+    beta: float = 1.0,
+) -> DataFrame:
+    """Fixed-iteration Katz (oracle-expressible); L2-normalized at the end
+    only, matching the reference's post-loop normalization."""
+    e = edges.select("src", "dst", "weight")
+    if alpha is None:
+        maxdeg = e.groupBy("src").count().agg(F.max("count")).first()[0] or 0
+        alpha = 1.0 / (1.0 + maxdeg)
+    scores = nodes.select(F.col("id").alias("node"), F.lit(1.0).alias("score"))
+    for _ in range(iterations):
+        msgs = _gather(
+            e, scores, F.sum(F.col("weight") * alpha * (1.0 + F.col("score")))
+        )
+        scores = (
+            nodes.select(F.col("id").alias("node"))
+            .join(msgs, "node", "left")
+            .select("node", (F.coalesce(F.col("m"), F.lit(0.0)) + beta).alias("score"))
+            .localCheckpoint(eager=True)
+        )
+    length = scores.agg(F.sqrt(F.sum(F.col("score") * F.col("score")))).first()[0]
+    return scores.select("node", (F.col("score") / length).alias("score"))
+
+
 def eigenvector_fixed(
     edges: DataFrame, nodes: DataFrame, iterations: int
 ) -> DataFrame:

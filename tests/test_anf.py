@@ -1,0 +1,41 @@
+from networkit_spark.graph import edges_df, nodes_range, symmetrize
+from networkit_spark.operators.anf import (
+    effective_diameter_approx,
+    effective_diameter_exact,
+    neighborhood_function_approx,
+)
+
+
+def path_graph(spark, n):
+    return symmetrize(edges_df(spark, [(i, i + 1) for i in range(n - 1)]))
+
+
+def test_nf_monotone_and_saturates(spark):
+    e = path_graph(spark, 10)
+    nf = neighborhood_function_approx(e, nodes_range(spark, 10), k=32)
+    vals = [v for _, v in nf]
+    assert all(b >= a - 1e-9 for a, b in zip(vals, vals[1:]))  # monotone
+    # saturates by diameter (9 hops) and stops early
+    assert nf[-1][0] <= 11
+
+
+def test_effective_diameter_exact_path(spark):
+    # path of 10: pairs within h hops known in closed form
+    e = path_graph(spark, 10)
+    d = effective_diameter_exact(e, nodes_range(spark, 10), ratio=1.0)
+    assert d == 9.0  # full diameter at ratio 1
+
+
+def test_effective_diameter_approx_tracks_exact(spark):
+    e = path_graph(spark, 16)
+    nodes = nodes_range(spark, 16)
+    exact = effective_diameter_exact(e, nodes, ratio=0.9)
+    approx = effective_diameter_approx(e, nodes, ratio=0.9, k=64)
+    # FM estimation error: within ~35% on a 16-node graph with k=64
+    assert abs(approx - exact) / exact < 0.35, (approx, exact)
+
+
+def test_clique_effective_diameter_one(spark):
+    e = symmetrize(edges_df(spark, [(a, b) for a in range(8) for b in range(a + 1, 8)]))
+    d = effective_diameter_approx(e, nodes_range(spark, 8), ratio=0.9, k=32)
+    assert d <= 1.5

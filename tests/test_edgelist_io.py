@@ -1,0 +1,90 @@
+from networkit_spark.sources.edgelist import (
+    guess_format,
+    read_edge_list,
+    read_konect,
+    read_metis,
+    read_partition,
+    read_snap,
+    write_edge_list,
+)
+
+
+def edges_set(df):
+    return {(r["src"], r["dst"], r["weight"]) for r in df.collect()}
+
+
+def test_read_edge_list_tab_zero(spark, tmp_path):
+    p = tmp_path / "g.el"
+    p.write_text("# comment\n0\t1\n1\t2\n2\t0\n")
+    nodes, edges = read_edge_list(spark, str(p), directed=True)
+    assert nodes.count() == 3
+    assert edges_set(edges) == {(0, 1, 1.0), (1, 2, 1.0), (2, 0, 1.0)}
+
+
+def test_read_edge_list_weighted_one_based(spark, tmp_path):
+    p = tmp_path / "g1.el"
+    p.write_text("1 2 2.5\n2 3 0.5\n")
+    _, edges = read_edge_list(spark, str(p), sep=" ", first_node=1, directed=True)
+    assert edges_set(edges) == {(0, 1, 2.5), (1, 2, 0.5)}
+
+
+def test_read_edge_list_string_ids(spark, tmp_path):
+    p = tmp_path / "gs.el"
+    p.write_text("alice\tbob\nbob\tcarol\n")
+    nodes, edges = read_edge_list(spark, str(p), continuous=False, directed=True)
+    m = {r["raw"]: r["id"] for r in nodes.collect()}
+    assert m == {"alice": 0, "bob": 1, "carol": 2}  # lexicographic dense rank
+    assert edges_set(edges) == {(0, 1, 1.0), (1, 2, 1.0)}
+
+
+def test_read_edge_list_undirected_symmetrizes(spark, tmp_path):
+    p = tmp_path / "gu.el"
+    p.write_text("0\t1\n")
+    _, edges = read_edge_list(spark, str(p), directed=False)
+    assert edges_set(edges) == {(0, 1, 1.0), (1, 0, 1.0)}
+
+
+def test_read_snap_and_konect(spark, tmp_path):
+    s = tmp_path / "wiki.txt"
+    s.write_text("# Directed graph\n# FromNodeId\tToNodeId\n0\t1\n1\t2\n")
+    _, es = read_snap(spark, str(s))
+    assert edges_set(es) == {(0, 1, 1.0), (1, 2, 1.0)}
+    k = tmp_path / "g.konect"
+    k.write_text("% sym unweighted\n1 2\n2 3\n")
+    _, ek = read_konect(spark, str(k), directed=True)
+    assert edges_set(ek) == {(0, 1, 1.0), (1, 2, 1.0)}
+
+
+def test_read_metis(spark, tmp_path):
+    # triangle 1-2-3 in METIS: header "3 3", line i lists neighbors of node i
+    p = tmp_path / "tri.graph"
+    p.write_text("3 3\n2 3\n1 3\n1 2\n")
+    nodes, edges = read_metis(spark, str(p))
+    assert nodes.count() == 3
+    assert edges_set(edges) == {
+        (0, 1, 1.0), (0, 2, 1.0), (1, 0, 1.0), (1, 2, 1.0), (2, 0, 1.0), (2, 1, 1.0)
+    }
+
+
+def test_write_read_roundtrip(spark, tmp_path):
+    from networkit_spark.graph import edges_df
+
+    e = edges_df(spark, [(0, 1, 1.5), (1, 2, 2.0)], weighted=True)
+    out = str(tmp_path / "out")
+    write_edge_list(e, out)
+    _, back = read_edge_list(spark, out, directed=True)
+    assert edges_set(back) == edges_set(e)
+
+
+def test_read_partition(spark, tmp_path):
+    p = tmp_path / "part.txt"
+    p.write_text("0\n0\n1\n")
+    labels = {r["node"]: r["label"] for r in read_partition(spark, str(p)).collect()}
+    assert labels == {0: 0, 1: 0, 2: 1}
+
+
+def test_guess_format():
+    assert guess_format("astro-ph.graph") == "metis"
+    assert guess_format("wiki-Vote.txt") == "snap"
+    assert guess_format("x.konect") == "konect"
+    assert guess_format("foo.edgelist") == "edgelist-tab-zero"
