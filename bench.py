@@ -176,6 +176,20 @@ def main():
     tri_wall = time.monotonic() - t
     queries["triangle_count"] = round(tri_wall, 3)
     tri_info = {"triangles": n_tri, "edges_per_sec": round(und.count() / 2 / tri_wall, 1)}
+
+    # CSR-block pandas kernel (north-star architecture variant) — same graph,
+    # 5 fixed supersteps, for comparison against the DataFrame kernel
+    from networkit_spark.operators.pagerank_csr import PageRankCSR
+
+    rcsr = PageRankCSR(tol=0.0, max_iterations=5, blocks=CPUS).run(
+        edges, nodes, directed=True
+    )
+    csr_walls = [x["wall_sec"] for x in rcsr.metrics][2:]
+    csr_mean = sum(csr_walls) / len(csr_walls)
+    csr_info = {
+        "mean_superstep_sec": round(csr_mean, 4),
+        "edges_per_sec_per_superstep": round(m / csr_mean, 1),
+    }
     spark.stop()
 
     # -- scaling evidence: N vs 4N cores, fixed supersteps ------------------
@@ -212,6 +226,7 @@ def main():
         "connected_components": cc_info,
         "plp": plp_info,
         "triangles": tri_info,
+        "pagerank_csr_kernel": csr_info,
         "scaling": scaling,
         "edges": m,
     }

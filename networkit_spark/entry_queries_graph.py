@@ -505,3 +505,171 @@ def q_link_prediction(spark, sf_dir):
         F.round("ra", 7).alias("ra"),
         "pa",
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph transforms (SURVEY §2.2 GraphTools) + assortativity + topo levels
+# ---------------------------------------------------------------------------
+
+from networkit_spark.graph import compact_node_ids, subgraph_from_nodes, transpose  # noqa: E402
+from networkit_spark.operators.correlation import degree_assortativity  # noqa: E402
+from networkit_spark.operators.plm import PLM  # noqa: E402
+from networkit_spark.operators.scc import strongly_connected_components  # noqa: E402
+from networkit_spark.operators.sparsification import (  # noqa: E402
+    global_threshold_filter,
+    local_degree_score,
+)
+from networkit_spark.testgraph import doc_edges  # noqa: E402
+
+
+@register(
+    "transpose_edges",
+    f"WITH {EDGES_CTE} SELECT dst AS src, src AS dst, CAST(weight AS DOUBLE) AS weight FROM edges"
+    if False else
+    f"WITH {UEDGES_CTE} SELECT e.dst AS src, e.src AS dst, CAST(e.weight AS DOUBLE) AS weight FROM edges e",
+)
+def q_transpose_edges(spark, sf_dir):
+    """GraphTools.cpp:344 transpose."""
+    return transpose(doc_edges(spark, sf_dir))
+
+
+@register(
+    "subgraph_nodes_lt100",
+    f"""
+WITH {UEDGES_CTE}
+SELECT e.src, e.dst, CAST(e.weight AS DOUBLE) AS weight
+FROM edges e WHERE e.src < 100 AND e.dst < 100
+""",
+)
+def q_subgraph_nodes_lt100(spark, sf_dir):
+    """GraphTools.cpp:260 subgraphFromNodes — double semi-join."""
+    e = doc_edges(spark, sf_dir)
+    keep = spark.range(100).select(F.col("id").cast("long").alias("id"))
+    return subgraph_from_nodes(e, keep)
+
+
+@register(
+    "compact_subgraph_ids",
+    f"""
+WITH {UEDGES_CTE},
+sub AS (SELECT src, dst, weight FROM edges WHERE src % 3 = 0 AND dst % 3 = 0),
+ids AS (SELECT DISTINCT src AS id FROM sub UNION SELECT DISTINCT dst FROM sub),
+dict AS (SELECT id, dense_rank() OVER (ORDER BY id) - 1 AS nid FROM ids)
+SELECT a.nid AS src, b.nid AS dst, CAST(s.weight AS DOUBLE) AS weight
+FROM sub s JOIN dict a ON s.src = a.id JOIN dict b ON s.dst = b.id
+""",
+)
+def q_compact_subgraph_ids(spark, sf_dir):
+    """getCompactedGraph/getContinuousNodeIds (GraphTools.cpp:424-439)."""
+    e = doc_edges(spark, sf_dir).filter((F.col("src") % 3 == 0) & (F.col("dst") % 3 == 0))
+    _, out = compact_node_ids(e)
+    return out
+
+
+@register(
+    "degree_assortativity",
+    f"""
+WITH {UEDGES_CTE},
+deg AS (SELECT src AS node, count(*) AS d FROM uedges GROUP BY src)
+SELECT round(corr(ds.d, dd.d), 7) AS r
+FROM uedges e JOIN deg ds ON e.src = ds.node JOIN deg dd ON e.dst = dd.node
+""",
+)
+def q_degree_assortativity(spark, sf_dir):
+    """Assortativity.cpp — Pearson correlation of endpoint degrees."""
+    e = doc_edges_undirected(spark, sf_dir)
+    r = degree_assortativity(e)
+    return spark.createDataFrame([(round(r, 7),)], "r double")
+
+
+def _topo_levels_sql(rounds: int) -> str:
+    parts = [
+        f"WITH {UEDGES_CTE}",
+        ", dag AS (SELECT src, dst FROM edges WHERE src < dst)",
+        ", t0 AS (SELECT doc_id AS node, 0 AS lvl FROM documents)",
+    ]
+    for k in range(1, rounds + 1):
+        prev = f"t{k - 1}"
+        parts.append(
+            f", t{k} AS MATERIALIZED ("
+            f" SELECT n.node, greatest(n.lvl, coalesce(t.ml, n.lvl)) AS lvl"
+            f" FROM {prev} n LEFT JOIN ("
+            f"   SELECT e.dst AS node, max(p.lvl + 1) AS ml"
+            f"   FROM dag e JOIN {prev} p ON e.src = p.node GROUP BY e.dst"
+            f" ) t ON n.node = t.node)"
+        )
+    parts.append(f"SELECT node, CAST(lvl AS BIGINT) AS lvl FROM t{rounds}")
+    return "\n".join(parts)
+
+
+@register("topological_levels", _topo_levels_sql(12))
+def q_topological_levels(spark, sf_dir):
+    """TopologicalSort analog, made deterministic: longest-path level per
+    node on the acyclic src<dst orientation (a valid topological key —
+    sorting by (lvl, node) is a topological order)."""
+    n = _n_docs(spark, sf_dir)
+    dag = doc_edges(spark, sf_dir).filter(F.col("src") < F.col("dst"))
+    lvl = nodes_range(spark, n).select(F.col("id").alias("node"), F.lit(0).alias("lvl"))
+    for _ in range(12):
+        cand = (
+            dag.join(lvl.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.max(F.col("lvl") + 1).alias("ml"))
+        )
+        lvl = (
+            lvl.join(cand, "node", "left")
+            .select(
+                "node",
+                F.greatest(F.col("lvl"), F.coalesce(F.col("ml"), F.col("lvl"))).alias("lvl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return lvl.select("node", F.col("lvl").cast("long").alias("lvl"))
+
+
+@register(
+    "local_degree_sparsify",
+    f"""
+WITH {UEDGES_CTE},
+deg AS (SELECT src AS node, count(*) AS d FROM uedges GROUP BY src),
+ranked AS (
+  SELECT e.src, e.dst, ds.d AS ds,
+         row_number() OVER (PARTITION BY e.src ORDER BY dd.d DESC, e.dst ASC) AS rk
+  FROM uedges e JOIN deg ds ON e.src = ds.node JOIN deg dd ON e.dst = dd.node
+),
+dscore AS (
+  SELECT src, dst,
+         CASE WHEN ds > 1 THEN 1.0 - ln(rk) / ln(ds) ELSE 1.0 END AS s
+  FROM ranked
+),
+escore AS (
+  SELECT least(src, dst) AS src, greatest(src, dst) AS dst, max(s) AS score
+  FROM dscore GROUP BY 1, 2
+),
+keep AS (SELECT src, dst FROM escore WHERE score >= 0.5)
+SELECT u.src, u.dst, CAST(u.weight AS DOUBLE) AS weight
+FROM uedges u
+JOIN keep k ON least(u.src, u.dst) = k.src AND greatest(u.src, u.dst) = k.dst
+""",
+)
+def q_local_degree_sparsify(spark, sf_dir):
+    """LocalDegreeScore + GlobalThresholdFilter(0.5) backbone."""
+    e = doc_edges_undirected(spark, sf_dir)
+    scores = local_degree_score(e)
+    return global_threshold_filter(e, scores, 0.5)
+
+
+@register("plm_communities")  # multi-level heuristic -> rows-only check
+def q_plm_communities(spark, sf_dir):
+    """Capped PLM (2 levels, 6 sweeps each) — representative gate variant;
+    full-depth PLM is exercised by pytest on planted-community fixtures."""
+    n = _n_docs(spark, sf_dir)
+    e = doc_edges_undirected(spark, sf_dir)
+    return PLM(max_sweeps_per_level=6, max_levels=2).run(e, nodes_range(spark, n)).get_partition()
+
+
+@register("scc_labels")  # iterative coloring -> rows-only check (pytest has exact)
+def q_scc_labels(spark, sf_dir):
+    n = _n_docs(spark, sf_dir)
+    e = doc_edges(spark, sf_dir)
+    return strongly_connected_components(e, nodes_range(spark, n))

@@ -118,7 +118,7 @@ def compact_node_ids(edges: DataFrame, nodes: DataFrame | None = None):
     (``GraphTools.cpp:424-439``). Returns (mapping(old_id, id), edges').
     """
     nodes = nodes if nodes is not None else nodes_from_edges(edges)
-    w = Window.orderBy("id")
+    w = Window.orderBy("old_id")
     mapping = nodes.select(F.col("id").alias("old_id")).withColumn(
         "id", (F.row_number().over(w) - 1).cast("long")
     )

@@ -38,6 +38,21 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 
 
+def truncate_lineage(df: "DataFrame") -> "DataFrame":
+    """Hard lineage/plan truncation: persist + wrap the materialized RDD in a
+    fresh LogicalRDD plan.
+
+    ``localCheckpoint(eager=True)`` is NOT a reliable truncation under AQE:
+    in loops whose step references the state multiple times we measured the
+    per-iteration wall time TRIPLING per iteration (3 state references ->
+    3^k plan growth; PLM contracted-level sweeps went 1.7s -> 176s in 6
+    sweeps). ``createDataFrame(df.rdd, schema)`` provably resets the logical
+    plan; the persisted RDD backs it so nothing recomputes."""
+    df = df.persist()
+    df.count()
+    return df.sparkSession.createDataFrame(df.rdd, df.schema)
+
+
 @contextmanager
 def aqe_disabled(spark):
     """Disable AQE for an iterative kernel's *entire* run — including the
