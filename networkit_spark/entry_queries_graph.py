@@ -673,3 +673,102 @@ def q_scc_labels(spark, sf_dir):
     n = _n_docs(spark, sf_dir)
     e = doc_edges(spark, sf_dir)
     return strongly_connected_components(e, nodes_range(spark, n))
+
+
+# ---------------------------------------------------------------------------
+# Closeness / betweenness / matching / walks (SURVEY §2.7 remainder)
+# ---------------------------------------------------------------------------
+
+from networkit_spark.operators.betweenness import betweenness  # noqa: E402
+from networkit_spark.operators.closeness import closeness  # noqa: E402
+from networkit_spark.operators.matching import local_max_matching  # noqa: E402
+from networkit_spark.operators.walks import random_walks  # noqa: E402
+
+
+def _msbfs_oracle_sql(rounds: int, final: str) -> str:
+    """All-sources fixed-round BFS state (source, node, dist) with sentinel."""
+    big = 1 << 40
+    parts = [
+        f"WITH {UEDGES_CTE}",
+        f""", d0 AS (
+  SELECT s.doc_id AS source, v.doc_id AS node,
+         CASE WHEN s.doc_id = v.doc_id THEN 0 ELSE {big} END AS dist
+  FROM documents s CROSS JOIN documents v)""",
+    ]
+    for k in range(1, rounds + 1):
+        prev = f"d{k - 1}"
+        parts.append(
+            f", d{k} AS MATERIALIZED ("
+            f" SELECT n.source, n.node, least(n.dist, coalesce(t.nd, n.dist)) AS dist"
+            f" FROM {prev} n LEFT JOIN ("
+            f"   SELECT p.source, e.dst AS node, min(p.dist + 1) AS nd"
+            f"   FROM uedges e JOIN {prev} p ON e.src = p.node GROUP BY p.source, e.dst"
+            f" ) t ON n.source = t.source AND n.node = t.node)"
+        )
+    parts.append(final.format(last=f"d{rounds}", big=big))
+    return "\n".join(parts)
+
+
+@register(
+    "closeness_fixed8",
+    _msbfs_oracle_sql(
+        8,
+        """
+SELECT node, round(CASE WHEN sum_d > 0 THEN r::DOUBLE / sum_d ELSE 0.0 END, 7) AS score
+FROM (
+  SELECT node, sum(dist) AS sum_d, count(*) AS r
+  FROM {last} WHERE dist > 0 AND dist < {big} GROUP BY node
+)
+""",
+    ),
+)
+def q_closeness_fixed8(spark, sf_dir):
+    """Closeness.cpp GENERALIZED form over an 8-round multi-source BFS
+    (rounds >= diameter on this graph — pytest asserts convergence)."""
+    n = _n_docs(spark, sf_dir)
+    e = doc_edges_undirected(spark, sf_dir)
+    out = closeness(e, nodes_range(spark, n))
+    return out.select("node", F.round("score", 7).alias("score"))
+
+
+@register(
+    "harmonic_fixed8",
+    _msbfs_oracle_sql(
+        8,
+        """
+SELECT node, round(coalesce(s, 0.0), 7) AS score
+FROM (SELECT doc_id AS node FROM documents) d
+LEFT JOIN (
+  SELECT node, sum(1.0 / dist) AS s
+  FROM {last} WHERE dist > 0 AND dist < {big} GROUP BY node
+) t USING (node)
+""",
+    ),
+)
+def q_harmonic_fixed8(spark, sf_dir):
+    n = _n_docs(spark, sf_dir)
+    e = doc_edges_undirected(spark, sf_dir)
+    out = closeness(e, nodes_range(spark, n), harmonic=True)
+    return out.select("node", F.round("score", 7).alias("score"))
+
+
+@register("betweenness_sampled")  # Brandes accumulation -> rows-only (pytest has exact)
+def q_betweenness_sampled(spark, sf_dir):
+    n = _n_docs(spark, sf_dir)
+    e = doc_edges_undirected(spark, sf_dir)
+    nodes = nodes_range(spark, n)
+    srcs = nodes.filter(F.col("id") % 50 == 0)  # 10 deterministic sources
+    out = betweenness(e, nodes, sources=srcs)
+    return out.select("node", F.round("score", 6).alias("score"))
+
+
+@register("max_matching")  # iterative handshake -> rows-only (pytest has exact)
+def q_max_matching(spark, sf_dir):
+    e = doc_edges_undirected(spark, sf_dir)
+    return local_max_matching(e)
+
+
+@register("random_walk_corpus")  # hash-seeded walks -> rows-only
+def q_random_walk_corpus(spark, sf_dir):
+    e = doc_edges_undirected(spark, sf_dir)
+    return random_walks(e, walks_per_node=1, length=4)

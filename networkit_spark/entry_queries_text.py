@@ -293,3 +293,46 @@ def q_events_tumbling_1h(spark, sf_dir):
             "sum_value",
         )
     )
+
+
+@register(
+    "events_sessions",
+    """
+WITH o AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS e FROM events),
+l AS (
+  SELECT user_id, e,
+         CASE WHEN lag(e) OVER (PARTITION BY user_id ORDER BY e) IS NULL
+                   OR e - lag(e) OVER (PARTITION BY user_id ORDER BY e) > 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM o
+),
+s AS (
+  SELECT user_id, e,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY e
+                        ROWS UNBOUNDED PRECEDING) AS sess
+  FROM l
+)
+SELECT user_id, CAST(sess AS BIGINT) AS session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(e) AS start_e, max(e) AS end_e
+FROM s GROUP BY user_id, sess
+""",
+)
+def q_events_sessions(spark, sf_dir):
+    """Sessionization (30-min inactivity gap) — the batch twin of stateful
+    streaming sessionization; lag + running-sum windows."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.floor(F.unix_timestamp("ts")).cast("long").alias("e")
+    )
+    w = Window.partitionBy("user_id").orderBy("e")
+    brk = F.when(
+        F.lag("e").over(w).isNull() | ((F.col("e") - F.lag("e").over(w)) > 1800), 1
+    ).otherwise(0)
+    sess = ev.withColumn("brk", brk).withColumn(
+        "sess", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id", F.col("sess").alias("session_id")).agg(
+        F.count("*").alias("n_events"),
+        F.min("e").alias("start_e"),
+        F.max("e").alias("end_e"),
+    )
