@@ -178,10 +178,20 @@ class ConnectedComponents:
 
         init = nodes.select(F.col("id").alias("node"), F.col("id").alias("label"))
 
+        # frontier (active-set) iteration: hash-min is monotone — only labels
+        # that DECREASED last round can lower a neighbor, so each round joins
+        # edges against the changed set only (the reference's active-set,
+        # ParallelConnectedComponents.cpp:32-60, as a delta iteration).
+        frontier = {"df": None}  # None -> first round, all nodes active
+
         def step(state: DataFrame, i: int):
-            # candidate label per node: min over in-neighbors' labels
+            src_labels = state.select(F.col("node").alias("src"), "label")
+            if frontier["df"] is not None:
+                src_labels = src_labels.join(
+                    frontier["df"].withColumnRenamed("node", "src"), "src", "left_semi"
+                )
             cand = (
-                und.join(state.select(F.col("node").alias("src"), "label"), "src")
+                und.join(src_labels, "src")
                 .groupBy(F.col("dst").alias("node"))
                 .agg(F.min("label").alias("nlabel"))
             )
@@ -194,7 +204,9 @@ class ConnectedComponents:
                 )
             )
             new = new.localCheckpoint(eager=True)
-            changed = new.filter(F.col("label") != F.col("prev")).count()
+            changed_df = new.filter(F.col("label") != F.col("prev")).select("node")
+            changed = changed_df.count()
+            frontier["df"] = changed_df if changed else None
             return new.select("node", "label"), {"changed": changed, "edges_processed": m}
 
         res = runner.run(

@@ -109,9 +109,25 @@ class PLP:
         else:
             init = nodes.select(F.col("id").alias("node"), F.col("id").alias("label"))
 
+        # frontier (active-set): only nodes with a changed neighbor can adopt
+        # a different label next sweep (PLP.cpp:98-104 reactivation); those
+        # nodes still need their FULL neighborhood tally, so the step is
+        # two-phase: affected = N_out(changed); recompute edges into affected.
+        frontier = {"df": None}
+
         def step(state: DataFrame, i: int):
+            edges_in = e
+            if frontier["df"] is not None:
+                affected = (
+                    e.join(
+                        frontier["df"].withColumnRenamed("node", "src"), "src", "left_semi"
+                    )
+                    .select("dst")
+                    .distinct()
+                )
+                edges_in = e.join(affected, "dst", "left_semi")
             cand = (
-                e.join(state.select(F.col("node").alias("src"), "label"), "src")
+                edges_in.join(state.select(F.col("node").alias("src"), "label"), "src")
                 .groupBy(F.col("dst").alias("node"), "label")
                 .agg(F.sum("weight").alias("w"))
             )
@@ -125,7 +141,9 @@ class PLP:
                 )
                 .localCheckpoint(eager=True)
             )
-            changed = new.filter(F.col("label") != F.col("prev")).count()
+            changed_df = new.filter(F.col("label") != F.col("prev")).select("node")
+            changed = changed_df.count()
+            frontier["df"] = changed_df if changed else None
             return new.select("node", "label"), {"changed": changed, "edges_processed": m}
 
         res = runner.run(

@@ -31,9 +31,16 @@ def get_spark(
     """Build (or fetch) a SparkSession configured for iterative graph kernels."""
     cores = cores or DEFAULT_CPUS
     shuffle_partitions = shuffle_partitions or cores
+    # Shuffle spill location: on the sandbox VM all "executors" share ONE
+    # virtual disk, which caps multi-core shuffle scaling in a way a real
+    # cluster (one local disk per executor) would not. tmpfs restores the
+    # per-executor-local-disk assumption; override with SPARK_GRAFT_LOCAL_DIR.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local")
+    os.makedirs(local_dir, exist_ok=True)
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
+        .config("spark.local.dir", local_dir)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(cores))
         .config("spark.sql.adaptive.enabled", os.environ.get("SPARK_GRAFT_AQE", "true"))
