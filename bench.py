@@ -213,15 +213,19 @@ def main():
     # to ~40%) that only ever SLOWS a run; throughput capability is therefore
     # estimated as the max over interleaved trials at each level.
     trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "3"))
-    lo_runs, hi_runs = [], []
+    # Efficiency is computed per temporally-adjacent (lo, hi) pair — the
+    # sandbox's multiplicative slow phases then cancel in the ratio — and
+    # the MEDIAN pair efficiency is reported (with that pair's throughputs).
+    pairs = []
     for _ in range(trials):
-        lo_runs.append(spawn_worker(lo_cores, scale_pages, scale_iters))
-        hi_runs.append(spawn_worker(CPUS, scale_pages, scale_iters))
-    lo = max(lo_runs, key=lambda r: r["edges_per_sec_per_superstep"])
-    hi = max(hi_runs, key=lambda r: r["edges_per_sec_per_superstep"])
+        lo_r = spawn_worker(lo_cores, scale_pages, scale_iters)
+        hi_r = spawn_worker(CPUS, scale_pages, scale_iters)
+        e = hi_r["edges_per_sec_per_superstep"] / (4.0 * lo_r["edges_per_sec_per_superstep"])
+        pairs.append((e, lo_r, hi_r))
+    pairs.sort(key=lambda p: p[0])
+    eff, lo, hi = pairs[len(pairs) // 2]
     thr_lo = lo["edges_per_sec_per_superstep"]
     thr_hi = hi["edges_per_sec_per_superstep"]
-    eff = thr_hi / (4.0 * thr_lo)
     scaling = {
         "cores_lo": lo_cores,
         "cores_hi": CPUS,
@@ -230,6 +234,7 @@ def main():
         "throughput_lo": thr_lo,
         "throughput_hi": thr_hi,
         "scaling_efficiency": round(eff, 3),
+        "pair_efficiencies": [round(p[0], 3) for p in pairs],
     }
 
     result = {
