@@ -75,13 +75,21 @@ class PageRank:
         distribute_sinks: str = NO_SINK_HANDLING,
         max_iterations: int = 250,
         norm: str = "l2",
+        salt_hot_sources: int | None = None,
+        hot_threshold: int = 100_000,
     ):
+        """``salt_hot_sources``: when set, sources whose out-degree exceeds
+        ``hot_threshold`` are salted across that many sub-keys in the
+        per-superstep message join (plans/skew.py) — the explicit skew
+        guard for web-scale hub out-degrees when AQE is off."""
         self.damp = damp
         self.tol = tol
         self.normalized = normalized
         self.distribute_sinks = distribute_sinks
         self.max_iterations = max_iterations
         self.norm = norm
+        self.salt_hot_sources = salt_hot_sources
+        self.hot_threshold = hot_threshold
 
     def run(
         self,
@@ -131,13 +139,27 @@ class PageRank:
             F.col("id").alias("node"), F.lit(1.0 / n).alias("score")
         ).repartition(P, "node")
 
+        hot = None
+        if self.salt_hot_sources:
+            from networkit_spark.plans.skew import hot_keys
+
+            hot = hot_keys(contrib, "src", self.hot_threshold).persist()
+            hot.count()
+
         def step(state: DataFrame, i: int):
-            msgs = (
-                contrib.join(
-                    state.select(F.col("node").alias("src"), "score"), "src"
+            frontier = state.select(F.col("node").alias("src"), "score")
+            if self.salt_hot_sources:
+                from networkit_spark.plans.skew import salted_join
+
+                joined = salted_join(
+                    contrib, frontier, "src",
+                    n_salt=self.salt_hot_sources,
+                    hot=hot, salt_by="dst",
                 )
-                .groupBy("dst")
-                .agg(F.sum(F.col("frac") * F.col("score")).alias("m"))
+            else:
+                joined = contrib.join(frontier, "src")
+            msgs = joined.groupBy("dst").agg(
+                F.sum(F.col("frac") * F.col("score")).alias("m")
             )
             sink_add = 0.0
             if handle_sinks:
