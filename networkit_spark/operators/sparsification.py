@@ -88,9 +88,22 @@ def normalize_scores(scores: DataFrame, invert: bool = False) -> DataFrame:
 
 
 def linearize_scores(scores: DataFrame) -> DataFrame:
-    """Replace scores by their percentile rank (EdgeScoreLinearizer)."""
-    w = Window.orderBy("score")
-    return scores.withColumn("score", F.percent_rank().over(w))
+    """Replace scores by their percentile rank (EdgeScoreLinearizer).
+
+    Distributed: rank each distinct score via the range-sort dense-id
+    utility (no single-partition window), then join back; percentile of an
+    edge = rank(first edge with that score) / (m - 1), matching
+    ``percent_rank`` tie semantics.
+    """
+    from networkit_spark.plans.ids import global_min_rank
+
+    m = scores.count()
+    if m <= 1:
+        return scores.withColumn("score", F.lit(0.0))
+    ranked = global_min_rank(scores, "score", rank_col="_grk")
+    return ranked.withColumn(
+        "score", (F.col("_grk") - 1) / F.lit(float(m - 1))
+    ).drop("_grk")
 
 
 def global_threshold_filter(

@@ -83,11 +83,10 @@ def read_edge_list(
             .distinct()
         )
     else:
-        from pyspark.sql import Window
+        from networkit_spark.plans.ids import dense_ids
 
-        ids = raw.select(F.col("c0").alias("raw")).union(raw.select(F.col("c1"))).distinct()
-        win = Window.orderBy("raw")
-        nodes = ids.withColumn("id", (F.row_number().over(win) - 1).cast("long")).select("id", "raw")
+        ids = raw.select(F.col("c0").alias("raw")).union(raw.select(F.col("c1")))
+        nodes = dense_ids(ids, "raw").select("id", "raw")
         edges = (
             raw.join(nodes.select(F.col("raw").alias("c0"), F.col("id").alias("src")), "c0")
             .join(nodes.select(F.col("raw").alias("c1"), F.col("id").alias("dst")), "c1")
@@ -118,29 +117,62 @@ def read_konect(spark: SparkSession, path: str, directed: bool = False):
 
 
 def read_metis(spark: SparkSession, path: str):
-    """METISGraphReader.cpp parity: header ``n m [fmt]``; line i (1-based)
-    lists the (1-based) neighbors of node i-1... (nodes are 1-based in the
-    format; we emit 0-based ids). Undirected: each edge appears on both
-    lines, which IS our symmetrized representation.
+    """METISGraphReader.cpp parity: header ``n m [fmt [ncon]]``; the i-th
+    non-comment line after the header lists the (1-based) neighbors of node
+    i-1 (we emit 0-based ids). Undirected: each edge appears on both lines,
+    which IS our symmetrized representation.
 
-    Line numbers come from zipWithIndex (deterministic for file sources);
-    the file scan stays distributed.
+    '%' comment lines may appear anywhere (including before the header) and
+    must NOT consume node indices: node ids are assigned by re-ranking the
+    non-comment body lines (distributed dense rank over the original
+    zipWithIndex line numbers — ``plans/ids.py``), and the header is the
+    first non-comment line. ``fmt`` is honored: ones digit = edge weights
+    (neighbor/weight pairs per line), tens digit = ``ncon`` vertex weights
+    prefixed per line (skipped); anything else raises.
     """
+    from networkit_spark.plans.ids import dense_ids
+
     lines = spark.sparkContext.textFile(path).zipWithIndex()
     df = spark.createDataFrame(lines, "line string, lineno long")
-    body = df.filter(
-        (F.col("lineno") > 0) & (~F.col("line").startswith("%")) & (F.trim("line") != "")
-    )
-    edges = (
-        body.select(
-            (F.col("lineno") - 1).alias("src"),
-            F.explode(F.split(F.trim("line"), r"\s+")).alias("nbr"),
-        )
-        .filter(F.col("nbr") != "")
-        .select("src", (F.col("nbr").cast("long") - 1).alias("dst"), F.lit(1.0).alias("weight"))
-    )
-    header = df.filter(F.col("lineno") == 0).first()["line"].split()
+    noncomment = df.filter(~F.col("line").startswith("%"))
+    header_row = noncomment.orderBy("lineno").first()
+    header = header_row["line"].split()
     n = int(header[0])
+    fmt = int(header[2]) if len(header) > 2 else 0
+    if fmt not in (0, 1, 10, 11, 100):
+        raise ValueError(f"unsupported METIS fmt {fmt}")
+    has_ewt = fmt % 10 == 1
+    n_vwt = (int(header[3]) if len(header) > 3 else 1) if (fmt // 10) % 10 == 1 else 0
+
+    body = noncomment.filter(F.col("lineno") > header_row["lineno"])
+    # re-rank: i-th non-comment body line -> node id i (comments don't shift)
+    idx = dense_ids(body.select("lineno"), "lineno", id_col="src")
+    body = body.join(idx, "lineno")
+    toks = F.filter(F.split(F.trim("line"), r"\s+"), lambda t: t != "")
+    toks = F.slice(toks, n_vwt + 1, F.greatest(F.size(toks) - n_vwt, F.lit(0)))
+    if has_ewt:
+        pairs = body.select(
+            "src",
+            F.posexplode(toks).alias("pos", "tok"),
+        )
+        nbrs = pairs.filter(F.col("pos") % 2 == 0).select(
+            "src", (F.col("pos") / 2).cast("long").alias("j"),
+            (F.col("tok").cast("long") - 1).alias("dst"),
+        )
+        wts = pairs.filter(F.col("pos") % 2 == 1).select(
+            "src", ((F.col("pos") - 1) / 2).cast("long").alias("j"),
+            F.col("tok").cast("double").alias("weight"),
+        )
+        edges = nbrs.join(wts, ["src", "j"]).select("src", "dst", "weight")
+    else:
+        edges = (
+            body.select("src", F.explode(toks).alias("nbr"))
+            .select(
+                "src",
+                (F.col("nbr").cast("long") - 1).alias("dst"),
+                F.lit(1.0).alias("weight"),
+            )
+        )
     nodes = spark.range(n).select(F.col("id").cast("long").alias("id"))
     return nodes, edges
 

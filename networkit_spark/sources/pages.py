@@ -182,21 +182,18 @@ def extract_links(pages: DataFrame) -> DataFrame:
 def encode_nodes(urls: DataFrame, url_col: str = "url") -> DataFrame:
     """Dictionary-encode urls -> dense ids [0, n) deterministically.
 
-    Deterministic rule: ids follow the lexicographic order of the url string
-    (dense ``row_number() - 1`` over a global sort). Reference analog:
-    ``EdgeListReader.cpp:65-83`` (insertion-order map) +
+    Deterministic rule: ids follow the lexicographic order of the url string.
+    Reference analog: ``EdgeListReader.cpp:65-83`` (insertion-order map) +
     ``GraphTools::getContinuousNodeIds`` — we pick sort order instead of
     insertion order because it is reproducible under any parallelism.
 
-    Scale: one range-partitioned global sort at ingest; the resulting
+    Scale: distributed range-partitioned sort + per-partition offsets
+    (``plans/ids.py``) — no single-partition stage; the resulting
     ``nodes(id, url)`` dictionary is written once and reused by every kernel.
     """
-    w = Window.orderBy(url_col)
-    return (
-        urls.select(url_col).distinct()
-        .withColumn("id", (F.row_number().over(w) - 1).cast("long"))
-        .select("id", F.col(url_col).alias("url"))
-    )
+    from networkit_spark.plans.ids import dense_ids
+
+    return dense_ids(urls, url_col).select("id", F.col(url_col).alias("url"))
 
 
 def build_edges(pages: DataFrame, nodes: DataFrame | None = None):

@@ -66,6 +66,57 @@ def test_read_metis(spark, tmp_path):
     }
 
 
+def test_read_metis_comments_dont_shift_ids(spark, tmp_path):
+    # '%' comments before the header and between body lines must not consume
+    # node indices (round-2 advice fix)
+    p = tmp_path / "tric.graph"
+    p.write_text("% a comment first\n3 3\n2 3\n% interleaved\n1 3\n1 2\n")
+    nodes, edges = read_metis(spark, str(p))
+    assert nodes.count() == 3
+    assert edges_set(edges) == {
+        (0, 1, 1.0), (0, 2, 1.0), (1, 0, 1.0), (1, 2, 1.0), (2, 0, 1.0), (2, 1, 1.0)
+    }
+
+
+def test_read_metis_weighted_fmt1(spark, tmp_path):
+    # fmt=1: neighbor/weight pairs per line
+    p = tmp_path / "triw.graph"
+    p.write_text("3 3 1\n2 5 3 7\n1 5 3 2\n1 7 2 2\n")
+    _, edges = read_metis(spark, str(p))
+    assert edges_set(edges) == {
+        (0, 1, 5.0), (0, 2, 7.0), (1, 0, 5.0), (1, 2, 2.0), (2, 0, 7.0), (2, 1, 2.0)
+    }
+
+
+def test_read_metis_vertex_weights_fmt10(spark, tmp_path):
+    # fmt=10, ncon=1: one vertex weight prefixed per line, skipped
+    p = tmp_path / "trivw.graph"
+    p.write_text("3 2 10 1\n9 2\n4 1 3\n1 2\n")
+    _, edges = read_metis(spark, str(p))
+    assert edges_set(edges) == {
+        (0, 1, 1.0), (1, 0, 1.0), (1, 2, 1.0), (2, 1, 1.0)
+    }
+
+
+def test_read_metis_isolated_node_line(spark, tmp_path):
+    # an empty body line is a node with no neighbors and must keep its index
+    p = tmp_path / "iso.graph"
+    p.write_text("3 1\n2\n1\n\n")
+    nodes, edges = read_metis(spark, str(p))
+    assert nodes.count() == 3
+    assert edges_set(edges) == {(0, 1, 1.0), (1, 0, 1.0)}
+
+
+def test_read_metis_bad_fmt_raises(spark, tmp_path):
+    p = tmp_path / "bad.graph"
+    p.write_text("2 1 3\n2\n1\n")
+    try:
+        read_metis(spark, str(p))
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
 def test_write_read_roundtrip(spark, tmp_path):
     from networkit_spark.graph import edges_df
 
