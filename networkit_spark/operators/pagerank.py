@@ -120,7 +120,25 @@ class PageRank:
             edges.join(deg.withColumnRenamed("node", "src"), "src")
             .select("src", "dst", (F.col("weight") / F.col("wdeg")).alias("frac"))
         )
-        P = shuffle_partitions or spark.sparkContext.defaultParallelism
+        # Narrow-id optimization: dictionary-encoded node ids are dense
+        # [0, n), so whenever n < 2^31 the loop runs on int32 keys — half the
+        # key bytes through the per-superstep shuffle and half the hash-table
+        # footprint in the message aggregation (memory-bandwidth-bound at
+        # high core counts). Output schema is cast back to long below.
+        narrow = n < 2**31
+        if narrow:
+            contrib = contrib.select(
+                F.col("src").cast("int").alias("src"),
+                F.col("dst").cast("int").alias("dst"),
+                "frac",
+            )
+        # P must equal spark.sql.shuffle.partitions: the per-superstep message
+        # aggregation shuffles into hashpartitioning(dst, shuffle.partitions),
+        # and the final join is exchange-free only when state/contrib share
+        # that exact partitioning.
+        P = shuffle_partitions or int(
+            spark.conf.get("spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism))
+        )
         contrib = contrib.repartition(P, "src").persist()
         m = contrib.count()  # materialize once; every superstep reuses this partitioning
 
@@ -135,9 +153,12 @@ class PageRank:
             ).persist()
             sinks.count()
 
+        node_id = F.col("id").cast("int") if narrow else F.col("id")
         init = nodes.select(
-            F.col("id").alias("node"), F.lit(1.0 / n).alias("score")
+            node_id.alias("node"), F.lit(1.0 / n).alias("score")
         ).repartition(P, "node")
+        if sinks is not None and narrow:
+            sinks = sinks.select(F.col("id").cast("int").alias("id"))
 
         hot = None
         if self.salt_hot_sources:
@@ -157,7 +178,17 @@ class PageRank:
                     hot=hot, salt_by="dst",
                 )
             else:
-                joined = contrib.join(frontier, "src")
+                # SHUFFLE_HASH hint: state comes back from localCheckpoint as
+                # a LogicalRDD with unknown stats, so Catalyst would fall back
+                # to sort-merge — which re-sorts the full (persisted,
+                # loop-invariant) contrib table EVERY superstep, O(m log m)
+                # per iteration. The hint forces a shuffled hash join that
+                # builds on the (node, score) frontier and streams contrib;
+                # both sides are already hash-partitioned on src (contrib by
+                # the one-time repartition, frontier because the previous
+                # superstep's output partitioning survives localCheckpoint),
+                # so the join plans with ZERO exchange.
+                joined = contrib.join(frontier.hint("shuffle_hash"), "src")
             msgs = joined.groupBy("dst").agg(
                 F.sum(F.col("frac") * F.col("score")).alias("m")
             )
@@ -168,7 +199,11 @@ class PageRank:
                 ).agg(F.sum("score")).first()
                 sink_add = sink_factor * (row[0] or 0.0)
             new = (
-                state.join(msgs.withColumnRenamed("dst", "node"), "node", "left")
+                state.join(
+                    msgs.withColumnRenamed("dst", "node").hint("shuffle_hash"),
+                    "node",
+                    "left",
+                )
                 .select(
                     "node",
                     (
@@ -209,6 +244,8 @@ class PageRank:
         )
 
         scores = res.state
+        if narrow:
+            scores = scores.select(F.col("node").cast("long").alias("node"), "score")
         # post-processing (PageRank.cpp:100-123)
         if self.normalized:
             if directed:
