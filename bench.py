@@ -77,6 +77,10 @@ def bench_graph(spark, n_pages: int):
 ITER_CACHE_CONF = {
     "spark.sql.inMemoryColumnarStorage.compressed": "false",
     "spark.sql.inMemoryColumnarStorage.batchSize": "262144",
+    # gather kernels aggregate ~n/P distinct dst keys per task; a 2^20-entry
+    # first-level vectorized hash map (16MB/task) keeps most keys on the
+    # codegen fast path instead of the row-based fallback map
+    "spark.sql.codegen.aggregate.fastHashMap.capacityBit": "20",
 }
 
 
@@ -240,9 +244,9 @@ def main():
     # per-pair efficiencies are recorded alongside as the conservative view.
     scale_pages = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "8000000"))
     lo_cores = max(1, CPUS // 4)
-    scale_iters = 8  # 2 warmup + 6 timed
-    trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "3"))
-    max_trials = int(os.environ.get("SPARK_GRAFT_SCALE_MAX_TRIALS", "5"))
+    scale_iters = 7  # 2 warmup + 5 timed
+    trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "4"))
+    max_trials = int(os.environ.get("SPARK_GRAFT_SCALE_MAX_TRIALS", "8"))
     pairs = []
     while True:
         lo_r = spawn_worker(lo_cores, scale_pages, scale_iters)

@@ -668,7 +668,39 @@ def q_plm_communities(spark, sf_dir):
     return PLM(max_sweeps_per_level=6, max_levels=2).run(e, nodes_range(spark, n)).get_partition()
 
 
-@register("scc_labels")  # iterative coloring -> rows-only check (pytest has exact)
+def _scc_oracle_sql(steps: int = 20) -> str:
+    """SCC labels via transitive closure: label(u) = min{v : u->*v and v->*u}.
+
+    Linear closure expansion (r_{k+1} = r_k ∪ r_k∘edges, ``steps`` >= the
+    directed diameter of the gate graph) — the SQL dual of the engine's
+    FB-coloring result, which also labels each SCC by its min member id.
+    """
+    from networkit_spark.testgraph import EDGES_CTE
+
+    parts = [
+        f"WITH {EDGES_CTE}",
+        """, r0 AS MATERIALIZED (
+  SELECT doc_id AS src, doc_id AS dst FROM documents
+  UNION SELECT src, dst FROM edges)""",
+    ]
+    for k in range(1, steps + 1):
+        prev = f"r{k - 1}"
+        parts.append(
+            f", r{k} AS MATERIALIZED ("
+            f" SELECT DISTINCT src, dst FROM ("
+            f"   SELECT src, dst FROM {prev}"
+            f"   UNION ALL"
+            f"   SELECT r.src, e.dst FROM {prev} r JOIN edges e ON e.src = r.dst))"
+        )
+    parts.append(
+        f"SELECT a.src AS node, min(a.dst) AS label "
+        f"FROM r{steps} a JOIN r{steps} b ON a.src = b.dst AND a.dst = b.src "
+        f"GROUP BY a.src"
+    )
+    return "\n".join(parts)
+
+
+@register("scc_labels", _scc_oracle_sql())
 def q_scc_labels(spark, sf_dir):
     n = _n_docs(spark, sf_dir)
     e = doc_edges(spark, sf_dir)
@@ -752,7 +784,58 @@ def q_harmonic_fixed8(spark, sf_dir):
     return out.select("node", F.round("score", 7).alias("score"))
 
 
-@register("betweenness_sampled")  # Brandes accumulation -> rows-only (pytest has exact)
+def _betweenness_oracle_sql(rounds: int = 8) -> str:
+    """Brandes unrolled: level-synchronous forward BFS with path counts
+    sigma from the 10 fixed sources, then backward dependency accumulation
+    level by level (``delta(u@l) = sum_{w@l+1 adj} sigma_u/sigma_w *
+    (1+delta_w)``), scale n/k (EstimateBetweenness semantics)."""
+    parts = [
+        f"WITH {UEDGES_CTE}",
+        """, srcs AS (SELECT doc_id AS s FROM documents WHERE doc_id % 50 = 0),
+b0 AS (SELECT s AS source, s AS node, 0 AS dist, CAST(1.0 AS DOUBLE) AS sigma FROM srcs)""",
+    ]
+    for k in range(1, rounds + 1):
+        prev = f"b{k - 1}"
+        parts.append(
+            f""", b{k} AS MATERIALIZED (
+  SELECT source, node, dist, sigma FROM {prev}
+  UNION ALL
+  SELECT nw.source, nw.node, {k} AS dist, nw.sigma FROM (
+    SELECT p.source, e.dst AS node, sum(p.sigma) AS sigma
+    FROM uedges e JOIN {prev} p ON e.src = p.node AND p.dist = {k - 1}
+    GROUP BY p.source, e.dst
+  ) nw LEFT JOIN {prev} old ON old.source = nw.source AND old.node = nw.node
+  WHERE old.node IS NULL)"""
+        )
+    parts.append(
+        f", del{rounds} AS MATERIALIZED (SELECT source, node, dist, sigma, CAST(0.0 AS DOUBLE) AS delta FROM b{rounds})"
+    )
+    for level in range(rounds - 1, -1, -1):
+        prev = f"del{level + 1}"
+        parts.append(
+            f""", del{level} AS MATERIALIZED (
+  SELECT t.source, t.node, t.dist, t.sigma,
+         CASE WHEN t.dist = {level} THEN coalesce(c.add_d, 0.0) ELSE t.delta END AS delta
+  FROM {prev} t LEFT JOIN (
+    SELECT w.source, e.src AS node, sum(v.sigma / w.sigma * (1.0 + w.delta)) AS add_d
+    FROM uedges e
+    JOIN {prev} w ON w.node = e.dst AND w.dist = {level + 1}
+    JOIN {prev} v ON v.source = w.source AND v.node = e.src AND v.dist = {level}
+    GROUP BY w.source, e.src
+  ) c ON t.source = c.source AND t.node = c.node)"""
+        )
+    parts.append(
+        f"""SELECT d.doc_id AS node,
+       round((SELECT count(*) FROM documents)::DOUBLE / (SELECT count(*) FROM srcs)
+             * coalesce(t.sc, 0.0), 6) AS score
+FROM documents d LEFT JOIN (
+  SELECT node, sum(delta) AS sc FROM del0 WHERE node <> source GROUP BY node
+) t ON d.doc_id = t.node"""
+    )
+    return "\n".join(parts)
+
+
+@register("betweenness_sampled", _betweenness_oracle_sql(8))
 def q_betweenness_sampled(spark, sf_dir):
     n = _n_docs(spark, sf_dir)
     e = doc_edges_undirected(spark, sf_dir)
@@ -762,13 +845,254 @@ def q_betweenness_sampled(spark, sf_dir):
     return out.select("node", F.round("score", 6).alias("score"))
 
 
-@register("max_matching")  # iterative handshake -> rows-only (pytest has exact)
+def _matching_oracle_sql(rounds: int = 6) -> str:
+    """Fixed-round local-max handshake unrolled: per round, every node
+    points at its heaviest neighbor (ties -> smallest id); mutual pointers
+    match; matched nodes' edges drop."""
+    parts = [f"WITH {UEDGES_CTE}", ", live0 AS (SELECT src, dst, weight FROM uedges)"]
+    for r in range(rounds):
+        parts.append(
+            f""", pref{r} AS MATERIALIZED (
+  SELECT src AS node, dst AS partner, weight AS w FROM (
+    SELECT src, dst, weight,
+           row_number() OVER (PARTITION BY src ORDER BY weight DESC, dst ASC) AS rk
+    FROM live{r}) WHERE rk = 1),
+pairs{r} AS MATERIALIZED (
+  SELECT p.node AS u, p.partner AS v, p.w AS weight
+  FROM pref{r} p JOIN pref{r} q ON p.node = q.partner AND p.partner = q.node
+  WHERE p.node < p.partner),
+hit{r} AS (SELECT u AS node FROM pairs{r} UNION SELECT v FROM pairs{r}),
+live{r + 1} AS MATERIALIZED (
+  SELECT e.src, e.dst, e.weight FROM live{r} e
+  WHERE e.src NOT IN (SELECT node FROM hit{r})
+    AND e.dst NOT IN (SELECT node FROM hit{r}))"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT u, v, CAST(weight AS DOUBLE) AS weight FROM pairs{r}" for r in range(rounds)
+    )
+    parts.append(union)
+    return "\n".join(parts)
+
+
+@register("max_matching", _matching_oracle_sql(16))
 def q_max_matching(spark, sf_dir):
+    """Fixed-16-round handshake (converges in 14 rounds on the gate graph ==
+    the converged matching; pytest asserts fixed == converged there)."""
+    from networkit_spark.operators.matching import local_max_matching_fixed
+
     e = doc_edges_undirected(spark, sf_dir)
-    return local_max_matching(e)
+    return local_max_matching_fixed(e, rounds=16)
 
 
-@register("random_walk_corpus")  # hash-seeded walks -> rows-only
+def _walks_oracle_sql(length: int = 4, seed: int = 42, cap: int = 10_000) -> str:
+    """Portable-LCG random walks over sorted capped adjacency (the exact
+    dual of operators/walks.py: h = ((walk_id % M)*1103515245 + step*12345
+    + seed) % M, M = 2^31-1; neighbor = nbrs[1 + h % deg])."""
+    M = 2147483647
+    parts = [
+        f"WITH {UEDGES_CTE}",
+        f""", ranked AS (
+  SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dst) AS rk
+  FROM uedges),
+adj AS MATERIALIZED (
+  SELECT src, list_sort(list(dst)) AS nbrs FROM ranked WHERE rk <= {cap} GROUP BY src),
+w0 AS (SELECT src AS walk_id, 0 AS step, src AS cur FROM adj)""",
+    ]
+    for step in range(1, length):
+        c = step * 12345 + seed
+        parts.append(
+            f", w{step} AS MATERIALIZED ("
+            f" SELECT w.walk_id, {step} AS step,"
+            f" a.nbrs[CAST(1 + (((w.walk_id % {M}) * 1103515245 + {c}) % {M}) % len(a.nbrs) AS INT)] AS cur"
+            f" FROM w{step - 1} w JOIN adj a ON a.src = w.cur)"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT walk_id, CAST(step AS INT) AS step, cur AS node FROM w{s}"
+        for s in range(length)
+    )
+    parts.append(union)
+    return "\n".join(parts)
+
+
+@register("random_walk_corpus", _walks_oracle_sql(4))
 def q_random_walk_corpus(spark, sf_dir):
     e = doc_edges_undirected(spark, sf_dir)
     return random_walks(e, walks_per_node=1, length=4)
+
+
+# ---------------------------------------------------------------------------
+# Distance family extras: diameter / eccentricity / hop plot (SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+@register(
+    "eccentricity_fixed8",
+    _msbfs_oracle_sql(
+        8,
+        """
+SELECT node, CAST(max(dist) AS BIGINT) AS ecc
+FROM {last} WHERE dist < {big} GROUP BY node
+""",
+    ),
+)
+def q_eccentricity_fixed8(spark, sf_dir):
+    """Per-node eccentricity over an 8-round all-sources BFS
+    (``Eccentricity.cpp``; 8 >= diameter on the gate graph)."""
+    from networkit_spark.operators.distance import multi_source_bfs
+
+    n = _n_docs(spark, sf_dir)
+    e = doc_edges_undirected(spark, sf_dir)
+    d = multi_source_bfs(e, nodes_range(spark, n))
+    return (
+        d.groupBy(F.col("source").alias("node"))
+        .agg(F.max("dist").cast("long").alias("ecc"))
+    )
+
+
+@register(
+    "diameter_exact",
+    _msbfs_oracle_sql(
+        8,
+        "SELECT CAST(max(dist) AS BIGINT) AS diameter FROM {last} WHERE dist < {big}",
+    ),
+)
+def q_diameter_exact(spark, sf_dir):
+    """Exact diameter via iFub (``Diameter.cpp:22-32``); the oracle computes
+    it as the max over the all-pairs fixed-round BFS."""
+    from networkit_spark.operators.distance import diameter_ifub
+
+    n = _n_docs(spark, sf_dir)
+    e = doc_edges_undirected(spark, sf_dir)
+    d = diameter_ifub(e, nodes_range(spark, n))
+    return e.sparkSession.createDataFrame([(d,)], "diameter long")
+
+
+@register(
+    "hop_distribution",
+    _msbfs_oracle_sql(
+        8,
+        """
+SELECT dist, CAST(count(*) AS BIGINT) AS pairs
+FROM {last} WHERE dist > 0 AND dist < {big} GROUP BY dist
+""",
+    ),
+)
+def q_hop_distribution(spark, sf_dir):
+    """Hop plot (``HopPlotApproximation`` exact twin): ordered-pair count
+    per distance from the all-sources BFS."""
+    from networkit_spark.operators.distance import multi_source_bfs
+
+    n = _n_docs(spark, sf_dir)
+    e = doc_edges_undirected(spark, sf_dir)
+    d = multi_source_bfs(e, nodes_range(spark, n))
+    return (
+        d.filter(F.col("dist") > 0)
+        .groupBy("dist")
+        .agg(F.count("*").alias("pairs"))
+        .select(F.col("dist").cast("long").alias("dist"), "pairs")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Katz link-prediction index + ROC evaluation (SURVEY §2.7 link prediction)
+# ---------------------------------------------------------------------------
+
+def _katz_oracle_sql(beta: float, max_len: int = 3) -> str:
+    """Walk counts from every node via adjacency powers, truncated Katz."""
+    parts = [
+        f"WITH {UEDGES_CTE}",
+        """, pairs AS (
+  SELECT doc_id AS u, (doc_id * 11 + 3) % (SELECT count(*) FROM documents) AS v
+  FROM documents WHERE doc_id % 5 = 0),
+k1 AS (SELECT e.src AS u, e.dst AS node, CAST(count(*) AS DOUBLE) AS cnt
+       FROM uedges e WHERE e.src IN (SELECT u FROM pairs) GROUP BY 1, 2)""",
+    ]
+    for l in range(2, max_len + 1):
+        parts.append(
+            f""", k{l} AS MATERIALIZED (
+  SELECT p.u, e.dst AS node, CAST(sum(p.cnt) AS DOUBLE) AS cnt
+  FROM k{l - 1} p JOIN uedges e ON e.src = p.node GROUP BY p.u, e.dst)"""
+        )
+    terms = " UNION ALL ".join(
+        f"SELECT u, node, {beta ** l!r} * cnt AS s FROM k{l}" for l in range(1, max_len + 1)
+    )
+    parts.append(
+        f""", allk AS ({terms})
+SELECT p.u, p.v, round(coalesce(t.katz, 0.0), 9) AS katz
+FROM pairs p LEFT JOIN (
+  SELECT u, node AS v, sum(s) AS katz FROM allk GROUP BY u, node
+) t ON p.u = t.u AND p.v = t.v"""
+    )
+    return "\n".join(parts)
+
+
+@register("katz_link_pred", _katz_oracle_sql(0.05, 3))
+def q_katz_link_pred(spark, sf_dir):
+    """Truncated KatzIndex (``linkprediction.pyx:138``) on a deterministic
+    pair set (u, (11u+3) mod n) for u % 5 == 0."""
+    from networkit_spark.operators.linkprediction import katz_index
+
+    n = _n_docs(spark, sf_dir)
+    e = doc_edges_undirected(spark, sf_dir)
+    pairs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select(
+            F.col("doc_id").alias("u"),
+            ((F.col("doc_id") * 11 + 3) % n).alias("v"),
+        )
+    )
+    out = katz_index(e, pairs, beta=0.05, max_path_length=3)
+    return out.select("u", "v", F.round("katz", 9).alias("katz"))
+
+
+@register(
+    "link_pred_roc",
+    f"""
+WITH {UEDGES_CTE},
+deg AS (SELECT src AS node, count(*) AS d FROM uedges GROUP BY src),
+wedges AS (
+  SELECT a.dst AS u, b.dst AS v, count(*) AS cn
+  FROM uedges a JOIN uedges b ON a.src = b.src AND a.dst < b.dst
+  GROUP BY 1, 2
+),
+lab AS (
+  SELECT w.u, w.v, w.cn,
+         CASE WHEN e.src IS NOT NULL THEN 1 ELSE 0 END AS y
+  FROM wedges w LEFT JOIN uedges e ON e.src = w.u AND e.dst = w.v
+),
+per AS (SELECT cn, sum(y) AS pos, sum(1 - y) AS neg FROM lab GROUP BY cn),
+tot AS (SELECT sum(pos) AS tp, sum(neg) AS fp FROM per),
+cum AS (
+  SELECT cn,
+         sum(pos) OVER (ORDER BY cn DESC ROWS UNBOUNDED PRECEDING) AS tp,
+         sum(neg) OVER (ORDER BY cn DESC ROWS UNBOUNDED PRECEDING) AS fp
+  FROM per
+)
+SELECT CAST(c.cn AS DOUBLE) AS threshold,
+       round(c.fp / greatest(t.fp, 1), 7) AS fpr,
+       round(c.tp / greatest(t.tp, 1), 7) AS tpr
+FROM cum c CROSS JOIN tot t
+""",
+)
+def q_link_pred_roc(spark, sf_dir):
+    """ROC of common-neighbor count as an edge predictor over wedge pairs
+    (``ROCMetric``, ``linkprediction.pyx:677``): label = the pair is an
+    actual edge. Thresholds = distinct cn values (bounded domain)."""
+    from networkit_spark.operators.linkprediction import roc_curve, wedge_pairs
+
+    e = doc_edges_undirected(spark, sf_dir)
+    wp = wedge_pairs(e)
+    lab = (
+        wp.join(
+            e.select(F.col("src").alias("u"), F.col("dst").alias("v"), F.lit(1).alias("y")),
+            ["u", "v"],
+            "left",
+        )
+        .select("u", "v", "cn", F.coalesce(F.col("y"), F.lit(0)).alias("y"))
+    )
+    out = roc_curve(lab, score_col="cn", label_col="y", bins=None)
+    return out.select(
+        F.col("threshold").cast("double").alias("threshold"),
+        F.round("fpr", 7).alias("fpr"),
+        F.round("tpr", 7).alias("tpr"),
+    )

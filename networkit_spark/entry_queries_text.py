@@ -23,6 +23,7 @@ from networkit_spark.functions.dedup import (
 )
 from networkit_spark.functions.similarity import _dot, with_normalized
 from networkit_spark.functions.text import (
+    DE_STOPWORDS,
     EN_STOPWORDS,
     fingerprint,
     lang_id,
@@ -38,6 +39,7 @@ SQL_FP = (
     "('0x' || substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 15))::BIGINT"
 )
 SQL_SW = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
+SQL_SW_DE = "[" + ", ".join(f"'{w}'" for w in DE_STOPWORDS) + "]"
 
 
 def _sql_shingles(k: int = 3) -> str:
@@ -88,7 +90,27 @@ def q_doc_stats(spark, sf_dir):
 
 @register(
     "lang_id",
-    None,  # stopword-vote heuristic uses two lists; rows-only is fine but we
+    f"""
+WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+r AS (
+  SELECT doc_id,
+         len(toks) AS n,
+         len(list_filter(toks, x -> list_contains({SQL_SW}, lower(x)))) AS eh,
+         len(list_filter(toks, x -> list_contains({SQL_SW_DE}, lower(x)))) AS dh
+  FROM t
+),
+rates AS (
+  SELECT doc_id,
+         CASE WHEN n > 0 THEN eh::DOUBLE / n ELSE 0.0 END AS en,
+         CASE WHEN n > 0 THEN dh::DOUBLE / n ELSE 0.0 END AS de
+  FROM r
+)
+SELECT doc_id,
+       CASE WHEN en > de AND en > 0.01 THEN 'en'
+            WHEN de > en AND de > 0.01 THEN 'de'
+            ELSE 'unknown' END AS lang_pred
+FROM rates
+""",
 )
 def q_lang_id(spark, sf_dir):
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -200,10 +222,35 @@ def q_ngram_jaccard_dups(spark, sf_dir):
     return out.select("a", "b", F.round("jaccard", 7).alias("jaccard"))
 
 
-@register("simhash_signatures")  # xxhash64-based -> rows-only check
+def _simhash_sql() -> str:
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(hs, h -> (h >> {i}) & 1 = 1)) > n"
+        f" THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(60)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+h AS (
+  SELECT doc_id, len(toks) AS n,
+         list_transform(toks, s -> ('0x'||substr(md5(s),1,15))::BIGINT) AS hs
+  FROM t
+)
+SELECT doc_id, ({bit_terms}) AS simhash FROM h
+"""
+
+
+@register("simhash_signatures", _simhash_sql())
 def q_simhash_signatures(spark, sf_dir):
+    """Portable 60-bit md5 SimHash (oracle-checkable); the xxhash64 64-bit
+    variant (:func:`simhash64`) stays the pure-Spark fast path."""
+    from networkit_spark.functions.dedup import simhash60_portable
+
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return df.select("doc_id", simhash64(F.col("text")).alias("simhash"))
+    return df.select("doc_id", simhash60_portable(F.col("text")).alias("simhash"))
 
 
 # ---------------------------------------------------------------------------
@@ -256,12 +303,51 @@ def q_embedding_topk(spark, sf_dir):
     )
 
 
-@register("embedding_near_dup")  # LSH plane constants live in Python -> rows-only
+def _near_dup_sql(dim: int = 64, n_planes: int = 6, n_tables: int = 6,
+                  seed: int = 7, threshold: float = 0.4) -> str:
+    """Hyperplane-LSH near-dup oracle with the plane constants INLINED as SQL
+    literals (same md5-derived values as ``similarity._hyperplanes``), so the
+    DuckDB side replicates bucket assignment bit-for-bit."""
+    from networkit_spark.functions.similarity import _hyperplanes
+
+    per_table = []
+    for t in range(n_tables):
+        planes = _hyperplanes(None, dim, n_planes, t, seed)
+        bucket = " + ".join(
+            f"(CASE WHEN list_dot_product(nv, [{', '.join(repr(x) for x in plane)}]) >= 0"
+            f" THEN {1 << i} ELSE 0 END)"
+            for i, plane in enumerate(planes)
+        )
+        per_table.append(f"SELECT vec_id, {t} AS tbl, ({bucket}) AS bkt FROM vn")
+    buckets = " UNION ALL ".join(per_table)
+    return f"""
+WITH vn AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> x::DOUBLE / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS nv
+  FROM embeddings
+),
+bt AS ({buckets}),
+cand AS (
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+  FROM bt x JOIN bt y ON x.tbl = y.tbl AND x.bkt = y.bkt AND x.vec_id < y.vec_id
+)
+SELECT c.a, c.b, round(list_dot_product(va.nv, vb.nv), 6) AS cosine
+FROM cand c JOIN vn va ON va.vec_id = c.a JOIN vn vb ON vb.vec_id = c.b
+WHERE list_dot_product(va.nv, vb.nv) >= {threshold}
+"""
+
+
+@register("embedding_near_dup", _near_dup_sql())
 def q_embedding_near_dup(spark, sf_dir):
+    """LSH-bucketed near-dup pairs; the oracle inlines the hyperplane
+    constants, making bucket assignment and the cosine verify hash-checkable
+    (threshold 0.4 — the synthetic corpus's max pairwise cosine is ~0.51, so
+    the result is non-empty at gate scale)."""
     from networkit_spark.functions.similarity import pairwise_cosine_near_dup
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return pairwise_cosine_near_dup(emb, threshold=0.9)
+    out = pairwise_cosine_near_dup(emb, threshold=0.4)
+    return out.select("a", "b", F.round("cosine", 6).alias("cosine"))
 
 
 # ---------------------------------------------------------------------------

@@ -182,16 +182,34 @@ def ngram_jaccard_all_pairs(
     text_col: str = "text",
     shingle_k: int = 3,
     threshold: float = 0.8,
+    shingle_df_cap: int | None = None,
 ) -> DataFrame:
     """Exact near-dup pairs above threshold WITHOUT all-pairs compare:
     explode shingles, join on shingle (inverted index), count per pair, then
     Jaccard from per-doc distinct-shingle counts. The shingle join only pairs
-    docs that actually share a shingle."""
+    docs that actually share a shingle.
+
+    ``shingle_df_cap``: drop shingles appearing in more than this many docs
+    before the self-join — the hot-key guard (same role as
+    ``max_middle_degree`` in linkprediction.py): a stop-word shingle shared
+    by 10^8 docs otherwise creates a quadratic join bucket while carrying
+    ~zero dedup signal. NOTE: capping makes the intersection count a LOWER
+    bound for pairs that shared dropped shingles — at web scale that biases
+    Jaccard down for already-dissimilar pairs only (near-dups share mostly
+    RARE shingles), which is the standard trade.
+    """
     sh = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(shingles(F.col(text_col), shingle_k)).alias("sh"),
     ).withColumn("nsh", F.size("sh"))
     inv = sh.select("id", "nsh", F.explode("sh").alias("s"))
+    if shingle_df_cap is not None:
+        hot = (
+            inv.groupBy("s").agg(F.count("*").alias("df_count"))
+            .filter(F.col("df_count") > shingle_df_cap)
+            .select("s")
+        )
+        inv = inv.join(hot, "s", "left_anti")
     a = inv.select(F.col("s"), F.col("id").alias("a"), F.col("nsh").alias("na"))
     b = inv.select(F.col("s"), F.col("id").alias("b"), F.col("nsh").alias("nb"))
     inter = (
@@ -228,6 +246,30 @@ def simhash64(text_col) -> F.Column:
 
     sig = F.lit(0).cast("long")
     for i in range(64):
+        vote = F.size(F.filter(hashes, bit_set(i)))
+        bit = F.when(vote * 2 > n, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        sig = sig.bitwiseOR(F.shiftleft(bit, i))
+    return sig
+
+
+def simhash60_portable(text_col) -> F.Column:
+    """60-bit SimHash over whitespace tokens using the portable md5 hash
+    (``portable_hash60``): per-bit majority vote, bits 0..59. Identical in
+    ANSI-SQL oracles (``('0x'||substr(md5(tok),1,15))::BIGINT`` + bit ops) —
+    the oracle-checkable twin of :func:`simhash64` (which uses xxhash64,
+    faster but engine-only)."""
+    from networkit_spark.functions.text import tokens
+
+    toks = tokens(F.lower(text_col))
+    hashes = F.transform(toks, lambda t: portable_hash60(t))
+    n = F.size(toks)
+
+    def bit_set(i):
+        # 1-arg lambda — Spark HOFs dispatch on arity
+        return lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1
+
+    sig = F.lit(0).cast("long")
+    for i in range(60):
         vote = F.size(F.filter(hashes, bit_set(i)))
         bit = F.when(vote * 2 > n, F.lit(1)).otherwise(F.lit(0)).cast("long")
         sig = sig.bitwiseOR(F.shiftleft(bit, i))

@@ -13,7 +13,8 @@ Forward (level-synchronous BFS carrying path counts):
 Backward (descending levels):
   ``delta(s, u) = sum over successors v of sigma_u/sigma_v * (1 + delta_v)``
   accumulated per level; betweenness(v) = sum over sources s != v of
-  delta(s, v)  (divided by 2 on undirected graphs).
+  delta(s, v). No undirected halving — NetworKit counts ordered pairs
+  (Betweenness.cpp), so undirected raw scores are 2x networkx's.
 
 Exact when sources = all nodes (O(n*m) — small graphs, the test oracle);
 ``EstimateBetweenness``-style sampling scales: score ~= (n / k) * sampled
@@ -65,13 +66,13 @@ def betweenness(
     nodes: DataFrame | None = None,
     sources: DataFrame | None = None,
     normalized: bool = False,
-    undirected: bool = True,
     max_depth: int = 10_000,
 ) -> DataFrame:
     """(node, score). ``edges`` as stored (symmetrized for undirected).
 
     Exact with sources=None; sampled (EstimateBetweenness semantics:
-    scaled by n/k) otherwise.
+    scaled by n/k) otherwise. Raw scores match NetworKit's ordered-pair
+    convention (no undirected halving).
     """
     nodes = nodes if nodes is not None else nodes_from_edges(edges)
     n = nodes.count()
@@ -124,14 +125,14 @@ def betweenness(
         .agg(F.sum("delta").alias("score"))
     )
     scale = 1.0
-    if undirected:
-        scale *= 0.5
     if sources is not None:
         scale *= n / k
     if normalized:
-        # divide by the max possible pair count (n-1)(n-2)
-        # (Betweenness.cpp normalization; undirected scores are already
-        # halved above, matching the reference's convention)
+        # divide by the possible ORDERED pair count (n-1)(n-2) —
+        # Betweenness.cpp:86-91. NetworKit never halves undirected raw
+        # scores (each unordered pair contributes from both endpoints, so
+        # undirected raw values are 2x the networkx convention); we match
+        # the reference exactly.
         denom = (n - 1) * (n - 2)
         scale /= denom if denom else 1.0
     out = scores.select("node", (F.col("score") * scale).alias("score"))

@@ -147,6 +147,44 @@ def diameter_double_sweep(edges: DataFrame, start: int = 0) -> int:
     return ecc
 
 
+def diameter_ifub(edges: DataFrame, nodes: DataFrame | None = None) -> int:
+    """Exact diameter via iFub (``Diameter.cpp:22-32`` / the
+    Crescenzi-Grossi-... iterative fringe upper bound — published algorithm),
+    level-batched for Spark: instead of one eccentricity per step, each
+    outer round computes eccentricities of the ENTIRE current BFS fringe in
+    one multi-source BFS.
+
+    1. root = max-degree node; BFS from root gives levels and ecc(root).
+    2. lb = ecc(root); i = ecc(root); while 2*i > lb: eccs of all nodes at
+       level i via MS-BFS -> lb = max(lb, ...); i -= 1. When 2*i <= lb the
+       remaining levels cannot beat lb -> diameter = lb exactly (iFub
+       invariant: any node at level <= i has ecc <= 2*i).
+
+    Connected input assumed (raises otherwise like the reference's exact
+    mode). On small-world graphs iFub terminates after 1-3 fringe batches.
+    """
+    deg = edges.groupBy("src").count()
+    root = int(deg.orderBy(F.desc("count"), F.asc("src")).first()["src"])
+    d = bfs_distances(edges, root)
+    nodes = nodes if nodes is not None else nodes_from_edges(edges)
+    if d.count() != nodes.count():
+        raise ValueError("diameter_ifub: graph not connected")
+    ecc_root = int(d.agg(F.max("dist")).first()[0])
+    lb = ecc_root
+    i = ecc_root
+    while 2 * i > lb and i > 0:
+        fringe = d.filter(F.col("dist") == i).select(F.col("node").alias("id"))
+        if not fringe.isEmpty():
+            eccs = (
+                multi_source_bfs(edges, fringe)
+                .groupBy("source")
+                .agg(F.max("dist").alias("ecc"))
+            )
+            lb = max(lb, int(eccs.agg(F.max("ecc")).first()[0]))
+        i -= 1
+    return lb
+
+
 def bfs_fixed(edges: DataFrame, nodes: DataFrame, source: int, rounds: int) -> DataFrame:
     """Fixed-round min-dist propagation (oracle-expressible): after r rounds,
     dist = BFS level for all nodes within r hops, NULL-free total table with

@@ -104,6 +104,129 @@ def missing_links(
     return out.limit(k) if k else out
 
 
+def katz_index(
+    und_edges: DataFrame,
+    pairs: DataFrame,
+    beta: float = 0.005,
+    max_path_length: int = 5,
+) -> DataFrame:
+    """(u, v, katz): truncated Katz index
+    ``sum_{l=1..L} beta^l * |paths of length l from u to v|``
+    (ref: ``KatzIndex``, ``linkprediction.pyx:138``; defaults mirror the
+    reference's beta=0.005, maxPathLength=5).
+
+    Distributed: path-count propagation from the PAIR SOURCES only (semi-
+    join on u) — l-1 adjacency joins, each a shuffle on the middle node;
+    never materializes all-pairs path counts.
+    """
+    e = und_edges.select("src", "dst")
+    srcs = pairs.select(F.col("u")).distinct()
+    # walk-count table from relevant sources: (u, node, cnt) for length l
+    cur = (
+        e.join(srcs.withColumnRenamed("u", "src"), "src", "left_semi")
+        .select(F.col("src").alias("u"), F.col("dst").alias("node"), F.lit(1.0).alias("cnt"))
+        .groupBy("u", "node")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    total = cur.select("u", "node", (F.lit(beta) * F.col("cnt")).alias("s"))
+    for l in range(2, max_path_length + 1):
+        cur = (
+            cur.join(e.withColumnRenamed("src", "node"), "node")
+            .select("u", F.col("dst").alias("node"), "cnt")
+            .groupBy("u", "node")
+            .agg(F.sum("cnt").alias("cnt"))
+            .localCheckpoint(eager=True)
+        )
+        total = total.unionByName(
+            cur.select("u", "node", (F.lit(beta**l) * F.col("cnt")).alias("s"))
+        )
+    scores = total.groupBy("u", "node").agg(F.sum("s").alias("katz"))
+    return (
+        pairs.select("u", "v")
+        .join(scores.withColumnRenamed("node", "v"), ["u", "v"], "left")
+        .fillna({"katz": 0.0})
+    )
+
+
+def roc_curve(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    bins: int | None = 1000,
+) -> DataFrame:
+    """(threshold, fpr, tpr) ROC points, descending-threshold order
+    (ref: ``ROCMetric``, ``linkprediction.pyx:677``).
+
+    Scale: group by score value (optionally quantile-bucketed to <=``bins``
+    distinct thresholds — float scores would otherwise make the curve as
+    large as the input), then cumulate over the SMALL per-threshold table.
+    The cumulative window runs over <=bins rows, not the pair set.
+    """
+    s = scored.select(F.col(score_col).alias("s"), F.col(label_col).cast("int").alias("y"))
+    if bins is not None:
+        # quantile-bucket scores so the curve is bounded; the rank comes
+        # from the distributed range-sort (plans/ids.py), not a single-
+        # partition window
+        from networkit_spark.plans.ids import global_min_rank
+
+        n = s.count()
+        s = (
+            global_min_rank(s, "s", rank_col="_rk")
+            .withColumn("s", (F.col("_rk") * bins / F.lit(max(n, 1))).cast("long"))
+            .drop("_rk")
+        )
+    per = s.groupBy("s").agg(
+        F.sum("y").alias("pos"), F.sum(1 - F.col("y")).alias("neg")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("s")).rowsBetween(Window.unboundedPreceding, 0)
+    totals = per.agg(F.sum("pos"), F.sum("neg")).first()
+    tp_total, fp_total = totals[0] or 0, totals[1] or 0
+    cum = per.withColumn("tp", F.sum("pos").over(w)).withColumn("fp", F.sum("neg").over(w))
+    return cum.select(
+        F.col("s").alias("threshold"),
+        (F.col("fp") / F.lit(float(fp_total or 1))).alias("fpr"),
+        (F.col("tp") / F.lit(float(tp_total or 1))).alias("tpr"),
+    ).orderBy(F.desc("threshold"))
+
+
+def precision_recall_curve(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+) -> DataFrame:
+    """(threshold, precision, recall) per distinct score, descending
+    (ref: ``PrecisionRecallMetric``, ``linkprediction.pyx:703``). The
+    cumulative window runs over the per-threshold table (<= distinct
+    scores; neighbor-count-valued link-prediction scores have a small
+    domain — for continuous scores use :func:`roc_curve`'s binning)."""
+    from pyspark.sql import Window
+
+    s = scored.select(F.col(score_col).alias("s"), F.col(label_col).cast("int").alias("y"))
+    per = s.groupBy("s").agg(
+        F.sum("y").alias("pos"), F.count("*").alias("n")
+    )
+    tp_total = s.agg(F.sum("y")).first()[0] or 0
+    w = Window.orderBy(F.desc("s")).rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.withColumn("tp", F.sum("pos").over(w)).withColumn("k", F.sum("n").over(w))
+    return cum.select(
+        F.col("s").alias("threshold"),
+        (F.col("tp") / F.col("k")).alias("precision"),
+        (F.col("tp") / F.lit(float(tp_total or 1))).alias("recall"),
+    ).orderBy(F.desc("threshold"))
+
+
+def auc_from_roc(roc: DataFrame) -> float:
+    """Trapezoidal AUC over ROC points (driver-side over the small curve)."""
+    pts = sorted((r["fpr"], r["tpr"]) for r in roc.collect())
+    pts = [(0.0, 0.0)] + pts + [(1.0, 1.0)]
+    auc = 0.0
+    for (x0, y0), (x1, y1) in zip(pts, pts[1:]):
+        auc += (x1 - x0) * (y0 + y1) / 2.0
+    return auc
+
+
 def random_link_sample(und_edges: DataFrame, fraction: float, seed: int = 42):
     """Train/test split of undirected edges (RandomLinkSampler :522):
     returns (train_edges_symmetrized, held_out_pairs)."""

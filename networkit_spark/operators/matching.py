@@ -69,6 +69,44 @@ def local_max_matching(und_edges: DataFrame, max_rounds: int = 100) -> DataFrame
     return matched
 
 
+def local_max_matching_fixed(und_edges: DataFrame, rounds: int = 6) -> DataFrame:
+    """Fixed-round variant of :func:`local_max_matching` — deterministic and
+    ANSI-SQL-expressible (the handshake recurrence unrolls to a CTE chain,
+    like the fixed-iteration CC/PLP gate variants). Same per-round rule:
+    heaviest neighbor, ties -> smallest partner id, mutual pointers match.
+    With ``rounds`` >= the convergence round count the result equals the
+    converged matching (pytest asserts that on the gate graph)."""
+    live = truncate_lineage(und_edges.select("src", "dst", "weight"))
+    matched = und_edges.sparkSession.createDataFrame([], "u long, v long, weight double")
+    for _ in range(rounds):
+        if live.isEmpty():
+            break
+        pref = (
+            live.groupBy("src")
+            .agg(F.max(F.struct(F.col("weight"), (-F.col("dst")).alias("nd"))).alias("top"))
+            .select(
+                F.col("src").alias("node"),
+                (-F.col("top.nd")).alias("partner"),
+                F.col("top.weight").alias("w"),
+            )
+        )
+        other = pref.select(F.col("node").alias("partner"), F.col("partner").alias("node"))
+        pairs = (
+            pref.join(other, ["node", "partner"], "left_semi")
+            .filter(F.col("node") < F.col("partner"))
+            .select(F.col("node").alias("u"), F.col("partner").alias("v"), F.col("w").alias("weight"))
+        )
+        pairs = truncate_lineage(pairs)
+        matched = truncate_lineage(matched.unionByName(pairs))
+        hit = pairs.select(F.col("u").alias("node")).union(pairs.select("v"))
+        live = truncate_lineage(
+            live.join(hit.withColumnRenamed("node", "src"), "src", "left_anti")
+            .join(hit.withColumnRenamed("node", "dst"), "dst", "left_anti")
+            .select("src", "dst", "weight")
+        )
+    return matched
+
+
 def matching_weight(matched: DataFrame) -> float:
     row = matched.agg(F.sum("weight")).first()
     return float(row[0] or 0.0)

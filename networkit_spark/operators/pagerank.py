@@ -160,6 +160,17 @@ class PageRank:
         if sinks is not None and narrow:
             sinks = sinks.select(F.col("id").cast("int").alias("id"))
 
+        # Sink mass for superstep i = sum of sink scores in state_{i}. It is
+        # folded into the SAME scalar agg as the convergence delta on the
+        # materialized state (one driver action per superstep, not two —
+        # round-1 verdict minor #6); only iteration 0 pays a dedicated agg.
+        sink_holder = {"sum": None}
+        if handle_sinks and not resume:
+            row = init.join(
+                sinks.withColumnRenamed("id", "node"), "node", "left_semi"
+            ).agg(F.sum("score")).first()
+            sink_holder["sum"] = float(row[0] or 0.0)
+
         hot = None
         if self.salt_hot_sources:
             from networkit_spark.plans.skew import hot_keys
@@ -194,10 +205,13 @@ class PageRank:
             )
             sink_add = 0.0
             if handle_sinks:
-                row = state.join(
-                    sinks.withColumnRenamed("id", "node"), "node", "left_semi"
-                ).agg(F.sum("score")).first()
-                sink_add = sink_factor * (row[0] or 0.0)
+                if sink_holder["sum"] is None:
+                    # resume path: state loaded from checkpoint, no carried agg
+                    row = state.join(
+                        sinks.withColumnRenamed("id", "node"), "node", "left_semi"
+                    ).agg(F.sum("score")).first()
+                    sink_holder["sum"] = float(row[0] or 0.0)
+                sink_add = sink_factor * sink_holder["sum"]
             new = (
                 state.join(
                     msgs.withColumnRenamed("dst", "node").hint("shuffle_hash"),
@@ -218,20 +232,33 @@ class PageRank:
         # Delta (convergence norm) is computed from the same materialized
         # per-iteration state (new + prev score in one row): one scalar agg,
         # no extra join — the analog of parallelSumForNodes (PageRank.cpp:59).
+        sink_flag = None
+        if handle_sinks:
+            sink_flag = sinks.select(F.col("id").alias("node"), F.lit(1).alias("snk"))
+
         def step_final(state: DataFrame, i: int):
             new, info = step(state, i)
-            if self.tol <= 0:
+            if self.tol <= 0 and not handle_sinks:
                 # pure throughput mode (bench/scaling): no convergence probe,
                 # maxIterations governs — saves one scalar agg per superstep
                 return new.select("node", "score"), info
             new = new.localCheckpoint(eager=True)
-            delta = (
-                new.agg(
-                    F.sqrt(F.sum(F.pow(F.col("score") - F.col("prev"), 2)))
-                ).first()[0]
+            delta_expr = (
+                F.sqrt(F.sum(F.pow(F.col("score") - F.col("prev"), 2)))
                 if self.norm == "l2"
-                else new.agg(F.sum(F.abs(F.col("score") - F.col("prev")))).first()[0]
+                else F.sum(F.abs(F.col("score") - F.col("prev")))
             )
+            if handle_sinks:
+                # one combined agg: convergence delta + NEXT superstep's sink mass
+                flagged = new.join(sink_flag, "node", "left")
+                row = flagged.agg(
+                    delta_expr.alias("delta"),
+                    F.sum(F.col("score") * F.coalesce(F.col("snk"), F.lit(0))).alias("ssum"),
+                ).first()
+                sink_holder["sum"] = float(row["ssum"] or 0.0)
+                delta = row["delta"]
+            else:
+                delta = new.agg(delta_expr).first()[0]
             info["delta"] = float(delta or 0.0)
             return new.select("node", "score"), info
 

@@ -7,19 +7,49 @@ per (walk, step)); the p/q-biased second-order variant and the embedding
 training are out of scope (they need the previous step's neighborhood —
 doable with one more join — and an SGD loop respectively).
 
-Design: adjacency arrays per node (``collect_list`` — bounded by max degree;
-at web scale hub arrays are capped by ``max_neighbors`` sampling), then
+Design: adjacency arrays per node, capped to the ``max_neighbors`` smallest
+neighbor ids BEFORE aggregation (a per-src ``row_number`` filter — a hub's
+array never exceeds the cap in the agg buffer) and sorted ascending, so the
+hash-chosen index maps to the same neighbor under ANY partitioning. Then
 ``length`` joins: state (walk_id, step, cur) x adjacency -> pick index
-``hash(walk_id, step) % degree``. Output long format (walk_id, step, node)
-— one row per visited node, ready for downstream windowing.
+``h(walk_id, step) % degree``. ``h`` is a portable LCG mix
+(``((walk_id % M) * 1103515245 + step*12345 + seed) % M``, M = 2^31-1):
+pure integer arithmetic that an ANSI-SQL oracle replicates exactly (and
+never overflows int64 in either engine). Output long format
+(walk_id, step, node) — one row per visited node.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from networkit_spark.plans.iteration import truncate_lineage
+
+_M31 = 2147483647
+
+
+def walk_hash(walk_id_col, step: int, seed: int):
+    """Portable per-(walk, step) pseudo-random int in [0, 2^31-1)."""
+    wm = F.pmod(walk_id_col, F.lit(_M31))
+    return F.pmod(
+        wm * F.lit(1103515245) + F.lit(step * 12345 + seed), F.lit(_M31)
+    )
+
+
+def capped_sorted_adjacency(und_edges: DataFrame, max_neighbors: int) -> DataFrame:
+    """(src, nbrs array<long> sorted asc, capped to the max_neighbors
+    smallest dst ids). Deterministic under any partitioning; the cap runs
+    BEFORE collect_list so a 10^7-degree hub never builds a 10^7-element
+    aggregation buffer (round-1 verdict fix)."""
+    w = Window.partitionBy("src").orderBy("dst")
+    return (
+        und_edges.select("src", "dst")
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= max_neighbors)
+        .groupBy("src")
+        .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+    )
 
 
 def random_walks(
@@ -30,11 +60,7 @@ def random_walks(
     max_neighbors: int = 10_000,
 ) -> DataFrame:
     """(walk_id, step, node); walk_id = start_node * walks_per_node + r."""
-    adj = (
-        und_edges.select("src", "dst")
-        .groupBy("src")
-        .agg(F.slice(F.collect_list("dst"), 1, max_neighbors).alias("nbrs"))
-    )
+    adj = capped_sorted_adjacency(und_edges, max_neighbors)
     adj = truncate_lineage(adj)
     starts = (
         adj.select(F.col("src").alias("node"))
@@ -59,11 +85,7 @@ def random_walks(
                 F.lit(step).alias("step"),
                 F.element_at(
                     "nbrs",
-                    (
-                        F.abs(F.xxhash64("walk_id", F.lit(step), F.lit(seed)))
-                        % F.size("nbrs")
-                        + 1
-                    ).cast("int"),
+                    (F.pmod(walk_hash(F.col("walk_id"), step, seed), F.size("nbrs")) + 1).cast("int"),
                 ).alias("cur"),
             )
         )

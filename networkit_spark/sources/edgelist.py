@@ -177,6 +177,121 @@ def read_metis(spark: SparkSession, path: str):
     return nodes, edges
 
 
+def read_gml(spark: SparkSession, path: str):
+    """GML reader (``GMLGraphReader``, ``networkit/graphio.pyx:1110``;
+    fixtures ``/root/reference/input/*.gml``).
+
+    GML is a small-fixture format (multi-line ``node [ id N ]`` /
+    ``edge [ source A target B [weight W] ]`` blocks inside ``graph [...]``),
+    so the parse reads the file as ONE text row (``wholetext``) and extracts
+    blocks with JVM ``regexp_extract_all`` — no Python in the parse. Nested
+    sub-blocks inside node/edge blocks (e.g. ``graphics [...]``) are not
+    supported (the reference's reader is similarly minimal). Undirected
+    graphs (``directed 0`` or absent) are symmetrized; returns
+    (nodes(id), edges(src, dst, weight), directed).
+    """
+    txt = spark.read.text(path, wholetext=True)
+    directed_row = txt.select(
+        F.regexp_extract(F.col("value"), r"directed\s+(\d+)", 1).alias("d")
+    ).first()
+    directed = directed_row["d"] == "1"
+    node_ids = txt.select(
+        F.explode(
+            F.regexp_extract_all(F.col("value"), F.lit(r"node\s*\[\s*([^\]]*)\]"), F.lit(1))
+        ).alias("blk")
+    ).select(F.regexp_extract("blk", r"id\s+(\d+)", 1).cast("long").alias("id"))
+    edge_blocks = txt.select(
+        F.explode(
+            F.regexp_extract_all(F.col("value"), F.lit(r"edge\s*\[\s*([^\]]*)\]"), F.lit(1))
+        ).alias("blk")
+    )
+    w_str = F.regexp_extract("blk", r"(?:weight|value)\s+([0-9.eE+-]+)", 1)
+    edges = edge_blocks.select(
+        F.regexp_extract("blk", r"source\s+(\d+)", 1).cast("long").alias("src"),
+        F.regexp_extract("blk", r"target\s+(\d+)", 1).cast("long").alias("dst"),
+        F.when(w_str == "", 1.0).otherwise(w_str.cast("double")).alias("weight"),
+    )
+    if not directed:
+        # symmetrize WITHOUT weight summing: both (u,v) and (v,u) rows, a
+        # self-loop stays one row (dropDuplicates collapses its mirror)
+        edges = edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+        ).dropDuplicates(["src", "dst"])
+    return node_ids, edges, directed
+
+
+def read_graphml(spark: SparkSession, path: str):
+    """GraphML reader (``GraphMLReader``, ``graphio.pyx:1110-1111``):
+    ``<node id="..."/>`` + ``<edge source="..." target="..."/>`` elements,
+    wholetext + JVM regex extraction like :func:`read_gml`. String node ids
+    dictionary-encode to dense [0, n) by lexicographic rank. Undirected
+    (``edgedefault="undirected"``, the GraphML default) symmetrizes.
+
+    Returns (nodes(id, raw), edges(src, dst, weight), directed).
+    """
+    from networkit_spark.plans.ids import dense_ids
+
+    txt = spark.read.text(path, wholetext=True)
+    directed_row = txt.select(
+        F.regexp_extract(F.col("value"), r'edgedefault="(\w+)"', 1).alias("d")
+    ).first()
+    directed = directed_row["d"] == "directed"
+    raw_nodes = txt.select(
+        F.explode(
+            F.regexp_extract_all(F.col("value"), F.lit(r'<node\s+id="([^"]+)"'), F.lit(1))
+        ).alias("raw")
+    )
+    nodes = dense_ids(raw_nodes, "raw").select("id", "raw")
+    edge_blocks = txt.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.col("value"), F.lit(r'<edge\s+[^>]*source="[^"]+"[^>]*>'), F.lit(0)
+            )
+        ).alias("blk")
+    )
+    pairs = edge_blocks.select(
+        F.regexp_extract("blk", r'source="([^"]+)"', 1).alias("sraw"),
+        F.regexp_extract("blk", r'target="([^"]+)"', 1).alias("traw"),
+    )
+    edges = (
+        pairs.join(nodes.select(F.col("raw").alias("sraw"), F.col("id").alias("src")), "sraw")
+        .join(nodes.select(F.col("raw").alias("traw"), F.col("id").alias("dst")), "traw")
+        .select("src", "dst", F.lit(1.0).alias("weight"))
+    )
+    if not directed:
+        edges = edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+        ).dropDuplicates(["src", "dst"])
+    return nodes, edges, directed
+
+
+def read_mtx(spark: SparkSession, path: str):
+    """MatrixMarket coordinate reader (``MTXGraphReader.cpp`` parity):
+    ``%`` comments, header line ``rows cols nnz``, body ``i j [w]``
+    (1-based). ``symmetric`` in the banner symmetrizes. Distributed csv-like
+    scan; the header is located as the first non-comment line."""
+    lines = spark.sparkContext.textFile(path).zipWithIndex()
+    df = spark.createDataFrame(lines, "line string, lineno long")
+    banner = df.orderBy("lineno").first()["line"]
+    symmetric = "symmetric" in banner
+    noncomment = df.filter(~F.col("line").startswith("%") & (F.trim("line") != ""))
+    header_row = noncomment.orderBy("lineno").first()
+    n = int(header_row["line"].split()[0])
+    body = noncomment.filter(F.col("lineno") > header_row["lineno"])
+    toks = F.split(F.trim("line"), r"\s+")
+    edges = body.select(
+        (toks.getItem(0).cast("long") - 1).alias("src"),
+        (toks.getItem(1).cast("long") - 1).alias("dst"),
+        F.coalesce(toks.getItem(2).cast("double"), F.lit(1.0)).alias("weight"),
+    )
+    if symmetric:
+        edges = edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+        ).dropDuplicates(["src", "dst"])
+    nodes = spark.range(n).select(F.col("id").cast("long").alias("id"))
+    return nodes, edges
+
+
 def write_edge_list(
     edges: DataFrame, path: str, sep: str = "\t", first_node: int = 0
 ) -> None:

@@ -121,6 +121,90 @@ def watts_strogatz(
     )
 
 
+def barabasi_albert(
+    spark: SparkSession, n: int, k: int = 4, seed: int = 42
+) -> DataFrame:
+    """Barabasi-Albert stand-in (``generators.pyx:83``): node i attaches its
+    k edges preferentially to earlier nodes. Sequential PA has the known
+    closed-form equivalent (Bollobas et al., public result): choosing target
+    ``j = floor(i * u^2)`` for u ~ U[0,1) reproduces the degree ~ (i/j)^(1/2)
+    attachment distribution — a pure function of (seed, i, slot), so the
+    generator is one ``spark.range`` pass, no sequential state."""
+    df = spark.range(1, n).select(
+        F.col("id").alias("src"),
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("slot"),
+    )
+    u = _u01(F.col("src"), F.col("slot"), F.lit(seed))
+    dst = F.floor(F.col("src") * u * u).cast("long")
+    return _finish(df.select("src", dst.alias("dst")))
+
+
+def lfr_like(
+    spark: SparkSession,
+    n: int,
+    k_communities: int = 10,
+    mu: float = 0.2,
+    avg_degree: int = 10,
+    max_degree: int = 50,
+    tau1: float = 2.5,
+    tau2: float = 1.5,
+    seed: int = 42,
+):
+    """LFR-style benchmark substrate (``LFRGenerator``, ``generators.pyx:831``
+    — same *shape*, hash-deterministic construction): power-law degrees
+    (exponent tau1, capped at ``max_degree``), power-law community sizes
+    (exponent tau2, contiguous node ranges), and mixing parameter ``mu``
+    (fraction of each node's edges landing OUTSIDE its community).
+
+    Returns (edges, ground_truth(node, community)). The community-recovery
+    tests for PLP/PLM run on this substrate like the reference's tests run
+    on LFR's ``community.dat``.
+    """
+    # community boundaries: sizes ~ (c+1)^(-tau2), normalized to n (tiny,
+    # driver-side; k_communities is small by construction)
+    raw = [(c + 1) ** (-tau2) for c in range(k_communities)]
+    tot = sum(raw)
+    sizes = [max(2, int(round(n * x / tot))) for x in raw]
+    drift = n - sum(sizes)
+    sizes[0] += drift
+    bounds = [0]
+    for s in sizes:
+        bounds.append(bounds[-1] + s)
+    lo_arr = F.array(*[F.lit(b) for b in bounds[:-1]])
+    hi_arr = F.array(*[F.lit(b) for b in bounds[1:]])
+
+    df = spark.range(n).select(F.col("id").alias("src"))
+    comm = (
+        F.size(F.filter(lo_arr, lambda b: b <= F.col("src"))) - 1
+    ).alias("comm")
+    df = df.select("src", comm)
+    # degree ~ bounded Zipf(tau1): d = min(max_degree, ceil(avg * u^(-1/(tau1-1)) / norm))
+    ud = _u01(F.col("src"), F.lit(seed), F.lit(100))
+    deg = F.least(
+        F.lit(max_degree),
+        F.greatest(
+            F.lit(2),
+            F.ceil(F.lit(avg_degree / 2.0) * F.pow(F.greatest(ud, F.lit(1e-9)), F.lit(-1.0 / (tau1 - 1.0)) * 0.5)),
+        ),
+    ).cast("int")
+    df = df.select("src", "comm", deg.alias("deg"))
+    slots = df.select(
+        "src", "comm", F.explode(F.sequence(F.lit(0), F.col("deg") - 1)).alias("slot")
+    )
+    lo = F.element_at(lo_arr, F.col("comm") + 1)
+    hi = F.element_at(hi_arr, F.col("comm") + 1)
+    intra_dst = lo + F.pmod(F.xxhash64("src", "slot", F.lit(seed), F.lit(1)), hi - lo)
+    global_dst = F.pmod(F.xxhash64("src", "slot", F.lit(seed), F.lit(2)), F.lit(n))
+    is_out = _u01(F.col("src"), F.col("slot"), F.lit(seed + 1)) < mu
+    edges = _finish(
+        slots.select(
+            "src", F.when(is_out, global_dst).otherwise(intra_dst).alias("dst")
+        )
+    )
+    truth = df.select(F.col("src").alias("node"), F.col("comm").alias("community"))
+    return edges, truth
+
+
 def planted_partition(
     spark: SparkSession,
     blocks: int,

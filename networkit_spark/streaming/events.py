@@ -78,9 +78,15 @@ def apply_events(edges: DataFrame, events: DataFrame) -> DataFrame:
     changed = last.join(incs, ["src", "dst"], "full")
     # merge with the existing table
     merged = edges.alias("e").join(changed.alias("c"), ["src", "dst"], "full")
+    # an edge exists iff the last non-increment event was not a removal, or
+    # (no such event) it already existed. A pure increment on a NONEXISTENT
+    # edge does NOT materialize one — the reference's GraphUpdater calls
+    # Graph::increaseWeight, which requires the edge to exist (the event is
+    # dropped here where the reference would throw; distributed jobs can't
+    # abort per-row).
     exists = F.when(
         F.col("last_type").isNotNull(), F.col("last_type") != EDGE_REMOVAL
-    ).otherwise(F.col("e.weight").isNotNull() | F.col("inc").isNotNull())
+    ).otherwise(F.col("e.weight").isNotNull())
     new_w = (
         F.coalesce(
             F.when(F.col("last_type") == EDGE_ADDITION, F.col("last_w"))
@@ -164,6 +170,61 @@ def update_components_additions(labels: DataFrame, new_edges: DataFrame) -> Data
     )
 
 
+def update_components_removals(
+    labels: DataFrame, remaining_edges: DataFrame, removed_edges: DataFrame
+) -> DataFrame:
+    """Incremental CC for edge REMOVALS (``DynConnectedComponents.cpp``
+    removal path): a removal can only SPLIT the component it lived in, so
+    re-run hash-min CC on the affected components' subgraphs only — every
+    other component's labels are untouched. All affected components
+    recompute in ONE batched CC job.
+
+    ``remaining_edges`` = the edge table AFTER the removals (directed rows
+    ok — CC symmetrizes); ``removed_edges(src, dst)`` = the removed pairs.
+    """
+    aff = (
+        removed_edges.select("src")
+        .union(removed_edges.select(F.col("dst").alias("src")))
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .select("label")
+        .distinct()
+    )
+    if aff.isEmpty():
+        return labels
+    aff_nodes = labels.join(aff, "label", "left_semi").select(F.col("node").alias("id"))
+    sub = (
+        remaining_edges.join(aff_nodes.withColumnRenamed("id", "src"), "src", "left_semi")
+        .join(aff_nodes.withColumnRenamed("id", "dst"), "dst", "left_semi")
+        .select("src", "dst")
+        .withColumn("weight", F.lit(1.0))
+    )
+    from networkit_spark.operators.components import ConnectedComponents
+
+    new = ConnectedComponents().run(sub, aff_nodes).labels_df
+    unchanged = labels.join(aff, "label", "left_anti")
+    return unchanged.unionByName(new)
+
+
+def update_components(
+    labels: DataFrame, edges_after: DataFrame, events: DataFrame
+) -> DataFrame:
+    """Incremental CC over a mixed event batch: apply ADDITION merges
+    (cheap label-merge graph), then REMOVAL splits (affected-component
+    recompute). ``edges_after`` = the edge table after ``apply_events``."""
+    adds = events.filter(F.col("etype") == EDGE_ADDITION).select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    )
+    rems = events.filter(F.col("etype") == EDGE_REMOVAL).select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    )
+    out = labels
+    if not adds.isEmpty():
+        out = update_components_additions(out, adds)
+    if not rems.isEmpty():
+        out = update_components_removals(out, edges_after, rems)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Structured Streaming
 # ---------------------------------------------------------------------------
@@ -197,14 +258,26 @@ def run_incremental_pipeline(
     once: bool = True,
 ):
     """foreachBatch pipeline: maintain the edge table under ``state_dir``
-    (parquet) by applying each micro-batch of events; Spark's streaming
-    checkpoint makes restarts exactly-once over the file source. Returns the
-    query (already awaited when ``once``)."""
+    (parquet) by applying each micro-batch of events.
+
+    ``foreachBatch`` is at-least-once: a crash between the table overwrite
+    and the streaming-checkpoint commit replays the batch on restart, which
+    would double-apply EDGE_WEIGHT_INCREMENT events. The batch apply is made
+    idempotent by recording the last applied ``batch_id`` in the state dir
+    and skipping replays of it (the streaming checkpoint guarantees batch
+    ids are stable across restarts, so replay detection is exact). The
+    ``.tmp`` staging dir is removed after the final write."""
     import os
+    import shutil
 
     edges_path = os.path.join(state_dir, "edges")
+    applied_path = os.path.join(state_dir, "last_applied_batch")
 
     def process(batch_df: DataFrame, batch_id: int):
+        if os.path.exists(applied_path):
+            with open(applied_path) as f:
+                if int(f.read().strip() or -1) >= batch_id:
+                    return  # replayed batch — already applied
         if os.path.exists(os.path.join(edges_path, "_SUCCESS")):
             edges = spark.read.parquet(edges_path)
         else:
@@ -214,6 +287,10 @@ def run_incremental_pipeline(
         updated.write.mode("overwrite").parquet(tmp)
         final = spark.read.parquet(tmp)
         final.write.mode("overwrite").parquet(edges_path)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(state_dir, exist_ok=True)
+        with open(applied_path, "w") as f:
+            f.write(str(batch_id))
 
     stream = read_event_stream(spark, event_path)
     writer = (

@@ -47,21 +47,21 @@ def test_closeness_sampled_estimates(spark):
 def test_betweenness_path(spark):
     e = symmetrize(edges_df(spark, PATH5))
     got = vec(betweenness(e, nodes_range(spark, 5)), 5)
-    # P5: [0, 3, 4, 3, 0]
-    assert np.allclose(got, [0, 3, 4, 3, 0], atol=1e-9)
+    # P5 NetworKit ordered-pair convention: [0, 6, 8, 6, 0]
+    assert np.allclose(got, [0, 6, 8, 6, 0], atol=1e-9)
 
 
 def test_betweenness_star(spark):
     e = symmetrize(edges_df(spark, [(0, i) for i in range(1, 5)]))
     got = vec(betweenness(e, nodes_range(spark, 5)), 5)
-    assert np.allclose(got, [6, 0, 0, 0, 0], atol=1e-9)  # C(4,2) pairs via hub
+    assert np.allclose(got, [12, 0, 0, 0, 0], atol=1e-9)  # 4*3 ordered pairs via hub
 
 
 def test_betweenness_multiple_shortest_paths(spark):
-    # diamond: 0-1-3, 0-2-3 (two equal paths): b(1)=b(2)=0.5
+    # diamond: 0-1-3, 0-2-3 (two equal paths): b(1)=b(2)=1.0 (ordered pairs)
     e = symmetrize(edges_df(spark, [(0, 1), (0, 2), (1, 3), (2, 3)]))
     got = vec(betweenness(e, nodes_range(spark, 4)), 4)
-    assert np.allclose(got, [0.5, 0.5, 0.5, 0.5], atol=1e-9)
+    assert np.allclose(got, [1.0, 1.0, 1.0, 1.0], atol=1e-9)
 
 
 def test_betweenness_sampled_scales(spark):
@@ -69,5 +69,5 @@ def test_betweenness_sampled_scales(spark):
     nodes = nodes_range(spark, 5)
     approx = vec(betweenness(e, nodes, sources=nodes.filter("id in (0, 4)")), 5)
     # endpoint sources see every interior node on the single 0-4 path:
-    # delta sums = 4 each, scaled by 0.5 * n/k = 1.25 -> 5.0
-    assert np.allclose(approx, [0, 5, 5, 5, 0], atol=1e-9)
+    # delta sums = 4 each, scaled by n/k = 2.5 -> 10.0
+    assert np.allclose(approx, [0, 10, 10, 10, 0], atol=1e-9)

@@ -139,3 +139,53 @@ def test_guess_format():
     assert guess_format("wiki-Vote.txt") == "snap"
     assert guess_format("x.konect") == "konect"
     assert guess_format("foo.edgelist") == "edgelist-tab-zero"
+
+
+def test_read_gml(spark, tmp_path):
+    from networkit_spark.sources.edgelist import read_gml
+
+    p = tmp_path / "g.gml"
+    p.write_text(
+        "graph [\n  directed 1\n  node [\n    id 0\n  ]\n  node [\n    id 1\n  ]\n"
+        "  node [\n    id 2\n  ]\n  edge [\n    source 0\n    target 1\n  ]\n"
+        "  edge [\n    source 1\n    target 2\n    weight 2.5\n  ]\n]\n"
+    )
+    nodes, edges, directed = read_gml(spark, str(p))
+    assert directed
+    assert nodes.count() == 3
+    assert edges_set(edges) == {(0, 1, 1.0), (1, 2, 2.5)}
+
+
+def test_read_graphml(spark, tmp_path):
+    from networkit_spark.sources.edgelist import read_graphml
+
+    p = tmp_path / "g.graphml"
+    p.write_text(
+        '<?xml version="1.0"?><graphml><graph edgedefault="undirected">'
+        '<node id="a"/><node id="b"/><node id="c"/>'
+        '<edge source="a" target="b"/><edge source="b" target="c"/>'
+        "</graph></graphml>"
+    )
+    nodes, edges, directed = read_graphml(spark, str(p))
+    assert not directed
+    m = {r["raw"]: r["id"] for r in nodes.collect()}
+    assert m == {"a": 0, "b": 1, "c": 2}
+    assert edges_set(edges) == {
+        (0, 1, 1.0), (1, 0, 1.0), (1, 2, 1.0), (2, 1, 1.0)
+    }
+
+
+def test_read_mtx(spark, tmp_path):
+    from networkit_spark.sources.edgelist import read_mtx
+
+    p = tmp_path / "g.mtx"
+    p.write_text(
+        "%%MatrixMarket matrix coordinate real symmetric\n"
+        "% a comment\n"
+        "3 3 2\n1 2 1.5\n2 3 1.0\n"
+    )
+    nodes, edges = read_mtx(spark, str(p))
+    assert nodes.count() == 3
+    assert edges_set(edges) == {
+        (0, 1, 1.5), (1, 0, 1.5), (1, 2, 1.0), (2, 1, 1.0)
+    }

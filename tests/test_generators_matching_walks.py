@@ -97,3 +97,117 @@ def test_walk_cooccurrences(spark):
     co = walk_cooccurrences(w, window=1)
     assert co.filter("a = b").count() == 0
     assert co.count() > 0
+
+
+def test_barabasi_albert_shape(spark):
+    from networkit_spark.sources.generators import barabasi_albert
+
+    e = barabasi_albert(spark, 500, k=3, seed=1)
+    from pyspark.sql import functions as F
+
+    # every src in [1, 500), dsts earlier than srcs (attachment to the past)
+    assert e.filter(F.col("dst") >= F.col("src")).count() == 0
+    # preferential attachment -> early nodes are hubs: node 0's in-degree
+    # far above the median
+    indeg = e.groupBy("dst").count()
+    d0 = indeg.filter(F.col("dst") < 5).agg(F.sum("count")).first()[0]
+    assert d0 > 50
+
+
+def test_lfr_like_plp_recovery(spark):
+    """PLP on the LFR-ish substrate recovers the planted communities at low
+    mixing (the reference's community.dat recovery-style test)."""
+    from pyspark.sql import functions as F
+
+    from networkit_spark.graph import nodes_range, symmetrize
+    from networkit_spark.operators.plp import PLP
+    from networkit_spark.sources.generators import lfr_like
+
+    edges, truth = lfr_like(spark, 300, k_communities=5, mu=0.05, seed=3)
+    und = symmetrize(edges)
+    res = PLP(max_iterations=20).run(und, nodes_range(spark, 300))
+    labels = res.get_partition()
+    # same-community pairs should overwhelmingly share a PLP label:
+    # measure agreement via the dominant label per planted community
+    j = labels.join(truth, "node")
+    dom = (
+        j.groupBy("community", "label").count()
+        .groupBy("community")
+        .agg(F.max("count").alias("dom"), F.sum("count").alias("tot"))
+    )
+    agg = dom.agg(F.sum("dom").alias("d"), F.sum("tot").alias("t")).first()
+    assert agg["d"] / agg["t"] > 0.8
+
+
+def test_biased_walks_shape_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from networkit_spark.graph import edges_df, symmetrize
+    from networkit_spark.operators.node2vec import biased_random_walks
+
+    e = symmetrize(edges_df(spark, [(i, (i + 1) % 8) for i in range(8)] + [(0, 4)]))
+    w = biased_random_walks(e, p=0.5, q=2.0, length=4, seed=5)
+    rows = w.collect()
+    # every walk has steps 0..3 and consecutive nodes are adjacent
+    by_walk = {}
+    for r in rows:
+        by_walk.setdefault(r["walk_id"], {})[r["step"]] = r["node"]
+    edges_set = {(r["src"], r["dst"]) for r in e.collect()}
+    for wid, steps in by_walk.items():
+        assert set(steps) == {0, 1, 2, 3}
+        for s in range(3):
+            assert (steps[s], steps[s + 1]) in edges_set
+    # deterministic under repartitioning
+    w2 = biased_random_walks(e.repartition(5), p=0.5, q=2.0, length=4, seed=5)
+    assert {tuple(r) for r in rows} == {tuple(r) for r in w2.collect()}
+
+
+def test_biased_walks_p_controls_backtracking(spark):
+    from networkit_spark.graph import edges_df, symmetrize
+    from networkit_spark.operators.node2vec import biased_random_walks
+
+    # star graph: from a leaf, the ONLY neighbor is the hub; from the hub,
+    # low p -> strong return bias back to the previous leaf
+    e = symmetrize(edges_df(spark, [(0, i) for i in range(1, 9)]))
+    back = 0
+    total = 0
+    rows = biased_random_walks(e, p=0.01, q=1.0, length=4, seed=9).collect()
+    by_walk = {}
+    for r in rows:
+        by_walk.setdefault(r["walk_id"], {})[r["step"]] = r["node"]
+    for steps in by_walk.values():
+        if steps[0] != 0 and steps[1] == 0:  # leaf -> hub
+            total += 1
+            if steps[2] == steps[0]:  # returned to the same leaf
+                back += 1
+    assert total >= 6
+    assert back / total > 0.7  # p=0.01 makes return ~100x likelier
+
+
+def test_node2vec_embeddings_als(spark):
+    from networkit_spark.graph import edges_df, symmetrize
+    from networkit_spark.operators.node2vec import (
+        biased_random_walks,
+        node2vec_embeddings,
+    )
+
+    # two cliques joined by one bridge — embeddings should separate them
+    import itertools
+
+    c1 = list(itertools.combinations(range(5), 2))
+    c2 = list(itertools.combinations(range(5, 10), 2))
+    e = symmetrize(edges_df(spark, c1 + c2 + [(4, 5)]))
+    walks = biased_random_walks(e, p=1.0, q=1.0, walks_per_node=8, length=8, seed=2)
+    emb = node2vec_embeddings(walks, dim=8, window=3, iterations=10)
+    vecs = {r["node"]: r["embedding"] for r in emb.collect()}
+    assert len(vecs) >= 9
+    import numpy as np
+
+    def cos(a, b):
+        a, b = np.array(a), np.array(b)
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+
+    intra = np.mean([cos(vecs[a], vecs[b]) for a, b in c1 if a in vecs and b in vecs])
+    inter = np.mean([cos(vecs[a], vecs[b]) for a in range(3) for b in range(7, 10)
+                     if a in vecs and b in vecs])
+    assert intra > inter

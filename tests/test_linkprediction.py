@@ -65,3 +65,52 @@ def test_max_middle_degree_guard(spark):
     e = symmetrize(edges_df(spark, [(0, 1), (0, 2), (0, 3)]))
     assert wedge_pairs(e).count() == 3
     assert wedge_pairs(e, max_middle_degree=2).count() == 0
+
+
+def test_katz_index_path(spark):
+    """KatzIndex (linkprediction.pyx:138): truncated sum beta^l * #paths_l."""
+    from networkit_spark.operators.linkprediction import katz_index
+
+    # path 0-1-2: paths 0->2: one of length 2; 0->1: length 1 + length 3 (0-1-0-1? no:
+    # walks, not simple paths — NetworKit's KatzIndex counts WALKS via adjacency powers)
+    e = symmetrize(edges_df(spark, [(0, 1), (1, 2)]))
+    pairs = spark.createDataFrame([(0, 2), (0, 1)], "u long, v long")
+    beta = 0.1
+    got = smap(katz_index(e, pairs, beta=beta, max_path_length=3))
+    # walks 0->2: l=2: 0-1-2 (1). l=3: none (0-1-0-?2 no; 0-1-2-1 ends 1)
+    assert abs(got[(0, 2)]["katz"] - beta**2) < 1e-12
+    # walks 0->1: l=1: 1 walk; l=2: none; l=3: 0-1-0-1, 0-1-2-1 -> 2 walks
+    assert abs(got[(0, 1)]["katz"] - (beta + 2 * beta**3)) < 1e-12
+
+
+def test_roc_pr_curves(spark):
+    from networkit_spark.operators.linkprediction import (
+        auc_from_roc,
+        precision_recall_curve,
+        roc_curve,
+    )
+
+    rows = [(0.9, 1), (0.8, 1), (0.7, 0), (0.6, 1), (0.5, 0), (0.4, 0)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    roc = roc_curve(df, bins=None).collect()
+    # descending thresholds; at threshold 0.6: tp=3/3, fp=1/3
+    pts = {round(r["threshold"], 3): (r["fpr"], r["tpr"]) for r in roc}
+    assert pts[0.6] == (1 / 3, 1.0)
+    assert pts[0.4] == (1.0, 1.0)
+    auc = auc_from_roc(roc_curve(df, bins=None))
+    # sklearn roc_auc for this data = 0.8888...
+    assert abs(auc - 8 / 9) < 1e-9
+    pr = {round(r["threshold"], 3): (r["precision"], r["recall"])
+          for r in precision_recall_curve(df).collect()}
+    assert pr[0.9] == (1.0, 1 / 3)
+    assert pr[0.6] == (0.75, 1.0)
+
+
+def test_roc_binned_matches_unbinned_shape(spark):
+    from networkit_spark.operators.linkprediction import auc_from_roc, roc_curve
+
+    rows = [(float(i) / 100, 1 if i % 3 == 0 else 0) for i in range(100)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    a_full = auc_from_roc(roc_curve(df, bins=None))
+    a_bin = auc_from_roc(roc_curve(df, bins=20))
+    assert abs(a_full - a_bin) < 0.08

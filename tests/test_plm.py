@@ -58,3 +58,51 @@ def test_plm_singleton_on_empty_graph(spark):
     res = PLM().run(symmetrize(e), nodes_range(spark, 5))
     lab = labels_map(res.get_partition())
     assert lab == {i: i for i in range(5)}
+
+
+def test_leiden_communities_connected(spark):
+    """The Leiden guarantee: every output community is internally connected
+    (Louvain can produce disconnected ones — the refinement fixes it)."""
+    from pyspark.sql import functions as F
+
+    from networkit_spark.graph import nodes_range, symmetrize
+    from networkit_spark.operators.components import ConnectedComponents
+    from networkit_spark.operators.plm import ParallelLeiden
+    from networkit_spark.sources.generators import planted_partition
+
+    e = symmetrize(planted_partition(spark, blocks=4, block_size=12, m_in=40, m_out=10, seed=5))
+    nodes = nodes_range(spark, 48)
+    res = ParallelLeiden(max_sweeps_per_level=8, max_levels=3).run(e, nodes)
+    labels = res.get_partition()
+    # per community: CC over its induced subgraph must have exactly 1 part
+    la = labels.select(F.col("node").alias("src"), F.col("label").alias("ls"))
+    lb = labels.select(F.col("node").alias("dst"), F.col("label").alias("ld"))
+    intra = e.join(la, "src").join(lb, "dst").filter(F.col("ls") == F.col("ld"))
+    sub = ConnectedComponents().run(
+        intra.select("src", "dst", "weight"), labels.select(F.col("node").alias("id"))
+    ).labels_df
+    # nodes sharing a community must share a CC part (and vice versa for
+    # singleton communities trivially)
+    n_comms = labels.select("label").distinct().count()
+    # count distinct (community, intra-CC-part) pairs: connected communities
+    # contribute exactly one pair each
+    pairs = (
+        labels.join(sub.withColumnRenamed("label", "part"), "node")
+        .select("label", "part").distinct().count()
+    )
+    assert pairs == n_comms
+
+
+def test_leiden_recovers_planted_blocks(spark):
+    from pyspark.sql import functions as F
+
+    from networkit_spark.graph import nodes_range, symmetrize
+    from networkit_spark.operators.community import modularity
+    from networkit_spark.operators.plm import PLM, ParallelLeiden
+    from networkit_spark.sources.generators import planted_partition
+
+    e = symmetrize(planted_partition(spark, blocks=4, block_size=12, m_in=60, m_out=6, seed=8))
+    nodes = nodes_range(spark, 48)
+    res = ParallelLeiden(max_sweeps_per_level=8, max_levels=3).run(e, nodes)
+    q_leiden = modularity(e, res.get_partition())
+    assert q_leiden > 0.5  # planted blocks -> strong modularity

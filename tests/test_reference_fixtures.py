@@ -1,0 +1,92 @@
+"""Goldens against the reference's OWN fixture graphs and test anchors.
+
+- GML reader over ``input/looptest{1,2}.gml`` (the fixtures the reference's
+  Python centrality tests load — ``networkit/test/test_centrality.py:18-20``;
+  reader parity: ``networkit/graphio.pyx:1110``).
+- wiki-Vote PageRank top-rank golden: node 326, score 0.00460 +- 1e-3
+  directed (``cpp/centrality/test/CentralityGTest.cpp:492-519``).
+- astro-ph has exactly 1029 connected components
+  (``cpp/components/test/ConnectedComponentsGTest.cpp:70-78``).
+- karate.graph (METIS) basic shape: 34 nodes, 78 undirected edges, one
+  component.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from networkit_spark.sources.edgelist import read_gml, read_metis, read_snap
+
+INPUT = "/root/reference/input"
+
+needs_fixtures = pytest.mark.skipif(
+    not os.path.isdir(INPUT), reason="reference fixture corpus not present"
+)
+
+
+@needs_fixtures
+def test_read_gml_looptest1(spark):
+    nodes, edges, directed = read_gml(spark, f"{INPUT}/looptest1.gml")
+    assert not directed
+    assert nodes.count() == 9
+    # 12 undirected edges, no self-loops -> 24 symmetrized rows
+    assert edges.count() == 24
+    assert edges.filter(F.col("src") == F.col("dst")).count() == 0
+
+
+@needs_fixtures
+def test_read_gml_looptest2_selfloops(spark):
+    nodes, edges, directed = read_gml(spark, f"{INPUT}/looptest2.gml")
+    assert nodes.count() == 9
+    # 14 edges incl. 2 self-loops -> 12*2 + 2 rows
+    assert edges.filter(F.col("src") == F.col("dst")).count() == 2
+    assert edges.count() == 26
+
+
+@needs_fixtures
+def test_wiki_vote_pagerank_top_rank(spark):
+    """CentralityGTest.cpp:492-506: directed wiki-Vote, default PageRank
+    (damp 0.85), top-ranked node 326 with score 0.00460 +- 1e-3."""
+    from networkit_spark.operators.pagerank import PageRank
+
+    nodes, edges = read_snap(spark, f"{INPUT}/wiki-Vote.txt", directed=True)
+    res = PageRank(damp=0.85, tol=1e-6, max_iterations=100).run(
+        edges, nodes, directed=True
+    )
+    top = res.ranking(1).first()
+    # NetworKit's SNAPGraphReader remaps ids in first-appearance order, so
+    # its golden "node 326" is RAW id 4037 in the file; our reader keeps the
+    # raw ids (continuous numeric input). Same vertex, same score.
+    remap = {}
+    with open(f"{INPUT}/wiki-Vote.txt") as f:
+        for line in f:
+            if line.startswith("#"):
+                continue
+            for x in map(int, line.split()):
+                remap.setdefault(x, len(remap))
+    raw_of_326 = {v: k for k, v in remap.items()}[326]
+    assert top["node"] == raw_of_326
+    assert abs(top["score"] - 0.00460) < 1e-3
+
+
+@needs_fixtures
+def test_astro_ph_component_count(spark):
+    """ConnectedComponentsGTest.cpp:70-78: astro-ph has 1029 components."""
+    from networkit_spark.operators.components import ConnectedComponents
+
+    nodes, edges = read_metis(spark, f"{INPUT}/astro-ph.graph")
+    res = ConnectedComponents().run(edges, nodes)
+    assert res.converged
+    assert res.number_of_components() == 1029
+
+
+@needs_fixtures
+def test_karate_metis_shape(spark):
+    from networkit_spark.operators.components import ConnectedComponents
+
+    nodes, edges = read_metis(spark, f"{INPUT}/karate.graph")
+    assert nodes.count() == 34
+    assert edges.count() == 156  # 78 undirected edges, both directions
+    res = ConnectedComponents().run(edges, nodes)
+    assert res.number_of_components() == 1

@@ -51,8 +51,9 @@ def test_apply_events_last_writer_wins_and_increment(spark):
     ])
     out = edges_set(apply_events(edges, events))
     assert (0, 1, 3.5) in out
-    # (9,9) increment with no base edge -> edge springs into existence w=100
-    assert (9, 9, 100.0) in out
+    # increment with no base edge is dropped — reference parity:
+    # GraphUpdater calls Graph::increaseWeight, which requires the edge
+    assert not any(e[0] == 9 and e[1] == 9 for e in out)
 
 
 def test_graph_difference_roundtrip(spark):
@@ -139,3 +140,45 @@ def test_incremental_pipeline_foreachbatch(spark, event_dir, tmp_path):
     # restart with no new files -> state unchanged (checkpoint resume)
     run_incremental_pipeline(spark, event_dir, state, ckpt, once=True)
     assert edges_set(spark.read.parquet(os.path.join(state, "edges"))) == out
+
+
+def test_incremental_components_removal_split(spark):
+    """EDGE_REMOVAL path: removing a bridge splits the component; labels of
+    untouched components stay identical (DynConnectedComponents removal)."""
+    from networkit_spark.operators.components import ConnectedComponents
+    from networkit_spark.streaming.events import update_components_removals
+
+    # two components: path 0-1-2-3 (bridge 1-2) and pair 10-11
+    before = edges_df(spark, [(0, 1), (1, 2), (2, 3), (10, 11)])
+    nodes = spark.createDataFrame([(i,) for i in (0, 1, 2, 3, 10, 11)], "id long")
+    labels = ConnectedComponents().run(before, nodes).labels_df
+    after = edges_df(spark, [(0, 1), (2, 3), (10, 11)])
+    removed = spark.createDataFrame([(1, 2)], "src long, dst long")
+    got = {r["node"]: r["label"] for r in
+           update_components_removals(labels, after, removed).collect()}
+    full = {r["node"]: r["label"] for r in
+            ConnectedComponents().run(after, nodes).labels_df.collect()}
+    assert got == full
+    assert got[0] == got[1] != got[2] == got[3]
+    assert got[10] == got[11]
+
+
+def test_incremental_components_mixed_batch(spark):
+    """ADD + REMOVE in one batch matches a full recompute."""
+    from networkit_spark.operators.components import ConnectedComponents
+    from networkit_spark.streaming.events import apply_events, update_components
+
+    before = edges_df(spark, [(0, 1), (2, 3)])
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    labels = ConnectedComponents().run(before, nodes).labels_df
+    events = ev_df(spark, [
+        ("EDGE_ADDITION", 1, 2, 1.0, "2025-01-01 00:00:01"),   # merge 01+23
+        ("EDGE_ADDITION", 3, 4, 1.0, "2025-01-01 00:00:02"),   # attach 4
+        ("EDGE_REMOVAL", 0, 1, 0.0, "2025-01-01 00:00:03"),    # split off 0
+    ])
+    after = apply_events(before, events)
+    got = {r["node"]: r["label"] for r in
+           update_components(labels, after, events).collect()}
+    full = {r["node"]: r["label"] for r in
+            ConnectedComponents().run(after, nodes).labels_df.collect()}
+    assert got == full
