@@ -84,8 +84,19 @@ ITER_CACHE_CONF = {
 }
 
 
+def bench_graph_cached(spark, n_pages: int):
+    """Deterministic bench graph, materialized ONCE as parquet on tmpfs and
+    shared by every worker JVM (the generator is a pure function of
+    n_pages, so the cache is exact; cuts ~60-90s of per-worker generation
+    and guarantees byte-identical input across scaling trials)."""
+    path = f"/dev/shm/bench_graph_{n_pages}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        bench_graph(spark, n_pages).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 def run_pagerank(cores: int, n_pages: int, max_iterations: int, tol: float,
-                 warmup: int = 0, kernel: str = "shuffle"):
+                 warmup: int = 0, kernel: str = "shuffle", cached_graph: bool = False):
     """One PageRank run in this process; returns metrics dict.
 
     ``warmup`` supersteps are excluded (JIT/codegen warmup dominates the
@@ -101,7 +112,8 @@ def run_pagerank(cores: int, n_pages: int, max_iterations: int, tol: float,
 
     spark = get_spark(cores=cores, shuffle_partitions=cores,
                       app_name=f"bench{cores}", extra_conf=ITER_CACHE_CONF)
-    edges = bench_graph(spark, n_pages).persist()
+    src = bench_graph_cached(spark, n_pages) if cached_graph else bench_graph(spark, n_pages)
+    edges = src.persist()
     m = edges.count()
     nodes = nodes_range(spark, n_pages)
     cls = (
@@ -143,7 +155,7 @@ def worker_main():
     iters = int(sys.argv[4])
     kernel = sys.argv[5] if len(sys.argv) > 5 else "shuffle"
     out = run_pagerank(cores, n_pages, max_iterations=iters, tol=0.0, warmup=2,
-                       kernel=kernel)
+                       kernel=kernel, cached_graph=True)
     print("BENCHWORKER " + json.dumps(out))
 
 
@@ -244,9 +256,23 @@ def main():
     # per-pair efficiencies are recorded alongside as the conservative view.
     scale_pages = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "8000000"))
     lo_cores = max(1, CPUS // 4)
-    scale_iters = 7  # 2 warmup + 5 timed
+    scale_iters = 6  # 2 warmup + 4 timed
     trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "4"))
-    max_trials = int(os.environ.get("SPARK_GRAFT_SCALE_MAX_TRIALS", "8"))
+    max_trials = int(os.environ.get("SPARK_GRAFT_SCALE_MAX_TRIALS", "12"))
+    # pre-materialize the shared input once (tmpfs parquet) so worker wall
+    # time is dominated by the measured supersteps, maximizing the number of
+    # noise-window samples per unit of bench time
+    pre = subprocess.run(
+        [sys.executable, "-c",
+         "import sys; sys.path.insert(0, %r); import bench; "
+         "from networkit_spark.session import get_spark; "
+         "s = get_spark(cores=%d, shuffle_partitions=%d, app_name='gen'); "
+         "bench.bench_graph_cached(s, %d).count(); s.stop()"
+         % (os.path.dirname(os.path.abspath(__file__)), CPUS, CPUS, scale_pages)],
+        capture_output=True, text=True, timeout=1200,
+    )
+    if pre.returncode != 0:
+        print(pre.stderr[-1000:], file=sys.stderr)
     pairs = []
     while True:
         lo_r = spawn_worker(lo_cores, scale_pages, scale_iters)

@@ -1096,3 +1096,94 @@ def q_link_pred_roc(spark, sf_dir):
         F.round("fpr", 7).alias("fpr"),
         F.round("tpr", 7).alias("tpr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sfigality / Laplacian centrality / HubDominance (SURVEY §2.7 extras)
+# ---------------------------------------------------------------------------
+
+@register(
+    "sfigality",
+    f"""
+WITH {UEDGES_CTE},
+deg AS (SELECT src AS node, count(*) AS d FROM uedges GROUP BY src),
+hi AS (
+  SELECT e.src AS node,
+         sum(CASE WHEN d2.d > d1.d THEN 1 ELSE 0 END) AS nhi,
+         count(*) AS d
+  FROM uedges e JOIN deg d1 ON e.src = d1.node JOIN deg d2 ON e.dst = d2.node
+  GROUP BY e.src
+)
+SELECT doc.doc_id AS node,
+       round(CASE WHEN h.d > 0 THEN h.nhi::DOUBLE / h.d ELSE 0.0 END, 7) AS score
+FROM documents doc LEFT JOIN hi h ON doc.doc_id = h.node
+""",
+)
+def q_sfigality(spark, sf_dir):
+    """Sfigality (``centrality.pyx:2078``): fraction of neighbors with
+    strictly higher degree."""
+    from networkit_spark.operators.centrality import sfigality
+
+    n = _n_docs(spark, sf_dir)
+    e = doc_edges_undirected(spark, sf_dir)
+    out = sfigality(e, nodes_range(spark, n))
+    return out.select("node", F.round("score", 7).alias("score"))
+
+
+@register(
+    "laplacian_centrality",
+    f"""
+WITH {UEDGES_CTE},
+deg AS (SELECT src AS node, count(*) AS d FROM uedges GROUP BY src),
+ns AS (
+  SELECT e.src AS node, sum(d2.d) AS sdd
+  FROM uedges e JOIN deg d2 ON e.dst = d2.node GROUP BY e.src
+)
+SELECT doc.doc_id AS node,
+       CAST(coalesce(d.d, 0) * coalesce(d.d, 0) + coalesce(d.d, 0)
+            + 2 * coalesce(ns.sdd, 0) AS BIGINT) AS score
+FROM documents doc
+LEFT JOIN deg d ON doc.doc_id = d.node
+LEFT JOIN ns ON doc.doc_id = ns.node
+""",
+)
+def q_laplacian_centrality(spark, sf_dir):
+    """Unweighted Laplacian centrality closed form
+    (``LaplacianCentrality.cpp``): d^2 + d + 2*sum of neighbor degrees."""
+    from networkit_spark.operators.centrality import laplacian_centrality_unweighted
+
+    n = _n_docs(spark, sf_dir)
+    e = doc_edges_undirected(spark, sf_dir)
+    return laplacian_centrality_unweighted(e, nodes_range(spark, n))
+
+
+@register(
+    "hub_dominance",
+    _plp_oracle_sql(
+        PLP_ITERS,
+        """
+, sizes AS (SELECT label, count(*) AS sz FROM {last} GROUP BY label),
+ideg AS (
+  SELECT e.src AS node, a.label, count(*) AS idg
+  FROM uedges e
+  JOIN {last} a ON e.src = a.node
+  JOIN {last} b ON e.dst = b.node
+  WHERE a.label = b.label
+  GROUP BY e.src, a.label
+),
+top AS (SELECT label, max(idg) AS mx FROM ideg GROUP BY label)
+SELECT s.label,
+       round(CASE WHEN s.sz > 1 THEN coalesce(t.mx, 0)::DOUBLE / (s.sz - 1)
+             ELSE 0.0 END, 7) AS hub_dominance
+FROM sizes s LEFT JOIN top t ON s.label = t.label
+""",
+    ),
+)
+def q_hub_dominance(spark, sf_dir):
+    """HubDominance (``community.pyx:555``) over the PLP(5) partition."""
+    from networkit_spark.operators.community import hub_dominance
+
+    e = doc_edges_undirected(spark, sf_dir)
+    labels = q_plp_fixed5(spark, sf_dir)
+    out = hub_dominance(e, labels)
+    return out.select("label", F.round("hub_dominance", 7).alias("hub_dominance"))

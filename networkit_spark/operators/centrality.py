@@ -210,3 +210,54 @@ def eigenvector_fixed(
         length = raw.agg(F.sqrt(F.sum(F.col("raw") * F.col("raw")))).first()[0]
         scores = raw.select("node", (F.col("raw") / length).alias("score"))
     return scores
+
+
+def sfigality(und_edges: DataFrame, nodes: DataFrame) -> DataFrame:
+    """(node, score): fraction of a node's neighbors with STRICTLY higher
+    degree (``cpp/centrality/Sfigality.cpp``; ``centrality.pyx:2078``).
+    Degree-0 nodes score 0. One degree table + one wedge-free join."""
+    deg = und_edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
+    e = (
+        und_edges.select("src", "dst")
+        .join(deg.select(F.col("node").alias("src"), F.col("d").alias("ds")), "src")
+        .join(deg.select(F.col("node").alias("dst"), F.col("d").alias("dd")), "dst")
+    )
+    hi = e.groupBy(F.col("src").alias("node")).agg(
+        F.sum((F.col("dd") > F.col("ds")).cast("int")).alias("nhi"),
+        F.count("*").alias("d"),
+    )
+    return (
+        nodes.select(F.col("id").alias("node"))
+        .join(hi, "node", "left")
+        .select(
+            "node",
+            F.when(F.col("d") > 0, F.col("nhi") / F.col("d")).otherwise(0.0).alias("score"),
+        )
+    )
+
+
+def laplacian_centrality_unweighted(und_edges: DataFrame, nodes: DataFrame) -> DataFrame:
+    """(node, score): unweighted Laplacian centrality — the drop in the
+    Laplacian energy when removing the node; closed form
+    ``d(u)^2 + d(u) + 2 * sum_{v in N(u)} d(v)``
+    (``cpp/centrality/LaplacianCentrality.cpp``, unweighted branch). Pure
+    degree-table joins."""
+    deg = und_edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
+    nbrsum = (
+        und_edges.select("src", "dst")
+        .join(deg.select(F.col("node").alias("dst"), F.col("d").alias("dd")), "dst")
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.sum("dd").alias("sdd"))
+    )
+    return (
+        nodes.select(F.col("id").alias("node"))
+        .join(deg, "node", "left")
+        .join(nbrsum, "node", "left")
+        .fillna({"d": 0, "sdd": 0})
+        .select(
+            "node",
+            (F.col("d") * F.col("d") + F.col("d") + 2 * F.col("sdd"))
+            .cast("long")
+            .alias("score"),
+        )
+    )

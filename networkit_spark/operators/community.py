@@ -167,3 +167,29 @@ def continuous_balanced_partition(nodes: DataFrame, k: int) -> DataFrame:
     return nodes.select(
         F.col("id").alias("node"), (F.col("id") / size).cast("long").alias("label")
     )
+
+
+def hub_dominance(und_edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """(label, hub_dominance): per community, max internal degree divided by
+    (community size - 1) (``HubDominance``, ``community.pyx:555``).
+    Singleton communities score 0."""
+    la = labels.select(F.col("node").alias("src"), F.col("label").alias("ls"))
+    lb = labels.select(F.col("node").alias("dst"), F.col("label").alias("ld"))
+    intra_deg = (
+        und_edges.join(la, "src").join(lb, "dst")
+        .filter(F.col("ls") == F.col("ld"))
+        .groupBy(F.col("src").alias("node"), F.col("ls").alias("label"))
+        .agg(F.count("*").alias("ideg"))
+    )
+    sizes = labels.groupBy("label").agg(F.count("*").alias("sz"))
+    top = intra_deg.groupBy("label").agg(F.max("ideg").alias("mx"))
+    return (
+        sizes.join(top, "label", "left")
+        .select(
+            "label",
+            F.when(
+                F.col("sz") > 1,
+                F.coalesce(F.col("mx"), F.lit(0)) / (F.col("sz") - 1)
+            ).otherwise(0.0).alias("hub_dominance"),
+        )
+    )

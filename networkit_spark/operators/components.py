@@ -199,13 +199,16 @@ class ConnectedComponents:
                 src_labels = src_labels.join(
                     frontier["df"].withColumnRenamed("node", "src"), "src", "left_semi"
                 )
+            # shuffle-hash hints: checkpointed state has unknown stats, so
+            # Catalyst would sort-merge (re-sorting the persisted edge table
+            # every round); build on the label/candidate side instead
             cand = (
-                und.join(src_labels, "src")
+                und.join(src_labels.hint("shuffle_hash"), "src")
                 .groupBy(F.col("dst").alias("node"))
                 .agg(F.min("label").alias("nlabel"))
             )
             new = (
-                state.join(cand, "node", "left")
+                state.join(cand.hint("shuffle_hash"), "node", "left")
                 .select(
                     "node",
                     F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),

@@ -126,14 +126,19 @@ class PLP:
                     .distinct()
                 )
                 edges_in = e.join(affected, "dst", "left_semi")
+            # shuffle-hash hints: avoid per-sweep sort-merge re-sorts of the
+            # persisted edge table (checkpointed state has unknown stats)
             cand = (
-                edges_in.join(state.select(F.col("node").alias("src"), "label"), "src")
+                edges_in.join(
+                    state.select(F.col("node").alias("src"), "label").hint("shuffle_hash"),
+                    "src",
+                )
                 .groupBy(F.col("dst").alias("node"), "label")
                 .agg(F.sum("weight").alias("w"))
             )
             best = _argmax_labels(cand)
             new = (
-                state.join(best, "node", "left")
+                state.join(best.hint("shuffle_hash"), "node", "left")
                 .select(
                     "node",
                     F.coalesce(F.col("nlabel"), F.col("label")).alias("label"),

@@ -90,3 +90,22 @@ def test_build_edges_ids_consistent(spark):
     bad = edges.filter((F.col("src") < 0) | (F.col("src") >= n) | (F.col("dst") < 0) | (F.col("dst") >= n))
     assert bad.count() == 0
     assert edges.filter("src = dst").count() == 0
+
+
+def test_table_catalog_parquet_fallback(spark, tmp_path):
+    """Iceberg facade: no iceberg jars in this container -> parquet fallback
+    with identical read/write/exists semantics (on a cluster with the
+    iceberg runtime the same calls produce real Iceberg tables)."""
+    from networkit_spark.graph import edges_df
+    from networkit_spark.sources.catalog import TableCatalog, iceberg_available
+
+    assert iceberg_available(spark) is False  # this container
+    cat = TableCatalog(spark, warehouse=str(tmp_path / "wh"))
+    e = edges_df(spark, [(0, 1), (1, 2)])
+    assert not cat.exists("graph.edges")
+    cat.write(e, "graph.edges")
+    assert cat.exists("graph.edges")
+    back = cat.read("graph.edges")
+    assert {(r["src"], r["dst"]) for r in back.collect()} == {(0, 1), (1, 2)}
+    cat.write(e, "graph.edges", mode="append")
+    assert cat.read("graph.edges").count() == 4
