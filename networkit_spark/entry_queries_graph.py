@@ -1187,3 +1187,182 @@ def q_hub_dominance(spark, sf_dir):
     labels = q_plp_fixed5(spark, sf_dir)
     out = hub_dominance(e, labels)
     return out.select("label", F.round("hub_dominance", 7).alias("hub_dominance"))
+
+
+@register(
+    "square_clustering",
+    f"""
+WITH {UEDGES_CTE},
+deg AS (SELECT src AS node, count(*) AS d FROM uedges GROUP BY src),
+p AS (
+  SELECT a.src AS u, a.dst AS v, b.dst AS w
+  FROM uedges a JOIN uedges b ON a.src = b.src AND a.dst < b.dst
+),
+cn AS (
+  SELECT a.dst AS v, b.dst AS w, count(*) AS cn
+  FROM uedges a JOIN uedges b ON a.src = b.src AND a.dst < b.dst
+  GROUP BY 1, 2
+),
+he AS (SELECT src AS v, dst AS w, 1 AS vw FROM uedges WHERE src < dst),
+agg AS (
+  SELECT p.u,
+         sum(cn.cn - 1) AS sq,
+         sum(dv.d + dw.d - cn.cn - 1 - 2 * coalesce(he.vw, 0)) AS pot
+  FROM p
+  JOIN cn ON p.v = cn.v AND p.w = cn.w
+  JOIN deg dv ON p.v = dv.node
+  JOIN deg dw ON p.w = dw.node
+  LEFT JOIN he ON p.v = he.v AND p.w = he.w
+  GROUP BY p.u
+)
+SELECT doc.doc_id AS node,
+       round(CASE WHEN a.pot > 0 THEN a.sq::DOUBLE / a.pot ELSE 0.0 END, 7) AS score
+FROM documents doc LEFT JOIN agg a ON doc.doc_id = a.u
+""",
+)
+def q_square_clustering(spark, sf_dir):
+    """Local square clustering coefficient (4-cycles) —
+    ``LocalSquareClusteringCoefficient.cpp`` exact semantics."""
+    from networkit_spark.operators.triangles import local_square_clustering
+
+    n = _n_docs(spark, sf_dir)
+    e = doc_edges_undirected(spark, sf_dir)
+    out = local_square_clustering(e, nodes_range(spark, n))
+    return out.select("node", F.round("score", 7).alias("score"))
+
+
+@register(
+    "partition_quality",
+    _plp_oracle_sql(
+        PLP_ITERS,
+        """
+, m2 AS (SELECT sum(weight) AS w FROM uedges),
+intra AS (
+  SELECT sum(e.weight) AS w
+  FROM uedges e JOIN {last} a ON e.src = a.node JOIN {last} b ON e.dst = b.node
+  WHERE a.label = b.label
+)
+SELECT round(intra.w / m2.w, 7) AS coverage,
+       round(1.0 - intra.w / m2.w, 7) AS edge_cut_frac
+FROM intra CROSS JOIN m2
+""",
+    ),
+)
+def q_partition_quality(spark, sf_dir):
+    """Coverage + edge-cut fraction of the PLP(5) partition
+    (``Coverage`` / ``EdgeCut``, ``community.pyx:436,471``)."""
+    from networkit_spark.operators.community import coverage
+
+    e = doc_edges_undirected(spark, sf_dir)
+    labels = q_plp_fixed5(spark, sf_dir)
+    cov = coverage(e, labels)
+    return e.sparkSession.createDataFrame(
+        [(round(cov, 7), round(1.0 - cov, 7))], "coverage double, edge_cut_frac double"
+    )
+
+
+def _partition_similarity_oracle_sql() -> str:
+    """Rand / ARI / Jaccard between the PLP(3) and PLP(5) partitions (one
+    label chain, two snapshots), via the contingency-table pair formulas."""
+    parts = [f"WITH {UEDGES_CTE}", ", p0 AS (SELECT doc_id AS node, doc_id AS label FROM documents)"]
+    for k in range(1, PLP_ITERS + 1):
+        prev = f"p{k - 1}"
+        parts.append(
+            f", p{k} AS MATERIALIZED ("
+            f" SELECT n.node, coalesce(t.nlabel, n.label) AS label"
+            f" FROM {prev} n LEFT JOIN ("
+            f"   SELECT node, nlabel FROM ("
+            f"     SELECT e.dst AS node, p.label AS nlabel,"
+            f"            row_number() OVER (PARTITION BY e.dst"
+            f"              ORDER BY sum(e.weight) DESC, p.label ASC) AS rk"
+            f"     FROM uedges e JOIN {prev} p ON e.src = p.node"
+            f"     GROUP BY e.dst, p.label"
+            f"   ) WHERE rk = 1"
+            f" ) t ON n.node = t.node)"
+        )
+    parts.append(
+        f""", ct AS (
+  SELECT a.label AS la, b.label AS lb, count(*) AS c
+  FROM p3 a JOIN p{PLP_ITERS} b ON a.node = b.node GROUP BY 1, 2
+),
+sums AS (
+  SELECT (SELECT sum(c) FROM ct) AS n,
+         (SELECT sum(c * (c - 1) / 2.0) FROM ct) AS s,
+         (SELECT sum(sc * (sc - 1) / 2.0) FROM (SELECT sum(c) AS sc FROM ct GROUP BY la)) AS sa,
+         (SELECT sum(sc * (sc - 1) / 2.0) FROM (SELECT sum(c) AS sc FROM ct GROUP BY lb)) AS sb
+)
+SELECT round((n * (n - 1) / 2.0 - (sa + sb - 2 * s)) / (n * (n - 1) / 2.0), 7) AS rand,
+       round((s - sa * sb / (n * (n - 1) / 2.0))
+             / ((sa + sb) / 2.0 - sa * sb / (n * (n - 1) / 2.0)), 7) AS ari,
+       round(s / (sa + sb - s), 7) AS jaccard
+FROM sums"""
+    )
+    return "\n".join(parts)
+
+
+@register("partition_similarity", _partition_similarity_oracle_sql())
+def q_partition_similarity(spark, sf_dir):
+    """Rand / AdjustedRand / Jaccard measures (``community.pyx:983,1141,
+    1065``) between the PLP(3) and PLP(5) partitions."""
+    from networkit_spark.operators.community import (
+        adjusted_rand_index,
+        jaccard_partition_similarity,
+        rand_index,
+    )
+
+    n = _n_docs(spark, sf_dir)
+    e = doc_edges_undirected(spark, sf_dir)
+    a = plp_fixed(e, nodes_range(spark, n), iterations=3)
+    b = q_plp_fixed5(spark, sf_dir)
+    r = rand_index(a, b)
+    ari = adjusted_rand_index(a, b)
+    j = jaccard_partition_similarity(a, b)
+    return spark.createDataFrame(
+        [(round(r, 7), round(ari, 7), round(j, 7))],
+        "rand double, ari double, jaccard double",
+    )
+
+
+def _group_degree_oracle_sql(k: int = 4) -> str:
+    """Greedy group-degree unrolled: per round, gain(u) = #neighbors outside
+    the reachable set; argmax with min-id ties."""
+    parts = [f"WITH {UEDGES_CTE}", ", reach0 AS (SELECT CAST(NULL AS BIGINT) AS id WHERE 1=0)"]
+    sel_exprs = []
+    for r in range(1, k + 1):
+        prev_sel = (
+            "SELECT node FROM (" + " UNION ALL ".join(sel_exprs) + ")"
+            if sel_exprs
+            else "SELECT CAST(NULL AS BIGINT) WHERE 1=0"
+        )
+        parts.append(
+            f""", gains{r} AS MATERIALIZED (
+  SELECT d.doc_id AS src, coalesce(g.c, 0) AS g
+  FROM documents d LEFT JOIN (
+    SELECT e.src, count(*) AS c FROM uedges e
+    WHERE e.dst NOT IN (SELECT id FROM reach{r - 1}) GROUP BY e.src
+  ) g ON d.doc_id = g.src
+  WHERE d.doc_id NOT IN ({prev_sel})),
+pick{r} AS (SELECT src AS node FROM gains{r} ORDER BY g DESC, src ASC LIMIT 1),
+reach{r} AS MATERIALIZED (
+  SELECT id FROM reach{r - 1}
+  UNION SELECT node FROM pick{r}
+  UNION SELECT e.dst FROM uedges e JOIN pick{r} p ON e.src = p.node)"""
+        )
+        sel_exprs.append(f"SELECT node FROM pick{r}")
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS rank, node FROM pick{i + 1}" for i in range(k)
+    )
+    parts.append(finals)
+    return "\n".join(parts)
+
+
+@register("group_degree", _group_degree_oracle_sql(4))
+def q_group_degree(spark, sf_dir):
+    """Greedy group-degree, k=4 (``GroupDegree.cpp`` objective |N(S)\\S|,
+    deterministic min-id ties)."""
+    from networkit_spark.operators.group_centrality import group_degree
+
+    n = _n_docs(spark, sf_dir)
+    e = doc_edges_undirected(spark, sf_dir)
+    members, _score = group_degree(e, nodes_range(spark, n), k=4)
+    return members

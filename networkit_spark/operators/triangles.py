@@ -151,3 +151,60 @@ def triangle_edge_score(und_edges: DataFrame) -> DataFrame:
         .fillna({"score": 0})
         .select(F.col("u").alias("src"), F.col("v").alias("dst"), "score")
     )
+
+
+def local_square_clustering(und_edges: DataFrame, nodes: DataFrame) -> DataFrame:
+    """(node, score): local square (4-cycle) clustering coefficient —
+    ``cpp/centrality/LocalSquareClusteringCoefficient.cpp:19-50`` exact
+    semantics: per unordered neighbor pair (v, w) of u,
+    ``squares += cn(v,w) - 1`` and
+    ``potential += deg(v) + deg(w) - cn(v,w) - 1 - 2*[edge(v,w)]``;
+    score = squares / potential (0 when potential <= 0).
+
+    Relational: neighbor-pair enumeration (the wedge join keyed on the
+    CENTER u) + a common-neighbor-count join. Wedge fan-out at a hub is
+    O(deg^2) — same skew class as undirected triangle counting; the gate
+    graph is hub-capped, and web-scale callers should degree-cap first.
+    """
+    e = und_edges.select("src", "dst")
+    deg = e.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
+    # unordered neighbor pairs of each u
+    p = (
+        e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .join(e.select(F.col("src").alias("u"), F.col("dst").alias("w")), "u")
+        .filter(F.col("v") < F.col("w"))
+    )
+    # common-neighbor counts for pairs sharing >= 1 neighbor
+    cn = (
+        e.select(F.col("src").alias("mid"), F.col("dst").alias("v"))
+        .join(e.select(F.col("src").alias("mid"), F.col("dst").alias("w")), "mid")
+        .filter(F.col("v") < F.col("w"))
+        .groupBy("v", "w")
+        .agg(F.count("*").alias("cn"))
+    )
+    has_edge = e.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("v"), F.col("dst").alias("w"), F.lit(1).alias("vw")
+    )
+    full = (
+        p.join(cn, ["v", "w"])  # cn >= 1 always (u is a common neighbor)
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
+        .join(deg.select(F.col("node").alias("w"), F.col("d").alias("dw")), "w")
+        .join(has_edge, ["v", "w"], "left")
+    )
+    agg = full.groupBy("u").agg(
+        F.sum(F.col("cn") - 1).alias("sq"),
+        F.sum(
+            F.col("dv") + F.col("dw") - F.col("cn") - 1
+            - 2 * F.coalesce(F.col("vw"), F.lit(0))
+        ).alias("pot"),
+    )
+    return (
+        nodes.select(F.col("id").alias("node"))
+        .join(agg.withColumnRenamed("u", "node"), "node", "left")
+        .select(
+            "node",
+            F.when(F.col("pot") > 0, F.col("sq") / F.col("pot"))
+            .otherwise(0.0)
+            .alias("score"),
+        )
+    )

@@ -76,3 +76,49 @@ def test_eigenvector_fixed_normalized(spark):
     got = vec(eigenvector_fixed(e, nodes_range(spark, 8), iterations=50), 8)
     assert abs(np.linalg.norm(got) - 1.0) < 1e-9
     assert np.allclose(got, PR8_EVZ_EXPECTED, atol=1e-3)
+
+
+def test_sfigality_star(spark):
+    """Star: every leaf's single neighbor (hub) has higher degree -> 1.0;
+    the hub has none -> 0.0 (Sfigality.cpp)."""
+    from networkit_spark.graph import edges_df, nodes_range, symmetrize
+    from networkit_spark.operators.centrality import sfigality
+
+    e = symmetrize(edges_df(spark, [(0, i) for i in range(1, 5)]))
+    got = {r["node"]: r["score"] for r in sfigality(e, nodes_range(spark, 5)).collect()}
+    assert got[0] == 0.0
+    assert all(got[i] == 1.0 for i in range(1, 5))
+
+
+def test_laplacian_centrality_path(spark):
+    """P3 0-1-2: LC(1) = 4+2+2*(1+1) = 10; LC(0) = 1+1+2*2 = 6."""
+    from networkit_spark.graph import edges_df, nodes_range, symmetrize
+    from networkit_spark.operators.centrality import laplacian_centrality_unweighted
+
+    e = symmetrize(edges_df(spark, [(0, 1), (1, 2)]))
+    got = {r["node"]: r["score"] for r in
+           laplacian_centrality_unweighted(e, nodes_range(spark, 3)).collect()}
+    assert got == {0: 6, 1: 10, 2: 6}
+
+
+def test_group_degree_star_plus_path(spark):
+    """Star(0;1..5) + path 6-7-8: greedy picks hub 0 first (gain 5), then 7
+    (gain 2: covers 6, 8); score = |N(S) \\ S| with k=2."""
+    from networkit_spark.graph import edges_df, nodes_range, symmetrize
+    from networkit_spark.operators.group_centrality import group_degree
+
+    e = symmetrize(edges_df(spark, [(0, i) for i in range(1, 6)] + [(6, 7), (7, 8)]))
+    members, score = group_degree(e, nodes_range(spark, 9), k=2)
+    picks = [r["node"] for r in members.orderBy("rank").collect()]
+    assert picks == [0, 7]
+    assert score == 7  # {1..5} + {6, 8}
+
+
+def test_group_degree_count_group_variant(spark):
+    from networkit_spark.graph import edges_df, nodes_range, symmetrize
+    from networkit_spark.operators.group_centrality import group_degree
+
+    e = symmetrize(edges_df(spark, [(0, 1), (1, 2)]))
+    members, score = group_degree(e, nodes_range(spark, 3), k=1, count_group=True)
+    assert [r["node"] for r in members.collect()] == [1]
+    assert score == 3  # {0, 1, 2}

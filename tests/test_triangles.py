@@ -75,3 +75,26 @@ def test_triangle_edge_score(spark):
     e = symmetrize(edges_df(spark, [(0, 1), (1, 2), (0, 2), (0, 3)]))
     scores = {(r["src"], r["dst"]): r["score"] for r in triangle_edge_score(e).collect()}
     assert scores == {(0, 1): 1, (1, 2): 1, (0, 2): 1, (0, 3): 0}
+
+
+def test_local_square_clustering(spark):
+    """C4: every node in a plain 4-cycle scores 1.0; paths score 0; a
+    triangle's potential cancels to 0 (LocalSquareClusteringCoefficient.cpp
+    semantics)."""
+    from networkit_spark.graph import edges_df, nodes_range, symmetrize
+    from networkit_spark.operators.triangles import local_square_clustering
+
+    c4 = symmetrize(edges_df(spark, [(0, 1), (1, 2), (2, 3), (3, 0)]))
+    got = {r["node"]: r["score"] for r in
+           local_square_clustering(c4, nodes_range(spark, 4)).collect()}
+    assert all(abs(got[v] - 1.0) < 1e-12 for v in range(4))
+
+    p4 = symmetrize(edges_df(spark, [(0, 1), (1, 2), (2, 3)]))
+    got = {r["node"]: r["score"] for r in
+           local_square_clustering(p4, nodes_range(spark, 4)).collect()}
+    assert got[1] == 0.0 and got[2] == 0.0
+
+    tri = symmetrize(edges_df(spark, [(0, 1), (1, 2), (2, 0)]))
+    got = {r["node"]: r["score"] for r in
+           local_square_clustering(tri, nodes_range(spark, 3)).collect()}
+    assert all(got[v] == 0.0 for v in range(3))
