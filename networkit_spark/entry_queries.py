@@ -200,12 +200,20 @@ def q_pagerank_top20(spark, sf_dir):
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # late imports so every operator module's registrations are loaded
-    from networkit_spark import entry_queries_graph, entry_queries_text  # noqa: F401
+    from networkit_spark import (  # noqa: F401
+        entry_queries_graph,
+        entry_queries_sparsify,
+        entry_queries_text,
+    )
 
     return dict(QUERIES)
 
 
 def all_oracles() -> dict[str, str]:
-    from networkit_spark import entry_queries_graph, entry_queries_text  # noqa: F401
+    from networkit_spark import (  # noqa: F401
+        entry_queries_graph,
+        entry_queries_sparsify,
+        entry_queries_text,
+    )
 
     return dict(ORACLES)

@@ -1,0 +1,246 @@
+"""Sparsification edge-score query registrations (SURVEY §2 row 71 +
+algebraic distance, row 65): SCAN structural similarity, Multiscale
+backbone, Simmelian overlap, chance-corrected triangles, local similarity,
+and fixed-iteration algebraic distance — each paired with an ANSI-SQL DuckDB
+oracle over the same deterministic documents-derived graph."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from networkit_spark.entry_queries import register
+from networkit_spark.entry_queries_graph import TRI_CTE
+from networkit_spark.operators.algebraic import algebraic_distance_edge_scores, uniform_sql
+from networkit_spark.operators.sparsification import (
+    chance_corrected_triangle_score,
+    local_similarity_score,
+    multiscale_score,
+    scan_edge_score,
+    simmelian_overlap_score,
+)
+from networkit_spark.testgraph import UEDGES_CTE, doc_edges_undirected
+
+
+def _n_docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+
+# Per-edge triangle counts, canonical src < dst: shared tail for the
+# triangle-derived scores (same pairs/cnt shape as the triangle_edge_score
+# oracle in entry_queries_graph).
+TRIEDGE_CTE = (
+    TRI_CTE
+    + """,
+tpairs AS (
+    SELECT least(ta, tb) AS u, greatest(ta, tb) AS v FROM tri
+    UNION ALL SELECT least(ta, tc), greatest(ta, tc) FROM tri
+    UNION ALL SELECT least(tb, tc), greatest(tb, tc) FROM tri
+),
+tcnt AS (SELECT u, v, count(*) AS c FROM tpairs GROUP BY u, v),
+escore AS MATERIALIZED (
+    SELECT e.src, e.dst, coalesce(tcnt.c, 0) AS tc
+    FROM (SELECT src, dst FROM uedges WHERE src < dst) e
+    LEFT JOIN tcnt ON e.src = tcnt.u AND e.dst = tcnt.v
+)
+"""
+)
+
+
+@register(
+    "scan_edge_score",
+    f"""
+WITH {TRIEDGE_CTE}
+SELECT s.src, s.dst,
+       round((s.tc + 1) / sqrt((d1.d + 1.0) * (d2.d + 1.0)), 7) AS score
+FROM escore s
+JOIN udeg d1 ON s.src = d1.node
+JOIN udeg d2 ON s.dst = d2.node
+""",
+)
+def q_scan_edge_score(spark, sf_dir):
+    """SCAN structural similarity (SCANStructuralSimilarityScore.cpp)."""
+    e = doc_edges_undirected(spark, sf_dir)
+    out = scan_edge_score(e)
+    return out.select("src", "dst", F.round("score", 7).alias("score"))
+
+
+@register(
+    "chance_corrected_triangle",
+    f"""
+WITH {TRIEDGE_CTE},
+nnn AS (SELECT count(*) AS n FROM documents)
+SELECT s.src, s.dst,
+       round(CASE WHEN s.tc > 0
+                  THEN s.tc * (nnn.n - 2.0) / ((d1.d - 1.0) * (d2.d - 1.0))
+                  WHEN d1.d = 1 OR d2.d = 1 THEN 1.0
+                  ELSE 0.0 END, 7) AS score
+FROM escore s
+JOIN udeg d1 ON s.src = d1.node
+JOIN udeg d2 ON s.dst = d2.node
+CROSS JOIN nnn
+""",
+)
+def q_chance_corrected_triangle(spark, sf_dir):
+    """Chance-corrected triangle score (ChanceCorrectedTriangleScore.cpp)."""
+    n = _n_docs(spark, sf_dir)
+    e = doc_edges_undirected(spark, sf_dir)
+    out = chance_corrected_triangle_score(e, n=n)
+    return out.select("src", "dst", F.round("score", 7).alias("score"))
+
+
+@register(
+    "multiscale_score",
+    f"""
+WITH {UEDGES_CTE},
+msum AS (SELECT src AS node, sum(weight) AS ws, count(*) AS d FROM uedges GROUP BY src),
+dirp AS (
+    SELECT e.src, e.dst,
+           1.0 - power(1.0 - e.weight / s.ws, s.d - 1.0) AS p
+    FROM uedges e JOIN msum s ON e.src = s.node
+)
+SELECT least(src, dst) AS src, greatest(src, dst) AS dst,
+       round(max(p), 7) AS score
+FROM dirp GROUP BY 1, 2
+""",
+)
+def q_multiscale_score(spark, sf_dir):
+    """Multiscale backbone probability (MultiscaleScore.cpp)."""
+    e = doc_edges_undirected(spark, sf_dir)
+    out = multiscale_score(e)
+    return out.select("src", "dst", F.round("score", 7).alias("score"))
+
+
+SIMMELIAN_MAX_RANK = 5
+
+
+@register(
+    "simmelian_overlap",
+    f"""
+WITH {TRIEDGE_CTE},
+ssym AS (
+    SELECT src, dst, tc FROM escore
+    UNION ALL SELECT dst AS src, src AS dst, tc FROM escore
+),
+srk AS (
+    SELECT src, dst,
+           rank() OVER (PARTITION BY src ORDER BY tc DESC) - 1 AS rk
+    FROM ssym
+),
+stop AS MATERIALIZED (
+    SELECT src AS node, dst AS nbr FROM srk WHERE rk <= {SIMMELIAN_MAX_RANK}
+),
+scommon AS (
+    SELECT e.src AS u, e.dst AS v, count(*) AS c
+    FROM (SELECT src, dst FROM uedges WHERE src < dst) e
+    JOIN stop t1 ON t1.node = e.src AND t1.nbr <> e.dst
+    JOIN stop t2 ON t2.node = e.dst AND t2.nbr = t1.nbr
+    GROUP BY e.src, e.dst
+)
+SELECT e.src, e.dst, CAST(coalesce(sc.c, 0) AS DOUBLE) AS score
+FROM (SELECT src, dst FROM uedges WHERE src < dst) e
+LEFT JOIN scommon sc ON e.src = sc.u AND e.dst = sc.v
+""",
+)
+def q_simmelian_overlap(spark, sf_dir):
+    """Simmelian overlap at max_rank=5 (SimmelianOverlapScore.cpp)."""
+    e = doc_edges_undirected(spark, sf_dir)
+    return simmelian_overlap_score(e, max_rank=SIMMELIAN_MAX_RANK)
+
+
+@register(
+    "local_similarity_score",
+    f"""
+WITH {TRIEDGE_CTE},
+lsym AS (
+    SELECT src, dst, tc FROM escore
+    UNION ALL SELECT dst AS src, src AS dst, tc FROM escore
+),
+lsim AS (
+    SELECT s.src, s.dst, d1.d AS ds,
+           s.tc * 1.0 / (d1.d + d2.d - s.tc) AS sim
+    FROM lsym s
+    JOIN udeg d1 ON s.src = d1.node
+    JOIN udeg d2 ON s.dst = d2.node
+),
+lrk AS (
+    SELECT src, dst, ds,
+           row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst ASC) AS rk
+    FROM lsim
+)
+SELECT least(src, dst) AS src, greatest(src, dst) AS dst,
+       round(max(CASE WHEN ds > 1 THEN 1.0 - ln(rk) / ln(ds) ELSE 1.0 END), 7) AS score
+FROM lrk GROUP BY 1, 2
+""",
+)
+def q_local_similarity_score(spark, sf_dir):
+    """Local-similarity sparsification exponent (LocalSimilarityScore.cpp);
+    ties broken by neighbor id ascending in both engine and oracle (the
+    reference's tie order is its unstable sort order — documented
+    divergence)."""
+    e = doc_edges_undirected(spark, sf_dir)
+    out = local_similarity_score(e)
+    return out.select("src", "dst", F.round("score", 7).alias("score"))
+
+
+AD_SYSTEMS = 2
+AD_ITERS = 3
+AD_SEED = 42
+
+
+def _algebraic_distance_oracle_sql() -> str:
+    u0 = uniform_sql("d.doc_id", "s.sys", AD_SEED)
+    parts = [
+        f"WITH {UEDGES_CTE}",
+        ", syss AS (SELECT unnest(range({0})) AS sys)".replace("{0}", str(AD_SYSTEMS)),
+        ", adwdeg AS (SELECT src AS node, sum(weight) AS wdeg FROM uedges GROUP BY src)",
+        f", a0 AS MATERIALIZED (SELECT d.doc_id AS node, s.sys, {u0} AS load"
+        f"  FROM documents d CROSS JOIN syss s)",
+    ]
+    for k in range(1, AD_ITERS + 1):
+        prev = f"a{k - 1}"
+        parts.append(
+            f""", a{k} AS MATERIALIZED (
+  SELECT l.node, l.sys,
+         CASE WHEN m.acc IS NOT NULL
+              THEN 0.5 * l.load + 0.5 * m.acc / w.wdeg
+              ELSE l.load END AS load
+  FROM {prev} l
+  LEFT JOIN (
+     SELECT e.src AS node, p.sys, sum(e.weight * p.load) AS acc
+     FROM uedges e JOIN {prev} p ON e.dst = p.node GROUP BY e.src, p.sys
+  ) m ON l.node = m.node AND l.sys = m.sys
+  LEFT JOIN adwdeg w ON l.node = w.node)"""
+        )
+    last = f"a{AD_ITERS}"
+    parts.append(
+        f""", mm AS (SELECT sys, min(load) AS lo, max(load) AS hi FROM {last} GROUP BY sys)
+, nl AS (SELECT a.node, a.sys, (a.load - mm.lo) / (mm.hi - mm.lo) AS load
+         FROM {last} a JOIN mm ON a.sys = mm.sys)
+SELECT e.src, e.dst,
+       round(sqrt(sum(power(abs(lu.load - lv.load), 2))), 7) AS score
+FROM (SELECT src, dst FROM uedges WHERE src < dst) e
+JOIN nl lu ON e.src = lu.node
+JOIN nl lv ON e.dst = lv.node AND lu.sys = lv.sys
+GROUP BY e.src, e.dst"""
+    )
+    return "\n".join(parts)
+
+
+@register("algebraic_distance", _algebraic_distance_oracle_sql())
+def q_algebraic_distance(spark, sf_dir):
+    """Fixed-iteration algebraic distance per edge (AlgebraicDistance.cpp),
+    deterministic md5 init, 2 systems x 3 iterations, L2 norm."""
+    from networkit_spark.graph import nodes_range
+
+    n = _n_docs(spark, sf_dir)
+    e = doc_edges_undirected(spark, sf_dir)
+    out = algebraic_distance_edge_scores(
+        e,
+        nodes_range(spark, n),
+        num_systems=AD_SYSTEMS,
+        num_iterations=AD_ITERS,
+        omega=0.5,
+        seed=AD_SEED,
+        norm=2,
+    )
+    return out.select("src", "dst", F.round("score", 7).alias("score"))

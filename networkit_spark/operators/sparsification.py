@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from networkit_spark.operators.triangles import triangle_edge_score
+
 
 def _canon(und_edges: DataFrame) -> DataFrame:
     return und_edges.filter(F.col("src") < F.col("dst"))
@@ -116,6 +118,181 @@ def global_threshold_filter(
     canon = _canon(und_edges).join(keep, ["src", "dst"], "left_semi")
     return canon.union(
         canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    )
+
+
+def scan_edge_score(und_edges: DataFrame) -> DataFrame:
+    """SCAN structural similarity per edge:
+    ``(tri(u,v) + 1) / sqrt((deg(u)+1) * (deg(v)+1))``
+    (``cpp/sparsification/SCANStructuralSimilarityScore.cpp:7-21``).
+
+    One wedge-join for the triangle counts (degree-ordered, skew-safe) plus
+    two broadcast-sized degree joins — no all-pairs work, scale-safe.
+    """
+    tri = triangle_edge_score(und_edges)
+    deg = und_edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
+    return (
+        tri.join(deg.select(F.col("node").alias("src"), F.col("d").alias("ds")), "src")
+        .join(deg.select(F.col("node").alias("dst"), F.col("d").alias("dd")), "dst")
+        .select(
+            "src",
+            "dst",
+            (
+                (F.col("score") + 1)
+                / F.sqrt((F.col("ds") + 1.0) * (F.col("dd") + 1.0))
+            ).alias("score"),
+        )
+    )
+
+
+def chance_corrected_triangle_score(und_edges: DataFrame, n: int | None = None) -> DataFrame:
+    """Chance-corrected triangle score
+    (``cpp/sparsification/ChanceCorrectedTriangleScore.cpp:17-33``):
+    ``tri * (n-2) / ((deg(u)-1) * (deg(v)-1))`` when tri > 0; 1 when either
+    endpoint has degree 1; else 0."""
+    if n is None:
+        n = (
+            und_edges.select(F.col("src").alias("x"))
+            .union(und_edges.select(F.col("dst")))
+            .distinct()
+            .count()
+        )
+    tri = triangle_edge_score(und_edges)
+    deg = und_edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
+    return (
+        tri.join(deg.select(F.col("node").alias("src"), F.col("d").alias("ds")), "src")
+        .join(deg.select(F.col("node").alias("dst"), F.col("d").alias("dd")), "dst")
+        .select(
+            "src",
+            "dst",
+            F.when(
+                F.col("score") > 0,
+                F.col("score") * F.lit(float(n - 2))
+                / ((F.col("ds") - 1.0) * (F.col("dd") - 1.0)),
+            )
+            .when((F.col("ds") == 1) | (F.col("dd") == 1), F.lit(1.0))
+            .otherwise(F.lit(0.0))
+            .alias("score"),
+        )
+    )
+
+
+def multiscale_score(und_edges: DataFrame) -> DataFrame:
+    """Multiscale backbone score (``cpp/sparsification/MultiscaleScore.cpp``):
+    per direction (u -> v) normalize w(u,v) by u's weighted degree and score
+    the edge with ``1 - (1 - p)^(deg(u) - 1)`` (null model: normalized
+    weights of a degree-k node are uniform); the edge keeps the max over
+    both directions. Pure groupBy + join SQL — scale-safe."""
+    s = und_edges.groupBy(F.col("src").alias("node")).agg(
+        F.sum("weight").alias("wsum"), F.count("*").alias("d")
+    )
+    directed = (
+        und_edges.join(s.withColumnRenamed("node", "src"), "src")
+        .select(
+            "src",
+            "dst",
+            (
+                1.0
+                - F.pow(
+                    1.0 - F.col("weight") / F.col("wsum"),
+                    F.col("d").cast("double") - 1.0,
+                )
+            ).alias("p"),
+        )
+    )
+    u = F.least("src", "dst").alias("u")
+    v = F.greatest("src", "dst").alias("v")
+    return (
+        directed.select(u, v, "p")
+        .groupBy("u", "v")
+        .agg(F.max("p").alias("score"))
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"), "score")
+    )
+
+
+def simmelian_overlap_score(und_edges: DataFrame, max_rank: int = 10) -> DataFrame:
+    """Simmelian overlap (``cpp/sparsification/SimmelianOverlapScore.cpp`` +
+    ``SimmelianScore.cpp:17-46``): rank each node's neighbors by per-edge
+    triangle count (competition ranking, 0-based, strongest first); the
+    score of edge (u, v) = number of common neighbors ranked <= max_rank by
+    BOTH endpoints.
+
+    Physical plan: one triangle wedge-join, a per-node window rank (keys are
+    node ids — no global sort), a rank filter (caps each node's survivor
+    list at <= max_rank-ish, bounding the semi-join fan-out), then a
+    common-neighbor join on the capped lists. The rank cap is the hot-key
+    guard: a 10^7-degree hub contributes at most its top ranks."""
+    tri = triangle_edge_score(und_edges)
+    directed = tri.select("src", "dst", "score").union(
+        tri.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "score")
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("score"))
+    top = (
+        directed.withColumn("rk", F.rank().over(w) - 1)
+        .filter(F.col("rk") <= max_rank)
+        .select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
+    )
+    e = _canon(und_edges).select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    common = (
+        e.join(top.select(F.col("node").alias("u"), F.col("nbr")), "u")
+        .filter(F.col("nbr") != F.col("v"))
+        .join(
+            top.select(F.col("node").alias("v"), F.col("nbr")),
+            ["v", "nbr"],
+            "left_semi",
+        )
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        e.join(common, ["u", "v"], "left")
+        .select(
+            F.col("u").alias("src"),
+            F.col("v").alias("dst"),
+            F.coalesce(F.col("c"), F.lit(0)).cast("double").alias("score"),
+        )
+    )
+
+
+def local_similarity_score(und_edges: DataFrame) -> DataFrame:
+    """Local-similarity sparsification exponent
+    (``cpp/sparsification/LocalSimilarityScore.cpp:17-77``): per directed
+    edge sim = tri / (deg(u) + deg(v) - tri); rank u's neighbors by sim
+    descending (reference tie order is its sort order; we tie-break by
+    neighbor id ascending, deterministically, in BOTH engine and oracle);
+    exponent e = 1 - log(rank)/log(deg(u)) (1 when deg(u) <= 1); edge keeps
+    max over both directions."""
+    tri = triangle_edge_score(und_edges)
+    deg = und_edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
+    sym = tri.select("src", "dst", "score").union(
+        tri.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "score")
+    )
+    e = (
+        sym.join(deg.select(F.col("node").alias("src"), F.col("d").alias("ds")), "src")
+        .join(deg.select(F.col("node").alias("dst"), F.col("d").alias("dd")), "dst")
+        .withColumn(
+            "sim",
+            F.col("score") / (F.col("ds") + F.col("dd") - F.col("score")),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("sim"), F.asc("dst"))
+    ranked = e.withColumn("rk", F.row_number().over(w)).select(
+        "src",
+        "dst",
+        F.when(
+            F.col("ds") > 1,
+            1.0 - F.log(F.col("rk").cast("double")) / F.log(F.col("ds").cast("double")),
+        )
+        .otherwise(1.0)
+        .alias("s"),
+    )
+    u = F.least("src", "dst").alias("u")
+    v = F.greatest("src", "dst").alias("v")
+    return (
+        ranked.select(u, v, "s")
+        .groupBy("u", "v")
+        .agg(F.max("s").alias("score"))
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"), "score")
     )
 
 
