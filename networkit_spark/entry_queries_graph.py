@@ -920,6 +920,72 @@ def q_random_walk_corpus(spark, sf_dir):
     return random_walks(e, walks_per_node=1, length=4)
 
 
+def _node2vec_oracle_sql(
+    length: int, p: float, q: float, seed: int = 42
+) -> str:
+    """Dual of operators/walks.py:node2vec_walks — step 1 uniform over the
+    dst-sorted adjacency; steps >= 2 inverse-CDF over the p/q-biased weights
+    with the cumsum evaluated in dst-ascending order (identical float op
+    order to the engine's two array folds, so values match bitwise)."""
+    M = 2147483647
+    parts = [
+        f"WITH {UEDGES_CTE}",
+        """, n2vs0 AS (SELECT DISTINCT src AS walk_id, src AS cur FROM uedges),
+n2vr1 AS (
+  SELECT s.walk_id, s.cur AS prev, e.dst,
+         row_number() OVER (PARTITION BY s.walk_id ORDER BY e.dst) AS rn,
+         count(*) OVER (PARTITION BY s.walk_id) AS degc
+  FROM n2vs0 s JOIN uedges e ON e.src = s.cur)""",
+        f""", n2vs1 AS MATERIALIZED (
+  SELECT walk_id, prev, dst AS cur FROM n2vr1
+  WHERE rn = (((walk_id % {M}) * 1103515245 + {1 * 12345 + seed}) % {M}) % degc + 1)""",
+    ]
+    for step in range(2, length):
+        c = step * 12345 + seed
+        prev_cte = f"n2vs{step - 1}"
+        parts.append(
+            f""", n2vc{step} AS (
+  SELECT s.walk_id, s.cur, e.dst,
+         e.weight * (CASE WHEN e.dst = s.prev THEN {1.0 / p!r}
+              WHEN EXISTS (SELECT 1 FROM uedges pe
+                           WHERE pe.src = s.prev AND pe.dst = e.dst) THEN 1.0
+              ELSE {1.0 / q!r} END) AS wgt
+  FROM {prev_cte} s JOIN uedges e ON e.src = s.cur),
+n2vm{step} AS (
+  SELECT *, sum(wgt) OVER (PARTITION BY walk_id ORDER BY dst
+                           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM n2vc{step}),
+n2vs{step} AS MATERIALIZED (
+  SELECT walk_id, cur AS prev, dst AS cur FROM (
+    SELECT *, row_number() OVER (PARTITION BY walk_id ORDER BY dst) AS pick_rn
+    FROM (SELECT *, max(cum) OVER (PARTITION BY walk_id) AS total FROM n2vm{step})
+    WHERE cum >= ((((walk_id % {M}) * 1103515245 + {c}) % {M}) / {float(M)!r}) * total
+  ) WHERE pick_rn = 1)"""
+        )
+    union = " UNION ALL ".join(
+        ["SELECT walk_id, CAST(0 AS INT) AS step, walk_id AS node FROM n2vs0"]
+        + [
+            f"SELECT walk_id, CAST({s} AS INT) AS step, cur AS node FROM n2vs{s}"
+            for s in range(1, length)
+        ]
+    )
+    parts.append(union)
+    return "\n".join(parts)
+
+
+N2V_P, N2V_Q = 4.0, 0.25
+
+
+@register("node2vec_walks", _node2vec_oracle_sql(4, N2V_P, N2V_Q))
+def q_node2vec_walks(spark, sf_dir):
+    """p/q-biased second-order node2vec walks (BiasedRandomWalk.cpp:65-99),
+    p=4 (return-averse), q=0.25 (DFS-leaning), length 4, deterministic."""
+    from networkit_spark.operators.walks import node2vec_walks
+
+    e = doc_edges_undirected(spark, sf_dir)
+    return node2vec_walks(e, p=N2V_P, q=N2V_Q, walks_per_node=1, length=4)
+
+
 # ---------------------------------------------------------------------------
 # Distance family extras: diameter / eccentricity / hop plot (SURVEY §2.7)
 # ---------------------------------------------------------------------------

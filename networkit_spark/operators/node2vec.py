@@ -20,13 +20,9 @@ feeding word2vec SGNS. Distributed re-expression:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from networkit_spark.operators.walks import capped_sorted_adjacency, walk_hash
-from networkit_spark.plans.iteration import truncate_lineage
-
-_M31 = 2147483647
 
 
 def biased_random_walks(
@@ -40,69 +36,24 @@ def biased_random_walks(
 ) -> DataFrame:
     """(walk_id, step, node) node2vec walks with return parameter ``p`` and
     in-out parameter ``q``. First step is uniform (no prev); subsequent
-    steps follow the second-order bias."""
-    e = und_edges.select("src", "dst").persist()
-    e.count()
-    adj = truncate_lineage(capped_sorted_adjacency(und_edges, max_neighbors))
-    starts = (
-        adj.select(F.col("src").alias("node"))
-        .crossJoin(
-            und_edges.sparkSession.range(walks_per_node).select(F.col("id").alias("r"))
-        )
-        .select(
-            (F.col("node") * walks_per_node + F.col("r")).alias("walk_id"),
-            F.col("node").alias("cur"),
-        )
+    steps follow the second-order bias.
+
+    Delegates to :func:`networkit_spark.operators.walks.node2vec_walks` —
+    the array-fold kernel (per-candidate weights evaluated inside JVM
+    higher-order functions over the capped adjacency arrays, no
+    per-candidate row explosion / window sort) that is also the
+    SQL-oracle-checked implementation."""
+    from networkit_spark.operators.walks import node2vec_walks
+
+    return node2vec_walks(
+        und_edges,
+        p=p,
+        q=q,
+        walks_per_node=walks_per_node,
+        length=length,
+        seed=seed,
+        max_neighbors=max_neighbors,
     )
-    # step 1: uniform choice (matches walks.py)
-    first = (
-        starts.join(adj.withColumnRenamed("src", "cur"), "cur")
-        .select(
-            "walk_id",
-            F.col("cur").alias("prev"),
-            F.element_at(
-                "nbrs",
-                (F.pmod(walk_hash(F.col("walk_id"), 1, seed), F.size("nbrs")) + 1).cast("int"),
-            ).alias("cur"),
-        )
-    )
-    out = starts.select("walk_id", F.lit(0).alias("step"), F.col("cur").alias("node")).unionByName(
-        first.select("walk_id", F.lit(1).alias("step"), F.col("cur").alias("node"))
-    )
-    state = truncate_lineage(first)
-    for step in range(2, length):
-        cand = (
-            state.join(adj.withColumnRenamed("src", "cur"), "cur")
-            .select("walk_id", "prev", "cur", F.explode("nbrs").alias("c"))
-        )
-        # triangle test: does edge (prev, c) exist?
-        tri = e.select(F.col("src").alias("prev"), F.col("dst").alias("c"), F.lit(1).alias("is_tri"))
-        cand = cand.join(tri, ["prev", "c"], "left")
-        w = (
-            F.when(F.col("c") == F.col("prev"), F.lit(1.0 / p))
-            .when(F.col("is_tri") == 1, F.lit(1.0))
-            .otherwise(F.lit(1.0 / q))
-        )
-        cand = cand.withColumn("w", w)
-        wspec = Window.partitionBy("walk_id").orderBy("c")
-        cand = cand.withColumn("cum", F.sum("w").over(wspec)).withColumn(
-            "tot", F.sum("w").over(Window.partitionBy("walk_id"))
-        )
-        urand = walk_hash(F.col("walk_id"), step, seed).cast("double") / F.lit(float(_M31))
-        chosen = (
-            cand.withColumn("thr", urand * F.col("tot"))
-            .filter(F.col("cum") > F.col("thr"))
-            .withColumn("rk", F.row_number().over(Window.partitionBy("walk_id").orderBy("c")))
-            .filter(F.col("rk") == 1)
-            .select("walk_id", F.col("cur").alias("prev"), F.col("c").alias("cur"))
-        )
-        chosen = truncate_lineage(chosen)
-        out = out.unionByName(
-            chosen.select("walk_id", F.lit(step).alias("step"), F.col("cur").alias("node"))
-        )
-        state = chosen
-    e.unpersist()
-    return out
 
 
 def node2vec_embeddings(

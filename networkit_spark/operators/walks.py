@@ -95,6 +95,146 @@ def random_walks(
     return out
 
 
+def capped_sorted_adjacency_weighted(
+    und_edges: DataFrame, max_neighbors: int
+) -> DataFrame:
+    """(src, nbrs array<struct<dst, weight>> sorted by dst asc, capped to the
+    max_neighbors smallest dst ids before aggregation — same hot-key guard
+    as :func:`capped_sorted_adjacency`)."""
+    w = Window.partitionBy("src").orderBy("dst")
+    return (
+        und_edges.select("src", "dst", "weight")
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= max_neighbors)
+        .groupBy("src")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("dst"), F.col("weight")))
+            ).alias("nbrs")
+        )
+    )
+
+
+def node2vec_walks(
+    und_edges: DataFrame,
+    p: float = 1.0,
+    q: float = 1.0,
+    walks_per_node: int = 1,
+    length: int = 5,
+    seed: int = 42,
+    max_neighbors: int = 100_000,
+) -> DataFrame:
+    """p/q-biased second-order node2vec walks (the back half of
+    ``cpp/embedding/BiasedRandomWalk.cpp:65-99``): from state (t -> v), the
+    unnormalized probability of stepping to x is
+
+        w(v,x)/p  if x == t   (return)
+        w(v,x)    if x in N(t) (BFS-ish)
+        w(v,x)/q  otherwise    (DFS-ish)
+
+    The reference preprocesses one alias table per directed edge (t, v) —
+    O(sum_v deg(v)^2) memory, infeasible at web scale. We instead evaluate
+    the bias inline per superstep: join the frontier with the adjacency of
+    ``cur`` AND ``prev``, build the weight array with JVM higher-order
+    functions, and inverse-CDF sample with the portable per-(walk, step)
+    hash. Two folds over the (dst-sorted) candidate array — total mass,
+    then first index whose inclusive cumsum reaches u*total — make the
+    arithmetic order identical to a SQL window cumsum, so fixed-length runs
+    are exactly reproducible by the DuckDB oracle.
+
+    First step (no prev yet) is uniform, like the uniform-walk corpus.
+    Walks stop early at out-degree-0 nodes (reference shortens the walk).
+    Output: (walk_id, step, node).
+    """
+    adj = capped_sorted_adjacency_weighted(und_edges, max_neighbors)
+    adj = truncate_lineage(adj)
+    spark = und_edges.sparkSession
+    starts = (
+        adj.select(F.col("src").alias("node"))
+        .crossJoin(spark.range(walks_per_node).select(F.col("id").alias("r")))
+        .select(
+            (F.col("node") * walks_per_node + F.col("r")).alias("walk_id"),
+            F.col("node").alias("cur"),
+        )
+    )
+    out = starts.select("walk_id", F.lit(0).alias("step"), F.col("cur").alias("node"))
+    if length == 1:
+        return out
+
+    # step 1: uniform over nbrs (no previous node yet)
+    f1 = starts.join(adj.withColumnRenamed("src", "cur"), "cur").select(
+        "walk_id",
+        F.col("cur").alias("prev"),
+        F.element_at(
+            "nbrs",
+            (F.pmod(walk_hash(F.col("walk_id"), 1, seed), F.size("nbrs")) + 1).cast(
+                "int"
+            ),
+        )["dst"].alias("cur"),
+    )
+    frontier = truncate_lineage(f1)
+    out = out.unionByName(
+        frontier.select("walk_id", F.lit(1).alias("step"), F.col("cur").alias("node"))
+    )
+
+    for step in range(2, length):
+        j = (
+            frontier.join(adj.withColumnRenamed("src", "cur"), "cur")
+            .join(
+                adj.select(
+                    F.col("src").alias("prev"), F.col("nbrs").alias("pnbrs")
+                ),
+                "prev",
+            )
+        )
+        prev_col = F.col("prev")
+        pnbr_ids = F.transform("pnbrs", lambda s: s["dst"])
+        weights = F.transform(
+            "nbrs",
+            lambda s: s["weight"]
+            * F.when(s["dst"] == prev_col, F.lit(1.0 / p))
+            .when(F.array_contains(pnbr_ids, s["dst"]), F.lit(1.0))
+            .otherwise(F.lit(1.0 / q)),
+        )
+        j = j.withColumn("w_arr", weights)
+        total = F.aggregate("w_arr", F.lit(0.0), lambda acc, x: acc + x)
+        u = walk_hash(F.col("walk_id"), step, seed).cast("double") / F.lit(
+            float(_M31)
+        )
+        j = j.withColumn("r", u * total)
+        zipped = F.zip_with(
+            "w_arr",
+            F.sequence(F.lit(1), F.size("w_arr")),
+            lambda w, i: F.struct(w.alias("w"), i.alias("i")),
+        )
+        chosen = F.aggregate(
+            zipped,
+            F.struct(F.lit(0.0).alias("cum"), F.lit(-1).alias("chosen")),
+            lambda acc, x: F.struct(
+                (acc["cum"] + x["w"]).alias("cum"),
+                F.when(acc["chosen"] >= 0, acc["chosen"])
+                .when(acc["cum"] + x["w"] >= F.col("r"), x["i"])
+                .otherwise(F.lit(-1))
+                .alias("chosen"),
+            ),
+            lambda acc: F.when(acc["chosen"] >= 0, acc["chosen"]).otherwise(
+                F.size("w_arr")
+            ),
+        )
+        nxt = j.select(
+            "walk_id",
+            F.col("cur").alias("prev"),
+            F.element_at("nbrs", chosen.cast("int"))["dst"].alias("cur"),
+        )
+        frontier = truncate_lineage(nxt)
+        out = out.unionByName(
+            frontier.select(
+                "walk_id", F.lit(step).alias("step"), F.col("cur").alias("node")
+            )
+        )
+    return out
+
+
 def walk_cooccurrences(walks: DataFrame, window: int = 2) -> DataFrame:
     """(a, b, cnt) skip-gram pair counts within +-window on each walk —
     the word2vec training-pair extraction, as one self-join."""
