@@ -1432,3 +1432,202 @@ def q_group_degree(spark, sf_dir):
     e = doc_edges_undirected(spark, sf_dir)
     members, _score = group_degree(e, nodes_range(spark, n), k=4)
     return members
+
+
+# ---------------------------------------------------------------------------
+# Local partition evaluation + permanence (SURVEY §2.7: IntrapartitionDensity,
+# IsolatedInterpartitionConductance/Expansion, StablePartitionNodes,
+# PartitionFragmentation, PermanenceCentrality)
+# ---------------------------------------------------------------------------
+
+_LAB_CTE = (
+    ", lab AS ("
+    " SELECT e.src, e.dst, e.weight, a.label AS ls, b.label AS ld"
+    " FROM uedges e JOIN {last} a ON e.src = a.node"
+    " JOIN {last} b ON e.dst = b.node)"
+)
+
+
+@register(
+    "local_partition_eval",
+    _plp_oracle_sql(
+        PLP_ITERS,
+        _LAB_CTE
+        + """,
+per_label AS (
+  SELECT ls AS label, sum(weight) AS vol,
+         sum(CASE WHEN ls <> ld THEN weight ELSE 0 END) AS cut,
+         sum(CASE WHEN ls = ld THEN 1 ELSE 0 END) / 2.0 AS intra_cnt
+  FROM lab GROUP BY ls
+),
+sizes AS (SELECT label, count(*) AS size FROM {last} GROUP BY label),
+tot AS (SELECT sum(weight) AS tv FROM uedges),
+nt AS (SELECT count(*) AS nn FROM {last})
+SELECT s.label, CAST(s.size AS BIGINT) AS size,
+  round(CASE WHEN s.size > 1
+        THEN coalesce(p.intra_cnt, 0) / (s.size * (s.size - 1) / 2.0)
+        ELSE 1.0 END, 7) AS intra_density,
+  round(CASE WHEN least(coalesce(p.vol, 0), tot.tv - coalesce(p.vol, 0)) > 0
+        THEN coalesce(p.cut, 0) / least(coalesce(p.vol, 0), tot.tv - coalesce(p.vol, 0))
+        ELSE 0.0 END, 7) AS iso_conductance,
+  round(CASE WHEN least(s.size, nt.nn - s.size) > 0
+        THEN coalesce(p.cut, 0) / least(s.size, nt.nn - s.size)
+        ELSE 0.0 END, 7) AS iso_expansion
+FROM sizes s LEFT JOIN per_label p ON s.label = p.label, tot, nt""",
+    ),
+)
+def q_local_partition_eval(spark, sf_dir):
+    """Per-PLP(5)-community IntrapartitionDensity + isolated conductance /
+    expansion (``IntrapartitionDensity.cpp:38``,
+    ``IsolatedInterpartitionConductance.cpp:45``,
+    ``IsolatedInterpartitionExpansion.cpp:38``)."""
+    from networkit_spark.operators.community import local_partition_evaluation
+
+    e = doc_edges_undirected(spark, sf_dir)
+    labels = q_plp_fixed5(spark, sf_dir)
+    out = local_partition_evaluation(e, labels)
+    return out.select(
+        "label",
+        "size",
+        F.round("intra_density", 7).alias("intra_density"),
+        F.round("iso_conductance", 7).alias("iso_conductance"),
+        F.round("iso_expansion", 7).alias("iso_expansion"),
+    )
+
+
+@register(
+    "stable_partition_nodes",
+    _plp_oracle_sql(
+        PLP_ITERS,
+        _LAB_CTE
+        + """,
+strength AS (
+  SELECT src AS node, ls AS own, ld AS nl, sum(weight) AS w
+  FROM lab GROUP BY 1, 2, 3
+),
+verdict AS (
+  SELECT node,
+         (max(CASE WHEN nl = own THEN w ELSE 0 END) > 0 AND
+          max(CASE WHEN nl = own THEN w ELSE 0 END) >
+          max(CASE WHEN nl <> own THEN w ELSE 0 END)) AS stable
+  FROM strength GROUP BY node, own
+),
+pn AS (
+  SELECT l.label, coalesce(v.stable, TRUE) AS stable
+  FROM {last} l LEFT JOIN verdict v ON l.node = v.node
+)
+SELECT label, CAST(count(*) AS BIGINT) AS size,
+       round(sum(CASE WHEN stable THEN 1.0 ELSE 0.0 END) / count(*), 7) AS stable_frac
+FROM pn GROUP BY label""",
+    ),
+)
+def q_stable_partition_nodes(spark, sf_dir):
+    """Per-community fraction of stable nodes over PLP(5)
+    (``StablePartitionNodes.cpp:20-52``: stable iff own-label neighbor
+    weight positive and strictly above every foreign label's)."""
+    from networkit_spark.operators.community import stable_partition_nodes
+
+    e = doc_edges_undirected(spark, sf_dir)
+    labels = q_plp_fixed5(spark, sf_dir)
+    out = stable_partition_nodes(e, labels)
+    return out.select("label", "size", F.round("stable_frac", 7).alias("stable_frac"))
+
+
+def _frag_oracle_sql() -> str:
+    """PLP(5) x CC(15) intersection pieces: both chains in one oracle."""
+    parts = [
+        f"WITH {UEDGES_CTE}",
+        ", p0 AS (SELECT doc_id AS node, doc_id AS label FROM documents)",
+    ]
+    for k in range(1, PLP_ITERS + 1):
+        prev = f"p{k - 1}"
+        parts.append(
+            f", p{k} AS MATERIALIZED ("
+            f" SELECT n.node, coalesce(t.nlabel, n.label) AS label"
+            f" FROM {prev} n LEFT JOIN ("
+            f"   SELECT node, nlabel FROM ("
+            f"     SELECT e.dst AS node, p.label AS nlabel,"
+            f"            row_number() OVER (PARTITION BY e.dst"
+            f"              ORDER BY sum(e.weight) DESC, p.label ASC) AS rk"
+            f"     FROM uedges e JOIN {prev} p ON e.src = p.node"
+            f"     GROUP BY e.dst, p.label"
+            f"   ) WHERE rk = 1"
+            f" ) t ON n.node = t.node)"
+        )
+    parts.append(", c0 AS (SELECT doc_id AS node, doc_id AS label FROM documents)")
+    for k in range(1, CC_ITERS + 1):
+        prev = f"c{k - 1}"
+        parts.append(
+            f", c{k} AS MATERIALIZED ("
+            f" SELECT n.node, least(n.label, coalesce(t.ml, n.label)) AS label"
+            f" FROM {prev} n LEFT JOIN ("
+            f"   SELECT e.dst AS node, min(p.label) AS ml"
+            f"   FROM uedges e JOIN {prev} p ON e.src = p.node GROUP BY e.dst"
+            f" ) t ON n.node = t.node)"
+        )
+    parts.append(
+        f""", pieces AS (
+  SELECT p.label, c.label AS cc, count(*) AS piece
+  FROM p{PLP_ITERS} p JOIN c{CC_ITERS} c ON p.node = c.node
+  GROUP BY p.label, c.label
+)
+SELECT label, CAST(sum(piece) AS BIGINT) AS size,
+       round(1.0 - max(piece) * 1.0 / sum(piece), 7) AS fragmentation
+FROM pieces GROUP BY label"""
+    )
+    return "\n".join(parts)
+
+
+@register("partition_fragmentation", _frag_oracle_sql())
+def q_partition_fragmentation(spark, sf_dir):
+    """Per-PLP(5)-community fragmentation across CC(15) components
+    (``PartitionFragmentation.cpp:30-60``: 1 - largest-connected-piece /
+    community size)."""
+    from networkit_spark.operators.community import partition_fragmentation
+
+    labels = q_plp_fixed5(spark, sf_dir)
+    cc = q_connected_components(spark, sf_dir)
+    out = partition_fragmentation(labels, cc)
+    return out.select("label", "size", F.round("fragmentation", 7).alias("fragmentation"))
+
+
+@register(
+    "permanence_centrality",
+    _plp_oracle_sql(
+        PLP_ITERS,
+        _LAB_CTE
+        + """,
+pn AS (
+  SELECT src AS node, count(*) AS deg,
+         sum(CASE WHEN ls = ld THEN 1 ELSE 0 END) AS intra_deg
+  FROM lab GROUP BY src
+),
+mext AS (
+  SELECT node, max(w) AS max_ext FROM (
+    SELECT src AS node, ld, count(*) AS w FROM lab WHERE ls <> ld GROUP BY src, ld
+  ) GROUP BY node
+),
+ie AS (SELECT src, dst FROM lab WHERE ls = ld),
+tri AS (
+  SELECT t1.src AS node, count(*) AS tri
+  FROM ie t1 JOIN ie t2 ON t1.src = t2.src AND t1.dst < t2.dst
+  JOIN ie t3 ON t3.src = t1.dst AND t3.dst = t2.dst
+  GROUP BY t1.src
+)
+SELECT p.node,
+  round(CAST(p.intra_deg AS DOUBLE) / greatest(coalesce(m.max_ext, 0), 1) / p.deg
+        - (1.0 - CASE WHEN p.intra_deg >= 2
+                 THEN coalesce(t.tri, 0) * 2.0 / (p.intra_deg * (p.intra_deg - 1))
+                 ELSE 0.0 END), 7) AS permanence
+FROM pn p LEFT JOIN mext m ON p.node = m.node LEFT JOIN tri t ON p.node = t.node""",
+    ),
+)
+def q_permanence_centrality(spark, sf_dir):
+    """Per-node permanence over the PLP(5) partition
+    (``PermanenceCentrality.cpp:138-156``; intra clustering ``:109-135``)."""
+    from networkit_spark.operators.centrality import permanence
+
+    e = doc_edges_undirected(spark, sf_dir)
+    labels = q_plp_fixed5(spark, sf_dir)
+    out = permanence(e, labels)
+    return out.select("node", F.round("permanence", 7).alias("permanence"))

@@ -261,3 +261,61 @@ def laplacian_centrality_unweighted(und_edges: DataFrame, nodes: DataFrame) -> D
             .alias("score"),
         )
     )
+
+
+def permanence(und_edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """(node, permanence) over a community assignment
+    (``cpp/centrality/PermanenceCentrality.cpp:138-156``):
+
+        perm(u) = intra(u) / (maxExt(u) * deg(u)) - (1 - intraCC(u))
+
+    where ``intra(u)`` is u's neighbor count inside its own community
+    (the reference's strength map counts neighbors, ``:141``),
+    ``maxExt(u)`` the largest single foreign community's count (1 when u
+    has no external connection, ``:150-153``), and ``intraCC(u)`` the
+    clustering coefficient among u's same-community neighbors
+    (``getIntraClustering``, ``:109-135``: triangles restricted to the
+    intra-community subgraph over C(intraDeg, 2); 0 for intraDeg < 2).
+
+    Plan: neighbor-label strength aggregation (one shuffle) + per-node
+    triangle counts on the label-filtered edge table (a triangle whose apex
+    and both feet share a community is exactly an intra-subgraph triangle),
+    reusing the degree-oriented enumeration — no window sorts, no Python.
+    Nodes with degree 0 are omitted (the reference divides by deg(u)).
+    """
+    from networkit_spark.operators.triangles import triangle_counts
+
+    la = labels.select(F.col("node").alias("src"), F.col("label").alias("ls"))
+    lb = labels.select(F.col("node").alias("dst"), F.col("label").alias("ld"))
+    lab = und_edges.join(la, "src").join(lb, "dst")
+    # the reference's strength map counts neighbors (++strength[P[y]], :141),
+    # it does not sum edge weights — all terms below are counts
+    per_node = lab.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("deg"),
+        F.sum(F.when(F.col("ls") == F.col("ld"), 1).otherwise(0)).alias("intra_deg"),
+    )
+    max_ext = (
+        lab.filter(F.col("ls") != F.col("ld"))
+        .groupBy(F.col("src").alias("node"), F.col("ld"))
+        .agg(F.count("*").alias("w"))
+        .groupBy("node").agg(F.max("w").alias("max_ext"))
+    )
+    intra_edges = lab.filter(F.col("ls") == F.col("ld")).select("src", "dst", "weight")
+    tri = triangle_counts(intra_edges).withColumnRenamed("triangles", "tri")
+    icc = F.when(
+        F.col("intra_deg") >= 2,
+        F.coalesce(F.col("tri"), F.lit(0)) * 2.0 / (F.col("intra_deg") * (F.col("intra_deg") - 1)),
+    ).otherwise(0.0)
+    return (
+        per_node.join(max_ext, "node", "left")
+        .join(tri, "node", "left")
+        .select(
+            "node",
+            (
+                F.col("intra_deg")
+                / F.greatest(F.coalesce(F.col("max_ext"), F.lit(0)), F.lit(1)).cast("double")
+                / F.col("deg")
+                - (1.0 - icc)
+            ).alias("permanence"),
+        )
+    )

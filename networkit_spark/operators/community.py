@@ -193,3 +193,112 @@ def hub_dominance(und_edges: DataFrame, labels: DataFrame) -> DataFrame:
             ).otherwise(0.0).alias("hub_dominance"),
         )
     )
+
+
+def _labeled_edges(und_edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Directed rows of the symmetrized table with both endpoint labels
+    attached (two hash joins on the node key — the one pass every local
+    evaluation metric below shares)."""
+    la = labels.select(F.col("node").alias("src"), F.col("label").alias("ls"))
+    lb = labels.select(F.col("node").alias("dst"), F.col("label").alias("ld"))
+    return und_edges.join(la, "src").join(lb, "dst")
+
+
+def local_partition_evaluation(und_edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Per-community local evaluation: (label, size, intra_density,
+    iso_conductance, iso_expansion).
+
+    Reference semantics (one row per non-empty community):
+
+    - ``IntrapartitionDensity.cpp:38-46`` — intra-cluster edge count over
+      possible pairs s*(s-1)/2; defined as 1.0 when the community is a
+      singleton (no possible pair).
+    - ``IsolatedInterpartitionConductance.cpp:16-50`` — cut weight incident
+      to the community over min(volume, totalVolume - volume); 0 when the
+      denominator is 0.
+    - ``IsolatedInterpartitionExpansion.cpp:14-38`` — same cut weight over
+      min(size, n - size). The reference divides unguarded (NaN for the
+      one-community partition); we return 0.0 for that degenerate case.
+
+    One labeled-edge pass + one groupBy(label) aggregation + a size join:
+    with the symmetrized table each undirected edge contributes its weight
+    to both endpoint communities' volume (and, when cut, to both cut sums)
+    exactly once via its two directed rows grouped by src label.
+    """
+    lab = _labeled_edges(und_edges, labels)
+    per_label = lab.groupBy(F.col("ls").alias("label")).agg(
+        F.sum("weight").alias("vol"),
+        F.sum(F.when(F.col("ls") != F.col("ld"), F.col("weight")).otherwise(0.0)).alias("cut"),
+        (F.sum(F.when(F.col("ls") == F.col("ld"), F.lit(1)).otherwise(0)) / 2).alias("intra_cnt"),
+    )
+    sizes = labels.groupBy("label").agg(F.count("*").alias("size"))
+    total_volume = und_edges.agg(F.sum("weight")).first()[0] or 0.0
+    n = labels.count()
+    j = sizes.join(per_label, "label", "left").select(
+        "label",
+        "size",
+        F.coalesce(F.col("vol"), F.lit(0.0)).alias("vol"),
+        F.coalesce(F.col("cut"), F.lit(0.0)).alias("cut"),
+        F.coalesce(F.col("intra_cnt"), F.lit(0.0)).alias("intra_cnt"),
+    )
+    possible = (F.col("size") * (F.col("size") - 1) / 2.0)
+    cond_den = F.least(F.col("vol"), F.lit(float(total_volume)) - F.col("vol"))
+    exp_den = F.least(F.col("size"), F.lit(n) - F.col("size"))
+    return j.select(
+        "label",
+        "size",
+        F.when(possible > 0, F.col("intra_cnt") / possible).otherwise(1.0).alias("intra_density"),
+        F.when(cond_den > 0, F.col("cut") / cond_den).otherwise(0.0).alias("iso_conductance"),
+        F.when(exp_den > 0, F.col("cut") / exp_den).otherwise(0.0).alias("iso_expansion"),
+    )
+
+
+def stable_partition_nodes(und_edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """(label, size, stable_frac): fraction of a community's nodes that are
+    'stable' — their own label's neighbor weight is strictly positive and
+    no foreign label reaches it (``StablePartitionNodes.cpp:20-52``:
+    unstable iff ownWeight == 0 or any other label's weight >= ownWeight;
+    isolated nodes are stable).
+
+    Plan: neighbor-label strength table (one shuffle), per-node verdict via
+    conditional max (no window sort), then a size-normalized groupBy.
+    """
+    lab = _labeled_edges(und_edges, labels)
+    strength = lab.groupBy(F.col("src").alias("node"), F.col("ls").alias("own"),
+                           F.col("ld").alias("nl")).agg(F.sum("weight").alias("w"))
+    verdict = strength.groupBy("node", "own").agg(
+        F.max(F.when(F.col("nl") == F.col("own"), F.col("w")).otherwise(0.0)).alias("own_w"),
+        F.max(F.when(F.col("nl") != F.col("own"), F.col("w")).otherwise(0.0)).alias("max_foreign"),
+    ).select(
+        "node",
+        F.col("own").alias("label"),
+        ((F.col("own_w") > 0) & (F.col("own_w") > F.col("max_foreign"))).alias("stable"),
+    )
+    # isolated nodes never appear in the edge table: stable by definition
+    per_node = labels.join(verdict.select("node", "stable"), "node", "left").select(
+        "label", F.coalesce(F.col("stable"), F.lit(True)).alias("stable")
+    )
+    return per_node.groupBy("label").agg(
+        F.count("*").alias("size"),
+        (F.sum(F.col("stable").cast("double")) / F.count("*")).alias("stable_frac"),
+    )
+
+
+def partition_fragmentation(labels: DataFrame, cc_labels: DataFrame) -> DataFrame:
+    """(label, size, fragmentation): 1 - (largest connected piece of the
+    community) / (community size) (``PartitionFragmentation.cpp:30-60``:
+    min over the community's nodes of 1 - intersectionSize/communitySize
+    == 1 - max piece / size; 0 means the community is connected).
+
+    ``cc_labels`` is any connected-components labeling of the same node set
+    (``operators/components.py``); the intersection partition is the
+    composite (label, cc) key — one groupBy, no per-community work.
+    """
+    both = labels.join(cc_labels.withColumnRenamed("label", "cc"), "node")
+    pieces = both.groupBy("label", "cc").agg(F.count("*").alias("piece"))
+    per_label = pieces.groupBy("label").agg(
+        F.sum("piece").alias("size"), F.max("piece").alias("max_piece")
+    )
+    return per_label.select(
+        "label", "size", (1.0 - F.col("max_piece") / F.col("size")).alias("fragmentation")
+    )
