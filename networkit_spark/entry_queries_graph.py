@@ -1631,3 +1631,92 @@ def q_permanence_centrality(spark, sf_dir):
     labels = q_plp_fixed5(spark, sf_dir)
     out = permanence(e, labels)
     return out.select("node", F.round("permanence", 7).alias("permanence"))
+
+
+# ---------------------------------------------------------------------------
+# LouvainMapEquation (SURVEY §2.7) — synchronous map-equation local moving
+# ---------------------------------------------------------------------------
+
+ME_ITERS = 3
+
+
+def _me_oracle_sql(iterations: int) -> str:
+    """Unrolled synchronous map-equation sweeps (operator docstring formulas,
+    ``LouvainMapEquation.cpp:349-391``), scores rounded to 9 decimals in both
+    engines so the move decisions are engine-portable."""
+
+    def plogp(x: str) -> str:
+        return f"(CASE WHEN ({x}) > 0 THEN (({x})/t.tv)*ln(({x})/t.tv) ELSE 0.0 END)"
+
+    parts = [
+        f"WITH {UEDGES_CTE}",
+        ", ue AS (SELECT src, dst, weight FROM uedges WHERE src <> dst)",
+        ", tv AS (SELECT sum(weight) AS tv FROM ue)",
+        ", wd AS (SELECT src AS node, sum(weight) AS wdeg FROM ue GROUP BY src)",
+        ", m0 AS (SELECT doc_id AS node, doc_id AS comm FROM documents)",
+    ]
+    for k in range(1, iterations + 1):
+        prev = f"m{k - 1}"
+        parity = (k - 1) % 2
+        cdc = "(2*b.wcur - b.wdeg)"  # cutDifferenceCurrent
+        cdt = "(b.wdeg - 2*w.w)"  # cutDifferenceTarget
+        parts.append(
+            f""", lab{k} AS (
+  SELECT e.src, e.dst, e.weight, a.comm AS ls, b.comm AS ld
+  FROM ue e JOIN {prev} a ON e.src = a.node JOIN {prev} b ON e.dst = b.node
+), st{k} AS (
+  SELECT ls AS c, sum(weight) AS vol,
+         sum(CASE WHEN ls <> ld THEN weight ELSE 0 END) AS cut
+  FROM lab{k} GROUP BY ls
+), tc{k} AS (SELECT sum(cut) AS totcut FROM st{k}),
+wuc{k} AS (
+  SELECT src AS node, ld AS c, sum(weight) AS w FROM lab{k} GROUP BY 1, 2
+), base{k} AS (
+  SELECT m.node, m.comm AS cur, d.wdeg, coalesce(wc.w, 0) AS wcur,
+         s.vol AS vol_cur, s.cut AS cut_cur, c.totcut
+  FROM {prev} m JOIN wd d ON m.node = d.node
+  LEFT JOIN wuc{k} wc ON wc.node = m.node AND wc.c = m.comm
+  JOIN st{k} s ON s.c = m.comm
+  CROSS JOIN tc{k} c
+), sb{k} AS (
+  SELECT b.node, b.cur, b.wdeg, b.wcur, b.totcut,
+    round({plogp("b.totcut")}
+        + ({plogp("b.cut_cur + b.vol_cur")} - {plogp(f"b.cut_cur + {cdc} + b.vol_cur - b.wdeg")})
+        - 2*({plogp("b.cut_cur")} - {plogp(f"b.cut_cur + {cdc}")}), 9) AS stay
+  FROM base{k} b CROSS JOIN tv t
+), cand{k} AS (
+  SELECT b.node, w.c,
+    round({plogp(f"b.totcut + (2*b.wcur - b.wdeg) + {cdt}")}
+        + ({plogp(f"s.cut + {cdt} + s.vol + b.wdeg")} - {plogp("s.cut + s.vol")})
+        - 2*({plogp(f"s.cut + {cdt}")} - {plogp("s.cut")}), 9) AS change
+  FROM base{k} b JOIN wuc{k} w ON w.node = b.node AND w.c <> b.cur
+  JOIN st{k} s ON s.c = w.c CROSS JOIN tv t
+), bst{k} AS (
+  SELECT node, change, c FROM (
+    SELECT node, change, c,
+           row_number() OVER (PARTITION BY node ORDER BY change ASC, c ASC) AS rk
+    FROM cand{k}) WHERE rk = 1
+), m{k} AS MATERIALIZED (
+  SELECT s.node,
+         CASE WHEN (s.node % 2) = {parity} AND b.change IS NOT NULL AND b.change < s.stay
+              THEN b.c ELSE s.cur END AS comm
+  FROM sb{k} s LEFT JOIN bst{k} b ON s.node = b.node
+)"""
+        )
+    parts.append(
+        f"""SELECT m.node, mn.label FROM m{iterations} m
+JOIN (SELECT comm, min(node) AS label FROM m{iterations} GROUP BY comm) mn
+  ON m.comm = mn.comm"""
+    )
+    return "\n".join(parts)
+
+
+@register("map_equation_fixed3", _me_oracle_sql(ME_ITERS))
+def q_map_equation_fixed3(spark, sf_dir):
+    """Synchronous LouvainMapEquation local moving, 3 fixed sweeps
+    (``LouvainMapEquation.cpp:349-391`` fitness; parity staging)."""
+    from networkit_spark.operators.mapequation import map_equation_fixed
+
+    n = _n_docs(spark, sf_dir)
+    e = doc_edges_undirected(spark, sf_dir)
+    return map_equation_fixed(e, nodes_range(spark, n), iterations=ME_ITERS)
