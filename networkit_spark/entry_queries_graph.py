@@ -1720,3 +1720,22 @@ def q_map_equation_fixed3(spark, sf_dir):
     n = _n_docs(spark, sf_dir)
     e = doc_edges_undirected(spark, sf_dir)
     return map_equation_fixed(e, nodes_range(spark, n), iterations=ME_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# Biconnected components (SURVEY §2.7; BiconnectedComponents.cpp)
+# ---------------------------------------------------------------------------
+
+@register("biconnected_components")  # no SQL oracle: the cycle-closure
+# equivalence needs data-dependent iteration counts (BFS forest + LCA walk
+# + aux CC); correctness is pinned by tests/test_biconnected.py against a
+# sequential Hopcroft-Tarjan oracle on fixed + random graphs
+def q_biconnected_components(spark, sf_dir):
+    """Edge partition into biconnected components; label = min tree-edge
+    child id (deterministic), bridges are singletons."""
+    from networkit_spark.operators.biconnected import BiconnectedComponents
+
+    n = _n_docs(spark, sf_dir)
+    e = doc_edges_undirected(spark, sf_dir)
+    res = BiconnectedComponents().run(e, nodes_range(spark, n))
+    return res.get_edge_partition().select("u", "v", "label")
