@@ -1739,3 +1739,86 @@ def q_biconnected_components(spark, sf_dir):
     e = doc_edges_undirected(spark, sf_dir)
     res = BiconnectedComponents().run(e, nodes_range(spark, n))
     return res.get_edge_partition().select("u", "v", "label")
+
+
+# ---------------------------------------------------------------------------
+# Selective community detection: PageRankNibble (SURVEY §2.7; scd/)
+# ---------------------------------------------------------------------------
+
+PRN_ALPHA = 0.1
+PRN_EPS = 1e-4
+PRN_ROUNDS = 6
+PRN_SEED = 0
+
+
+def _prn_oracle_sql() -> str:
+    """Unrolled synchronous ACL push (``ApproximatePageRank.cpp`` batched
+    variant, residuals rounded to 12) + conductance sweep cut
+    (``PageRankNibble.cpp:bestSweepSet``), scores rounded to 9."""
+    a, eps = PRN_ALPHA, PRN_EPS
+    parts = [
+        f"WITH {UEDGES_CTE}",
+        ", ue AS (SELECT src, dst, weight FROM uedges WHERE src <> dst)",
+        ", dg AS (SELECT src AS node, sum(weight) AS deg FROM ue GROUP BY src)",
+        ", tv AS (SELECT sum(weight) AS tv FROM ue)",
+        f", s0 AS (SELECT CAST({PRN_SEED} AS BIGINT) AS node, 0.0 AS p, 1.0 AS res)",
+    ]
+    for k in range(1, PRN_ROUNDS + 1):
+        prev = f"s{k - 1}"
+        parts.append(
+            f""", a{k} AS (
+  SELECT s.node, s.res, d.deg FROM {prev} s JOIN dg d ON s.node = d.node
+  WHERE s.res >= {eps} * d.deg
+), g{k} AS (
+  SELECT e.dst AS node, sum((1.0 - {a}) * x.res * e.weight / (2.0 * x.deg)) AS gain
+  FROM ue e JOIN a{k} x ON e.src = x.node GROUP BY e.dst
+), mv{k} AS (
+  SELECT s.node,
+         CASE WHEN x.node IS NOT NULL THEN s.p + {a} * s.res ELSE s.p END AS p,
+         CASE WHEN x.node IS NOT NULL THEN (1.0 - {a}) * s.res / 2.0 ELSE s.res END AS res
+  FROM {prev} s LEFT JOIN a{k} x ON s.node = x.node
+), s{k} AS MATERIALIZED (
+  SELECT coalesce(m.node, g.node) AS node,
+         round(coalesce(m.p, 0), 12) AS p,
+         round(coalesce(m.res, 0) + coalesce(g.gain, 0), 12) AS res
+  FROM mv{k} m FULL OUTER JOIN g{k} g ON m.node = g.node
+)"""
+        )
+    parts.append(
+        f""", sup AS (
+  SELECT s.node, d.deg, round(s.p / d.deg, 9) AS score
+  FROM s{PRN_ROUNDS} s JOIN dg d ON s.node = d.node WHERE s.p > 0
+), rkd AS (
+  SELECT node, deg, row_number() OVER (ORDER BY score DESC, node ASC) AS rk FROM sup
+), ie AS (
+  SELECT b.rk AS rk, e.weight
+  FROM ue e JOIN rkd a ON e.src = a.node JOIN rkd b ON e.dst = b.node
+  WHERE a.rk < b.rk
+), closed AS (SELECT rk, sum(weight) AS cw FROM ie GROUP BY rk),
+swp AS (
+  SELECT r.node, r.rk,
+         sum(r.deg) OVER (ORDER BY r.rk) AS vol,
+         sum(r.deg) OVER (ORDER BY r.rk)
+           - 2 * sum(coalesce(c.cw, 0)) OVER (ORDER BY r.rk) AS cut
+  FROM rkd r LEFT JOIN closed c ON r.rk = c.rk
+), cnd AS (
+  SELECT node, rk, round(cut / least(vol, t.tv - vol), 9) AS cond
+  FROM swp CROSS JOIN tv t
+  WHERE rk < (SELECT count(*) FROM documents)
+), best AS (SELECT rk AS best_rk FROM cnd ORDER BY cond ASC, rk ASC LIMIT 1)
+SELECT r.node FROM rkd r, best b WHERE r.rk <= b.best_rk"""
+    )
+    return "\n".join(parts)
+
+
+@register("pagerank_nibble", _prn_oracle_sql())
+def q_pagerank_nibble(spark, sf_dir):
+    """Seed-set expansion around node 0: synchronous ACL push (6 rounds) +
+    best conductance sweep (``PageRankNibble.cpp``, ``ApproximatePageRank.cpp``)."""
+    from networkit_spark.operators.scd import page_rank_nibble
+
+    n = _n_docs(spark, sf_dir)
+    e = doc_edges_undirected(spark, sf_dir)
+    return page_rank_nibble(
+        e, PRN_SEED, n, alpha=PRN_ALPHA, eps=PRN_EPS, fixed_rounds=PRN_ROUNDS
+    )

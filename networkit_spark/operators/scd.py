@@ -1,0 +1,190 @@
+"""Selective community detection: ApproximatePageRank + PageRankNibble.
+
+Reference: ``cpp/scd/ApproximatePageRank.cpp`` (Andersen-Chung-Lang push:
+a node u with residual res(u) >= eps * deg(u) pushes — p(u) += alpha*res,
+each neighbor v gains (1-alpha)*res*w/(2*vol(u)), u keeps (1-alpha)*res/2)
+and ``cpp/scd/PageRankNibble.cpp`` (sweep cut: order support by
+p(u)/deg(u) descending, take the prefix minimizing conductance
+cut/min(vol, totalVolume - vol), strictly-better updates so the smallest
+best prefix wins).
+
+The reference pushes one queue node at a time (order-dependent float
+accumulation, no exact parity possible); here every above-threshold node
+pushes simultaneously per superstep — the synchronous ACL variant — and
+p/res are rounded to 12 decimals per round so the cascade of threshold
+comparisons is bit-portable across engines (the DuckDB oracle unrolls the
+same rounds).
+
+Scale: each push round is one frontier join + aggregation over the
+support-induced neighborhood (support size is O(1/(eps*alpha)),
+independent of graph size — the point of Nibble); the sweep's window
+cumsum runs over that same small support set only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from networkit_spark.plans.iteration import SuperstepRunner
+
+
+def approximate_pagerank(
+    und_edges: DataFrame,
+    seeds: list[int],
+    alpha: float = 0.1,
+    eps: float = 1e-4,
+    max_rounds: int = 100,
+    fixed_rounds: int | None = None,
+    runner: SuperstepRunner | None = None,
+) -> DataFrame:
+    """(node, p, res) for the support (p > 0 or res > 0). Synchronous
+    batched push; ``fixed_rounds`` forces an exact round count (oracle
+    twin), otherwise runs until no node is above threshold. The loop rides
+    :class:`SuperstepRunner` (eager per-round checkpoint — the state is
+    tiny, the cost is the lineage cut, which is mandatory here: unconverged
+    pushes can run ~50+ rounds)."""
+    spark = und_edges.sparkSession
+    e = und_edges.filter(F.col("src") != F.col("dst"))
+    deg = e.groupBy(F.col("src").alias("node")).agg(F.sum("weight").alias("deg"))
+    deg = deg.persist()
+    deg.count()
+    init = 1.0 / len(seeds)
+    init_state = spark.createDataFrame(
+        [(int(s), 0.0, init) for s in seeds], "node long, p double, res double"
+    )
+    is_active = (F.col("deg") > 0) & (F.col("res") >= F.lit(eps) * F.col("deg"))
+
+    def step(state, i):
+        st = state.join(deg, "node", "left").fillna({"deg": 0.0})
+        active = st.filter(is_active)
+        gains = (
+            e.join(
+                active.select(
+                    F.col("node").alias("src"),
+                    F.col("res").alias("ares"),
+                    F.col("deg").alias("adeg"),
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                F.sum(
+                    F.lit(1.0 - alpha) * F.col("ares") * F.col("weight")
+                    / (2.0 * F.col("adeg"))
+                ).alias("gain")
+            )
+        )
+        moved = st.select(
+            "node",
+            F.when(is_active, F.col("p") + F.lit(alpha) * F.col("res"))
+            .otherwise(F.col("p")).alias("p"),
+            F.when(is_active, F.lit(1.0 - alpha) * F.col("res") / 2.0)
+            .otherwise(F.col("res")).alias("res"),
+        )
+        new_state = (
+            moved.join(gains, "node", "full")
+            .select(
+                "node",
+                F.round(F.coalesce(F.col("p"), F.lit(0.0)), 12).alias("p"),
+                F.round(
+                    F.coalesce(F.col("res"), F.lit(0.0))
+                    + F.coalesce(F.col("gain"), F.lit(0.0)),
+                    12,
+                ).alias("res"),
+            )
+        )
+        info = {}
+        if fixed_rounds is None:
+            info["active"] = active.count()
+        return new_state, info
+
+    runner = runner or SuperstepRunner(spark, run_id="apr")
+    result = runner.run(
+        init_state,
+        step,
+        converged_fn=(None if fixed_rounds is not None else (lambda info: info["active"] == 0)),
+        max_iterations=fixed_rounds if fixed_rounds is not None else max_rounds,
+    )
+    deg.unpersist()
+    return result.state
+
+
+def best_sweep_set(
+    und_edges: DataFrame, pr: DataFrame, n_nodes: int
+) -> DataFrame:
+    """(node) rows of the conductance-minimizing prefix of the support
+    ordered by p/deg descending (``PageRankNibble::bestSweepSet``).
+    Scores rounded to 9 decimals, ties by node id — engine-portable order.
+    The window sort runs over the support set only (small by design)."""
+    e = und_edges.filter(F.col("src") != F.col("dst"))
+    deg = e.groupBy(F.col("src").alias("node")).agg(F.sum("weight").alias("deg"))
+    total_volume = e.agg(F.sum("weight")).first()[0] or 0.0
+    support = (
+        pr.filter(F.col("p") > 0)
+        .join(deg, "node")
+        .select("node", "deg", F.round(F.col("p") / F.col("deg"), 9).alias("score"))
+    )
+    w_rank = Window.orderBy(F.desc("score"), F.asc("node"))
+    ranked = support.select(
+        "node", "deg", F.row_number().over(w_rank).alias("rk")
+    ).persist()
+    ranked.count()
+    # intra(k) = cumulative weight of edges whose BOTH endpoints rank <= k
+    r_src = ranked.select(F.col("node").alias("src"), F.col("rk").alias("r_src"))
+    r_dst = ranked.select(F.col("node").alias("dst"), F.col("rk").alias("r_dst"))
+    intra_events = (
+        e.join(r_src, "src")
+        .join(r_dst, "dst")
+        .filter(F.col("r_src") < F.col("r_dst"))  # each und. edge once
+        .groupBy(F.col("r_dst").alias("rk"))
+        .agg(F.sum("weight").alias("closed_w"))
+    )
+    w_pref = Window.orderBy("rk").rowsBetween(Window.unboundedPreceding, 0)
+    sweep = (
+        ranked.join(intra_events, "rk", "left")
+        .fillna({"closed_w": 0.0})
+        .select(
+            "node",
+            "rk",
+            F.sum("deg").over(w_pref).alias("vol"),
+            (F.sum("deg").over(w_pref) - 2.0 * F.sum("closed_w").over(w_pref)).alias("cut"),
+        )
+        .select(
+            "node",
+            "rk",
+            F.round(
+                F.col("cut")
+                / F.least(F.col("vol"), F.lit(float(total_volume)) - F.col("vol")),
+                9,
+            ).alias("cond"),
+        )
+    )
+    # best prefix: strictly-better minimum, earliest rank wins; prefix must
+    # be smaller than the whole node set
+    best_rk = (
+        sweep.filter(F.col("rk") < n_nodes)
+        .groupBy()
+        .agg(F.min(F.struct(F.col("cond"), F.col("rk"))).alias("b"))
+        .select(F.col("b.rk").alias("best_rk"))
+        .first()["best_rk"]
+    )
+    out = sweep.filter(F.col("rk") <= best_rk).select("node")
+    ranked.unpersist()
+    return out
+
+
+def page_rank_nibble(
+    und_edges: DataFrame,
+    seed: int,
+    n_nodes: int,
+    alpha: float = 0.1,
+    eps: float = 1e-4,
+    fixed_rounds: int | None = None,
+) -> DataFrame:
+    """Expand one community around ``seed``
+    (``PageRankNibble::expandOneCommunity``). Returns (node) rows."""
+    pr = approximate_pagerank(
+        und_edges, [seed], alpha=alpha, eps=eps, fixed_rounds=fixed_rounds
+    )
+    return best_sweep_set(und_edges, pr, n_nodes)
