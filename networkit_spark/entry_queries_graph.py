@@ -1822,3 +1822,66 @@ def q_pagerank_nibble(spark, sf_dir):
     return page_rank_nibble(
         e, PRN_SEED, n, alpha=PRN_ALPHA, eps=PRN_EPS, fixed_rounds=PRN_ROUNDS
     )
+
+
+# ---------------------------------------------------------------------------
+# ForestFire edge score (SURVEY §2.7; sparsification/ForestFireScore.cpp)
+# ---------------------------------------------------------------------------
+
+FF_FIRES = 32
+FF_PF = 0.4
+FF_ROUNDS = 4
+_FF_THRESH = int(FF_PF * float(2**60))
+
+
+def _forest_fire_oracle_sql() -> str:
+    """Unrolled deterministic synchronous forest fire (operator docstring;
+    portable 60-bit md5 burn decisions)."""
+    parts = [
+        f"WITH {UEDGES_CTE}",
+        f""", fr0 AS (
+  SELECT fire, (('0x' || substr(md5('ff|' || fire), 1, 15))::BIGINT % n.n) AS node
+  FROM (SELECT range AS fire FROM range({FF_FIRES})), nn n
+), vis0 AS (SELECT fire, node FROM fr0)""",
+    ]
+    for r in range(FF_ROUNDS):
+        parts.append(
+            f""", c{r} AS (
+  SELECT f.fire, e.src, e.dst
+  FROM uedges e JOIN fr{r} f ON e.src = f.node
+  WHERE e.src <> e.dst AND NOT EXISTS (
+    SELECT 1 FROM vis{r} v WHERE v.fire = f.fire AND v.node = e.dst)
+), b{r} AS (
+  SELECT fire, src, dst FROM c{r}
+  WHERE ('0x' || substr(md5(concat_ws('|', 'ffb', fire, {r}, src, dst)), 1, 15))::BIGINT
+        < {_FF_THRESH}
+), nw{r} AS (SELECT DISTINCT fire, dst AS node FROM b{r}),
+vis{r + 1} AS MATERIALIZED (
+  SELECT fire, node FROM vis{r} UNION SELECT fire, node FROM nw{r}
+), fr{r + 1} AS (SELECT fire, node FROM nw{r})"""
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM b{r}" for r in range(FF_ROUNDS))
+    parts.append(
+        f""", allb AS ({union}),
+burns AS (
+  SELECT least(src, dst) AS src, greatest(src, dst) AS dst, count(*) AS b
+  FROM allb GROUP BY 1, 2
+), mx AS (SELECT coalesce(max(b), 1) AS m FROM burns)
+SELECT e.src, e.dst, round(coalesce(b.b, 0) * 1.0 / mx.m, 7) AS score
+FROM (SELECT DISTINCT src, dst FROM uedges WHERE src < dst) e
+LEFT JOIN burns b ON e.src = b.src AND e.dst = b.dst
+CROSS JOIN mx"""
+    )
+    return "\n".join(parts)
+
+
+@register("forest_fire_score", _forest_fire_oracle_sql())
+def q_forest_fire_score(spark, sf_dir):
+    """Deterministic synchronous ForestFire burn scores
+    (``ForestFireScore.cpp:24-80`` batched-binomial analog)."""
+    from networkit_spark.operators.sparsification import forest_fire_score
+
+    n = _n_docs(spark, sf_dir)
+    e = doc_edges_undirected(spark, sf_dir)
+    out = forest_fire_score(e, n, n_fires=FF_FIRES, pf=FF_PF, rounds=FF_ROUNDS)
+    return out.select("src", "dst", F.round("score", 7).alias("score"))

@@ -318,3 +318,90 @@ def local_filter_sparsify(und_edges: DataFrame, alpha: float = 0.5) -> DataFrame
     return canon.union(
         canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
     )
+
+
+def forest_fire_score(
+    und_edges: DataFrame,
+    n_nodes: int,
+    n_fires: int = 32,
+    pf: float = 0.4,
+    rounds: int = 4,
+) -> DataFrame:
+    """(src, dst, score) with src < dst — deterministic synchronous variant
+    of ``ForestFireScore.cpp:24-80``: fires start at hash-chosen nodes,
+    spread for ``rounds`` supersteps, each frontier->unvisited edge burns
+    independently with probability ``pf`` (the batched binomial analog of
+    the reference's sequential geometric burning; the reference is
+    RNG-driven and OpenMP-nondeterministic, so this variant trades exact
+    parity for reproducibility). Score = burn count / max burn count.
+
+    All fires advance together: state is (fire, node) visited pairs, one
+    frontier-x-edges shuffle per superstep regardless of fire count. Burn
+    decisions use the portable 60-bit md5 hash (== DuckDB
+    ``('0x'||substr(md5(x),1,15))::BIGINT``), so the whole process unrolls
+    to an ANSI-SQL oracle. Node ids are assumed continuous [0, n).
+    """
+    spark = und_edges.sparkSession
+    threshold = int(pf * float(2**60))
+    fires = spark.range(n_fires).select(F.col("id").alias("fire"))
+    start = fires.select(
+        "fire",
+        F.pmod(
+            F.conv(F.substring(F.md5(F.concat(F.lit("ff|"), F.col("fire").cast("string"))), 1, 15), 16, 10)
+            .cast("decimal(20,0)")
+            .cast("long"),
+            F.lit(n_nodes),
+        ).alias("node"),
+    )
+    visited = start.select("fire", "node").distinct()
+    frontier = visited
+    burn_batches = []
+    e = und_edges.filter(F.col("src") != F.col("dst")).select("src", "dst").persist()
+    e.count()
+    for r in range(rounds):
+        cand = (
+            e.join(frontier.withColumnRenamed("node", "src"), "src")
+            .join(visited.withColumnRenamed("node", "dst"), ["fire", "dst"], "left_anti")
+        )
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws("|", F.lit("ffb"), F.col("fire"), F.lit(r), F.col("src"), F.col("dst"))
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("decimal(20,0)").cast("long")
+        burns = cand.filter(h < F.lit(threshold)).select("fire", "src", "dst")
+        burns = burns.persist()
+        burns.count()
+        burn_batches.append(burns)
+        new_nodes = burns.select("fire", F.col("dst").alias("node")).distinct()
+        visited = visited.unionByName(new_nodes).distinct().persist()
+        visited.count()
+        frontier = new_nodes
+    if burn_batches:
+        all_burns = burn_batches[0]
+        for b in burn_batches[1:]:
+            all_burns = all_burns.unionByName(b)
+    else:
+        all_burns = spark.createDataFrame([], "fire long, src long, dst long")
+    counts = (
+        all_burns.select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("burns"))
+    )
+    mx = counts.agg(F.max("burns")).first()[0] or 1
+    canon = (
+        und_edges.filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .join(counts, ["src", "dst"], "left")
+        .fillna({"burns": 0})
+    )
+    e.unpersist()
+    return canon.select("src", "dst", (F.col("burns") / F.lit(float(mx))).alias("score"))

@@ -107,3 +107,18 @@ def test_algebraic_distance_deterministic_and_normalized(spark, tri_pendant):
     assert min(vals) == pytest.approx(0.0)
     assert max(vals) == pytest.approx(1.0)
     assert all(-1e-12 <= v <= 1 + 1e-12 for v in vals)
+
+
+def test_forest_fire_deterministic_and_bounded(spark):
+    from networkit_spark.operators.sparsification import forest_fire_score
+    from networkit_spark.graph import edges_df, symmetrize
+    from tests.fixtures import clique_edges
+
+    e = symmetrize(edges_df(spark, clique_edges(2, 5) + [(0, 5)]))
+    a = sorted(map(tuple, forest_fire_score(e, 10, n_fires=8, rounds=3).collect()))
+    b = sorted(map(tuple, forest_fire_score(e, 10, n_fires=8, rounds=3).collect()))
+    assert a == b  # hash-seeded: bit-identical across runs
+    scores = [x[2] for x in a]
+    assert all(0.0 <= s <= 1.0 for s in scores)
+    assert max(scores) == 1.0
+    assert len(a) == len(clique_edges(2, 5)) + 1
