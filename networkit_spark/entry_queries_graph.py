@@ -1533,8 +1533,9 @@ def q_stable_partition_nodes(spark, sf_dir):
     return out.select("label", "size", F.round("stable_frac", 7).alias("stable_frac"))
 
 
-def _frag_oracle_sql() -> str:
-    """PLP(5) x CC(15) intersection pieces: both chains in one oracle."""
+def _plp_cc_chains_sql(final: str) -> str:
+    """Both the PLP(5) chain (p0..p5) and the CC(15) chain (c0..c15) in one
+    oracle; ``final`` formats with {p} and {c}."""
     parts = [
         f"WITH {UEDGES_CTE}",
         ", p0 AS (SELECT doc_id AS node, doc_id AS label FROM documents)",
@@ -1565,17 +1566,22 @@ def _frag_oracle_sql() -> str:
             f"   FROM uedges e JOIN {prev} p ON e.src = p.node GROUP BY e.dst"
             f" ) t ON n.node = t.node)"
         )
-    parts.append(
-        f""", pieces AS (
+    parts.append(final.format(p=f"p{PLP_ITERS}", c=f"c{CC_ITERS}"))
+    return "\n".join(parts)
+
+
+def _frag_oracle_sql() -> str:
+    """PLP(5) x CC(15) intersection pieces: both chains in one oracle."""
+    return _plp_cc_chains_sql(
+        """, pieces AS (
   SELECT p.label, c.label AS cc, count(*) AS piece
-  FROM p{PLP_ITERS} p JOIN c{CC_ITERS} c ON p.node = c.node
+  FROM {p} p JOIN {c} c ON p.node = c.node
   GROUP BY p.label, c.label
 )
 SELECT label, CAST(sum(piece) AS BIGINT) AS size,
        round(1.0 - max(piece) * 1.0 / sum(piece), 7) AS fragmentation
 FROM pieces GROUP BY label"""
     )
-    return "\n".join(parts)
 
 
 @register("partition_fragmentation", _frag_oracle_sql())
@@ -1885,3 +1891,93 @@ def q_forest_fire_score(spark, sf_dir):
     e = doc_edges_undirected(spark, sf_dir)
     out = forest_fire_score(e, n, n_fires=FF_FIRES, pf=FF_PF, rounds=FF_ROUNDS)
     return out.select("src", "dst", F.round("score", 7).alias("score"))
+
+
+# ---------------------------------------------------------------------------
+# Partition intersection / graph-structural Rand / CoverF1 (SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+@register(
+    "partition_intersection",
+    _plp_oracle_sql(
+        PLP_ITERS,
+        """, ab AS (
+  SELECT a.node, a.label AS la, b.label AS lb
+  FROM p3 a JOIN {last} b ON a.node = b.node
+), mins AS (SELECT la, lb, min(node) AS label FROM ab GROUP BY la, lb)
+SELECT b.node, m.label FROM ab b JOIN mins m ON b.la = m.la AND b.lb = m.lb""",
+    ),
+)
+def q_partition_intersection(spark, sf_dir):
+    """Coarsest common refinement of PLP(3) and PLP(5)
+    (``PartitionIntersection.cpp``; min-node-id class labels)."""
+    from networkit_spark.operators.community import partition_intersection
+    from networkit_spark.operators.plp import plp_fixed
+
+    n = _n_docs(spark, sf_dir)
+    e = doc_edges_undirected(spark, sf_dir)
+    a = plp_fixed(e, nodes_range(spark, n), iterations=3)
+    b = q_plp_fixed5(spark, sf_dir)
+    return partition_intersection(a, b)
+
+
+@register(
+    "graph_structural_rand",
+    _plp_oracle_sql(
+        PLP_ITERS,
+        """, lab AS (
+  SELECT e.src, e.dst, a1.label AS a_s, a2.label AS a_d, b1.label AS b_s, b2.label AS b_d
+  FROM uedges e
+  JOIN p3 a1 ON e.src = a1.node JOIN p3 a2 ON e.dst = a2.node
+  JOIN {last} b1 ON e.src = b1.node JOIN {last} b2 ON e.dst = b2.node
+  WHERE e.src < e.dst
+)
+SELECT round(1.0 - sum(CASE WHEN (a_s = a_d AND b_s = b_d)
+                              OR (a_s <> a_d AND b_s <> b_d)
+                       THEN 1.0 ELSE 0.0 END) / count(*), 7) AS dissimilarity
+FROM lab""",
+    ),
+)
+def q_graph_structural_rand(spark, sf_dir):
+    """Graph-structural Rand dissimilarity between PLP(3) and PLP(5)
+    (``GraphStructuralRandMeasure.cpp:12-37``)."""
+    from networkit_spark.operators.community import graph_structural_rand
+    from networkit_spark.operators.plp import plp_fixed
+
+    n = _n_docs(spark, sf_dir)
+    e = doc_edges_undirected(spark, sf_dir)
+    a = plp_fixed(e, nodes_range(spark, n), iterations=3)
+    b = q_plp_fixed5(spark, sf_dir)
+    d = graph_structural_rand(e, a, b)
+    return spark.createDataFrame([(round(d, 7),)], "dissimilarity double")
+
+
+@register(
+    "cover_f1",
+    _plp_cc_chains_sql(
+        """, csz AS (SELECT label, count(*) AS csz FROM {p} GROUP BY label),
+rsz AS (SELECT label AS ref, count(*) AS rsz FROM {c} GROUP BY label),
+ol AS (
+  SELECT p.label, c.label AS ref, count(*) AS ol
+  FROM {p} p JOIN {c} c ON p.node = c.node GROUP BY p.label, c.label
+), f1 AS (
+  SELECT o.label,
+         max(2.0 * (o.ol * 1.0 / r.rsz) * (o.ol * 1.0 / s.csz)
+             / (o.ol * 1.0 / r.rsz + o.ol * 1.0 / s.csz)) AS best_f1
+  FROM ol o JOIN csz s ON o.label = s.label JOIN rsz r ON o.ref = r.ref
+  GROUP BY o.label
+)
+SELECT s.label, CAST(s.csz AS BIGINT) AS size,
+       round(coalesce(f.best_f1, 0.0), 7) AS f1
+FROM csz s LEFT JOIN f1 f ON s.label = f.label"""
+    ),
+)
+def q_cover_f1(spark, sf_dir):
+    """Per-PLP(5)-cluster best F1 against the CC(15) reference clustering
+    (``CoverF1Similarity.cpp:60-90``)."""
+    from networkit_spark.operators.community import cover_f1_similarity
+
+    labels = q_plp_fixed5(spark, sf_dir)
+    cc = q_connected_components(spark, sf_dir)
+    out = cover_f1_similarity(labels, cc)
+    return out.select("label", "size", F.round("f1", 7).alias("f1"))

@@ -302,3 +302,74 @@ def partition_fragmentation(labels: DataFrame, cc_labels: DataFrame) -> DataFram
     return per_label.select(
         "label", "size", (1.0 - F.col("max_piece") / F.col("size")).alias("fragmentation")
     )
+
+
+def partition_intersection(a: DataFrame, b: DataFrame) -> DataFrame:
+    """(node, label): coarsest refinement of both partitions — nodes share a
+    label iff they share one in BOTH inputs (``PartitionIntersection.cpp``;
+    the reference uses ``s * upperBound + t`` then compacts; we label each
+    (la, lb) class by its min node id — same partition, deterministic ids)."""
+    both = a.withColumnRenamed("label", "la").join(
+        b.withColumnRenamed("label", "lb"), "node"
+    )
+    mins = both.groupBy("la", "lb").agg(F.min("node").alias("label"))
+    return both.join(mins, ["la", "lb"]).select("node", "label")
+
+
+def graph_structural_rand(und_edges: DataFrame, a: DataFrame, b: DataFrame) -> float:
+    """Graph-structural Rand dissimilarity
+    (``GraphStructuralRandMeasure.cpp:12-37``): 1 - (e11 + e00)/m over the
+    graph's edges, where e11 counts edges both partitions keep internal and
+    e00 edges both cut. One labeled-edge pass."""
+    e = und_edges.filter(F.col("src") < F.col("dst"))
+    la = a.select(F.col("node").alias("src"), F.col("label").alias("a_s"))
+    lb = a.select(F.col("node").alias("dst"), F.col("label").alias("a_d"))
+    lc = b.select(F.col("node").alias("src"), F.col("label").alias("b_s"))
+    ld = b.select(F.col("node").alias("dst"), F.col("label").alias("b_d"))
+    lab = e.join(la, "src").join(lb, "dst").join(lc, "src").join(ld, "dst")
+    agree = (
+        ((F.col("a_s") == F.col("a_d")) & (F.col("b_s") == F.col("b_d")))
+        | ((F.col("a_s") != F.col("a_d")) & (F.col("b_s") != F.col("b_d")))
+    ).cast("double")
+    row = lab.agg(F.count("*").alias("m"), F.sum(agree).alias("e")).first()
+    if row["m"] == 0:
+        raise ValueError("graph-structural rand measure undefined without edges")
+    return 1.0 - row["e"] / row["m"]
+
+
+def cover_f1_similarity(cover: DataFrame, reference: DataFrame) -> DataFrame:
+    """(label, size, f1): per cover-cluster best F1 against any reference
+    cluster (``CoverF1Similarity.cpp:60-90``: overlap ol ->
+    precision = ol/|ref|, recall = ol/|cluster|, F1 = harmonic mean, best
+    over reference clusters; clusters with no overlap score 0).
+    Inputs are (node, label) memberships — multi-membership rows allowed."""
+    csize = cover.groupBy("label").agg(F.count("*").alias("csz"))
+    rsize = reference.groupBy(F.col("label").alias("ref")).agg(F.count("*").alias("rsz"))
+    overlap = (
+        cover.join(reference.withColumnRenamed("label", "ref"), "node")
+        .groupBy("label", "ref")
+        .agg(F.count("*").alias("ol"))
+    )
+    f1 = (
+        overlap.join(csize, "label")
+        .join(rsize, "ref")
+        .select(
+            "label",
+            (
+                2.0
+                * (F.col("ol") / F.col("rsz"))
+                * (F.col("ol") / F.col("csz"))
+                / (F.col("ol") / F.col("rsz") + F.col("ol") / F.col("csz"))
+            ).alias("f1"),
+        )
+        .groupBy("label")
+        .agg(F.max("f1").alias("best_f1"))
+    )
+    return (
+        csize.join(f1, "label", "left")
+        .select(
+            "label",
+            F.col("csz").alias("size"),
+            F.coalesce(F.col("best_f1"), F.lit(0.0)).alias("f1"),
+        )
+    )

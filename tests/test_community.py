@@ -58,3 +58,48 @@ def test_partition_similarity_disagreement(spark):
     v = nmi(a, b)
     expected = math.log(3) / math.log(30)  # MI = H(a); normalized by max entropy
     assert abs(v - expected) < 1e-9
+
+
+def test_partition_intersection(spark):
+    from networkit_spark.operators.community import partition_intersection
+
+    nodes = nodes_range(spark, 12)
+    a = continuous_balanced_partition(nodes, 2)   # blocks of 6
+    b = continuous_balanced_partition(nodes, 4)   # blocks of 3
+    inter = partition_intersection(a, b)
+    rows = {r["node"]: r["label"] for r in inter.collect()}
+    # refinement = blocks of 3, labeled by min member
+    for n in range(12):
+        assert rows[n] == (n // 3) * 3
+    # intersecting with singletons yields singletons
+    s = singleton_partition(nodes)
+    rows = {r["node"]: r["label"] for r in partition_intersection(a, s).collect()}
+    assert all(rows[n] == n for n in range(12))
+
+
+def test_graph_structural_rand(spark):
+    from networkit_spark.operators.community import graph_structural_rand
+    from networkit_spark.graph import symmetrize, edges_df
+
+    # path 0-1-2-3; a = {01}{23}, b = {0}{123}: edge 01 split in b only,
+    # edge 12 split in both (e00), edge 23 internal in b only
+    e = symmetrize(edges_df(spark, [(0, 1), (1, 2), (2, 3)]))
+    mk = lambda m: spark.createDataFrame(list(m.items()), "node long, label long")
+    a = mk({0: 0, 1: 0, 2: 2, 3: 2})
+    b = mk({0: 0, 1: 1, 2: 1, 3: 1})
+    assert abs(graph_structural_rand(e, a, b) - 2 / 3) < 1e-12
+    assert graph_structural_rand(e, a, a) == 0.0
+
+
+def test_cover_f1_similarity(spark):
+    from networkit_spark.operators.community import cover_f1_similarity
+
+    nodes = nodes_range(spark, 12)
+    a = continuous_balanced_partition(nodes, 4)
+    # identical covers: F1 = 1 everywhere
+    rows = cover_f1_similarity(a, a).collect()
+    assert all(r["f1"] == 1.0 for r in rows) and len(rows) == 4
+    # cover vs the 2-block coarsening: overlap 3, |ref|=6, |c|=3 -> F1 = 2/3
+    b = continuous_balanced_partition(nodes, 2)
+    rows = cover_f1_similarity(a, b).collect()
+    assert all(abs(r["f1"] - 2 / 3) < 1e-12 for r in rows)
