@@ -1981,3 +1981,70 @@ def q_cover_f1(spark, sf_dir):
     cc = q_connected_components(spark, sf_dir)
     out = cover_f1_similarity(labels, cc)
     return out.select("label", "size", F.round("f1", 7).alias("f1"))
+
+
+# ---------------------------------------------------------------------------
+# KPathCentrality (SURVEY §2.7; centrality/KPathCentrality.cpp)
+# ---------------------------------------------------------------------------
+
+KP_K = 4
+KP_T = 256
+KP_SEED = 7
+
+
+def _kpath_oracle_sql() -> str:
+    """Unrolled deterministic self-avoiding walks (portable LCG; the exact
+    dual of ``walks.k_path_centrality``)."""
+    M = 2147483647
+    A = 1103515245
+    parts = [
+        f"WITH {UEDGES_CTE}",
+        f""", ranked AS (
+  SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dst) AS rk
+  FROM uedges),
+adj AS MATERIALIZED (
+  SELECT src, list_sort(list(dst)) AS nbrs FROM ranked WHERE rk <= 10000 GROUP BY src),
+wk0 AS (
+  SELECT range AS walk_id,
+         (((range % {M}) * {A} + {KP_SEED}) % {M}) % n.n AS cur,
+         1 + ((((range % {M}) * {A} + {777_777 * 12345 + KP_SEED}) % {M}) % {KP_K}) AS l,
+         [(((range % {M}) * {A} + {KP_SEED}) % {M}) % n.n] AS visited
+  FROM range({KP_T}), nn n)""",
+    ]
+    for j in range(1, KP_K + 1):
+        c = j * 12345 + KP_SEED
+        idx = f"CAST(1 + ((((walk_id % {M}) * {A} + {c}) % {M}) % len(unexp)) AS INT)"
+        parts.append(
+            f""", s{j} AS (
+  SELECT w.walk_id, w.l, w.visited,
+         list_filter(a.nbrs, y -> NOT list_contains(w.visited, y)) AS unexp
+  FROM wk{j - 1} w JOIN adj a ON a.src = w.cur
+  WHERE {j} <= w.l
+), wk{j} AS MATERIALIZED (
+  SELECT walk_id, l,
+         unexp[{idx}] AS cur,
+         list_append(visited, unexp[{idx}]) AS visited
+  FROM s{j} WHERE len(unexp) > 0
+)"""
+        )
+    union = " UNION ALL ".join(f"SELECT cur AS node FROM wk{j}" for j in range(1, KP_K + 1))
+    parts.append(
+        f""", visits AS ({union}),
+cnt AS (SELECT node, count(*) AS c FROM visits GROUP BY node)
+SELECT d.doc_id AS node,
+       round({KP_K} * n.n * coalesce(c.c, 0) * 1.0 / {KP_T}, 7) AS score
+FROM documents d LEFT JOIN cnt c ON d.doc_id = c.node, nn n"""
+    )
+    return "\n".join(parts)
+
+
+@register("k_path_centrality", _kpath_oracle_sql())
+def q_k_path_centrality(spark, sf_dir):
+    """k-path centrality via deterministic self-avoiding walks
+    (``KPathCentrality.cpp:33-99``; k=4, t=256 fixed trials)."""
+    from networkit_spark.operators.walks import k_path_centrality
+
+    n = _n_docs(spark, sf_dir)
+    e = doc_edges_undirected(spark, sf_dir)
+    out = k_path_centrality(e, nodes_range(spark, n), k=KP_K, t=KP_T, seed=KP_SEED)
+    return out.select("node", F.round("score", 7).alias("score"))

@@ -249,3 +249,84 @@ def walk_cooccurrences(walks: DataFrame, window: int = 2) -> DataFrame:
         .groupBy("a", "b")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+def k_path_centrality(
+    und_edges: DataFrame,
+    nodes: DataFrame,
+    k: int = 4,
+    t: int = 256,
+    seed: int = 7,
+    max_neighbors: int = 10_000,
+) -> DataFrame:
+    """(node, score) — k-path centrality (``KPathCentrality.cpp:33-99``):
+    t self-avoiding random walks, each from a random start with random
+    length l in [1, k]; score(v) = k * n * visits(v) / t (start nodes are
+    marked explored but not counted, matching the reference).
+
+    Deterministic variant: the reference draws its start / length / step
+    choices from a global RNG (t = 2k^2 n^{1-2a} ln n trials); here every
+    choice is the portable LCG hash of (walk_id, step), so runs are
+    reproducible and the whole process unrolls to an ANSI-SQL oracle.
+    Self-avoidance carries the visited prefix as an array column filtered
+    JVM-side (walk length k is small by construction). Node ids must be
+    continuous [0, n)."""
+    n = nodes.count()
+    adj = capped_sorted_adjacency(und_edges, max_neighbors)
+    adj = truncate_lineage(adj)
+    spark = und_edges.sparkSession
+    walks = spark.range(t).select(F.col("id").alias("walk_id"))
+    start = walks.select(
+        "walk_id",
+        F.pmod(walk_hash(F.col("walk_id"), 0, seed), F.lit(n)).alias("cur"),
+        (1 + F.pmod(walk_hash(F.col("walk_id"), 777_777, seed), F.lit(k))).alias("l"),
+    ).select("walk_id", "cur", "l", F.array(F.col("cur")).alias("visited"))
+    frontier = truncate_lineage(start)
+    visit_batches = []
+    for j in range(1, k + 1):
+        active = frontier.filter(F.lit(j) <= F.col("l"))
+        stepped = (
+            active.join(adj.withColumnRenamed("src", "cur"), "cur")
+            .withColumn(
+                "unexplored",
+                F.filter(
+                    F.col("nbrs"), lambda y: ~F.array_contains(F.col("visited"), y)
+                ),
+            )
+            .filter(F.size("unexplored") > 0)
+            .select(
+                "walk_id",
+                "l",
+                "visited",
+                F.element_at(
+                    "unexplored",
+                    (
+                        F.pmod(walk_hash(F.col("walk_id"), j, seed), F.size("unexplored"))
+                        + 1
+                    ).cast("int"),
+                ).alias("cur"),
+            )
+        )
+        stepped = truncate_lineage(
+            stepped.select(
+                "walk_id", "cur", "l", F.concat("visited", F.array("cur")).alias("visited")
+            )
+        )
+        visit_batches.append(stepped.select(F.col("cur").alias("node")))
+        frontier = stepped
+    if visit_batches:
+        visits = visit_batches[0]
+        for v in visit_batches[1:]:
+            visits = visits.unionByName(v)
+    else:
+        visits = spark.createDataFrame([], "node long")
+    counts = visits.groupBy("node").agg(F.count("*").alias("c"))
+    return (
+        nodes.select(F.col("id").alias("node"))
+        .join(counts, "node", "left")
+        .fillna({"c": 0})
+        .select(
+            "node",
+            (F.lit(float(k) * float(n)) * F.col("c") / F.lit(float(t))).alias("score"),
+        )
+    )

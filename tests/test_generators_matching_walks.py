@@ -211,3 +211,19 @@ def test_node2vec_embeddings_als(spark):
     inter = np.mean([cos(vecs[a], vecs[b]) for a in range(3) for b in range(7, 10)
                      if a in vecs and b in vecs])
     assert intra > inter
+
+
+def test_k_path_centrality(spark):
+    from networkit_spark.operators.walks import k_path_centrality
+    from networkit_spark.graph import edges_df, nodes_range, symmetrize
+
+    # star: the center is on every path between leaves -> top score
+    n = 8
+    e = symmetrize(edges_df(spark, [(0, i) for i in range(1, n)]))
+    nodes = nodes_range(spark, n)
+    a = {r["node"]: r["score"] for r in k_path_centrality(e, nodes, k=3, t=128).collect()}
+    b = {r["node"]: r["score"] for r in k_path_centrality(e, nodes, k=3, t=128).collect()}
+    assert a == b  # hash-seeded determinism
+    assert all(v >= 0 for v in a.values())
+    leaves_mean = sum(a[i] for i in range(1, n)) / (n - 1)
+    assert a[0] > leaves_mean  # center dominates
