@@ -316,3 +316,104 @@ def read_partition(spark: SparkSession, path: str) -> DataFrame:
     return df.select(
         F.col("lineno").alias("node"), F.col("line").cast("long").alias("label")
     )
+
+
+def read_gexf(spark: SparkSession, path: str):
+    """GEXF reader (``GEXFReader``, ``graphio.pyx`` Python impl; fixtures
+    ``input/staticTest.gexf``): ``<node id=.../>`` + ``<edge source=..
+    target=.. [weight=..]/>`` elements, wholetext + JVM regex extraction
+    like :func:`read_graphml`. ``defaultedgetype="directed"`` flips the
+    symmetrize; dynamic spells (``start=``/``end=``) are surfaced as an
+    optional ``start`` column on edges when present (the reference's
+    dynamic mode replays them as events).
+
+    Returns (nodes(id, raw), edges(src, dst, weight[, start]), directed).
+    """
+    from networkit_spark.plans.ids import dense_ids
+
+    txt = spark.read.text(path, wholetext=True)
+    directed_row = txt.select(
+        F.regexp_extract(F.col("value"), r'defaultedgetype="(\w+)"', 1).alias("d")
+    ).first()
+    directed = directed_row["d"] == "directed"
+    raw_nodes = txt.select(
+        F.explode(
+            F.regexp_extract_all(F.col("value"), F.lit(r'<node\s+[^>]*id="([^"]+)"'), F.lit(1))
+        ).alias("raw")
+    )
+    nodes = dense_ids(raw_nodes, "raw").select("id", "raw")
+    edge_blocks = txt.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.col("value"), F.lit(r'<edge\s+[^>]*source="[^"]+"[^>]*>'), F.lit(0)
+            )
+        ).alias("blk")
+    )
+    pairs = edge_blocks.select(
+        F.regexp_extract("blk", r'source="([^"]+)"', 1).alias("sraw"),
+        F.regexp_extract("blk", r'target="([^"]+)"', 1).alias("traw"),
+        F.regexp_extract("blk", r'weight="([^"]+)"', 1).alias("wraw"),
+        F.regexp_extract("blk", r'start="([^"]+)"', 1).alias("start_raw"),
+    )
+    has_dynamics = pairs.filter(F.col("start_raw") != "").limit(1).count() > 0
+    edges = (
+        pairs.join(nodes.select(F.col("raw").alias("sraw"), F.col("id").alias("src")), "sraw")
+        .join(nodes.select(F.col("raw").alias("traw"), F.col("id").alias("dst")), "traw")
+        .select(
+            "src",
+            "dst",
+            F.when(F.col("wraw") != "", F.col("wraw").cast("double"))
+            .otherwise(1.0)
+            .alias("weight"),
+            F.when(F.col("start_raw") != "", F.col("start_raw").cast("double")).alias("start"),
+        )
+    )
+    if not has_dynamics:
+        edges = edges.drop("start")
+    if not directed:
+        cols = edges.columns
+        flipped = edges.withColumnRenamed("src", "_t").withColumnRenamed("dst", "src")
+        flipped = flipped.withColumnRenamed("_t", "dst").select(cols)
+        edges = edges.union(flipped).dropDuplicates(["src", "dst"])
+    return nodes, edges, directed
+
+
+def write_gexf(edges: DataFrame, path: str, directed: bool = False) -> None:
+    """GEXF static writer (``GEXFWriter`` analog): one part-file of XML.
+    Small-graph export format — the header/footer concat runs through a
+    single coalesced partition by design (exports are presentation-sized;
+    the engine's native interchange format stays parquet)."""
+    e = edges
+    if not directed:
+        e = e.filter(F.col("src") <= F.col("dst"))
+    node_xml = (
+        e.select(F.explode(F.array("src", "dst")).alias("id"))
+        .distinct()
+        .select(F.format_string('            <node id="%s" label="%s"/>', "id", "id").alias("x"))
+    )
+    edge_xml = e.select(
+        F.format_string(
+            '            <edge source="%s" target="%s" weight="%s"/>',
+            "src",
+            "dst",
+            F.col("weight").cast("string"),
+        ).alias("x")
+    )
+    mode = "directed" if directed else "undirected"
+    header = [
+        '<?xml version="1.0" encoding="UTF-8"?>',
+        '<gexf xmlns="http://www.gexf.net/1.2draft" version="1.2">',
+        f'    <graph mode="static" defaultedgetype="{mode}">',
+        "        <nodes>",
+    ]
+    mid = ["        </nodes>", "        <edges>"]
+    footer = ["        </edges>", "    </graph>", "</gexf>"]
+    spark = edges.sparkSession
+    parts = (
+        spark.createDataFrame([(x,) for x in header], "x string")
+        .unionByName(node_xml.orderBy("x"))
+        .unionByName(spark.createDataFrame([(x,) for x in mid], "x string"))
+        .unionByName(edge_xml.orderBy("x"))
+        .unionByName(spark.createDataFrame([(x,) for x in footer], "x string"))
+    )
+    parts.coalesce(1).write.mode("overwrite").text(path)

@@ -189,3 +189,32 @@ def test_read_mtx(spark, tmp_path):
     assert edges_set(edges) == {
         (0, 1, 1.5), (1, 0, 1.5), (1, 2, 1.0), (2, 1, 1.0)
     }
+
+
+def test_read_gexf_static_fixture(spark):
+    """Golden: reference fixture input/staticTest.gexf (celegans) — 306
+    node elements, 2345 edge elements = 2148 distinct undirected pairs
+    (test_graphio.py:14 reads the same file)."""
+    from networkit_spark.sources.edgelist import read_gexf
+
+    nodes, edges, directed = read_gexf(spark, "/root/reference/input/staticTest.gexf")
+    assert not directed
+    assert nodes.count() == 306
+    # symmetrized distinct directed rows = 2 * undirected edges
+    und = edges.filter("src < dst").count()
+    assert und == 2148
+    assert edges.count() == 2 * und
+
+
+def test_gexf_roundtrip(tmp_path, spark):
+    from networkit_spark.sources.edgelist import read_gexf, write_gexf
+    from networkit_spark.graph import edges_df, symmetrize
+
+    e = symmetrize(edges_df(spark, [(0, 1), (1, 2), (2, 0), (2, 3)], weighted=False))
+    out = str(tmp_path / "g.gexf")
+    write_gexf(e, out, directed=False)
+    nodes, edges, directed = read_gexf(spark, out)
+    assert not directed
+    got = sorted((r["src"], r["dst"]) for r in edges.filter("src < dst").collect())
+    # ids re-encoded by lexicographic rank of the string id: '0','1','2','3'
+    assert got == [(0, 1), (0, 2), (1, 2), (2, 3)]
