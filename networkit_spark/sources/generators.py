@@ -228,3 +228,132 @@ def planted_partition(
         (F.abs(F.xxhash64("id", F.lit(seed), F.lit(3))) % n).alias("dst"),
     )
     return _finish(intra.union(inter))
+
+
+def hyperbolic_target_radius(n: int, avg_degree: float, alpha: float) -> float:
+    """Disk radius R hitting the target average degree at T=0
+    (``HyperbolicSpace.hpp:getExpectedDegree/searchTargetRadius...:169-202``
+    binary search on the Krioukov expected-degree closed form)."""
+    import math
+
+    def expected_degree(R: float) -> float:
+        gamma = 2 * alpha + 1
+        xi = (gamma - 1) / (gamma - 2)
+        first = math.exp(-R / 2)
+        second = math.exp(-alpha * R) * (
+            alpha
+            * (R / 2)
+            * ((math.pi / 4) * (1 / alpha) ** 2 - (math.pi - 1) * (1 / alpha) + (math.pi - 2))
+            - 1
+        )
+        return (2 / math.pi) * xi * xi * n * (first + second)
+
+    gamma = 2 * alpha + 1
+    xi_inv = (gamma - 2) / (gamma - 1)
+    v = avg_degree * (math.pi / 2) * xi_inv * xi_inv
+    current = 2 * math.log(n / v)
+    lo, hi = current / 2, current * 2
+    while True:
+        current = (lo + hi) / 2
+        k = expected_degree(current)
+        if abs(k - avg_degree) <= 0.01:
+            return current
+        if k < avg_degree:
+            hi = current
+        else:
+            lo = current
+
+
+def hyperbolic_graph(
+    spark: SparkSession,
+    n: int,
+    avg_degree: float = 6.0,
+    plexp: float = 3.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Hyperbolic random graph at temperature 0
+    (``HyperbolicGenerator.cpp``; Krioukov et al. model): node i gets polar
+    coordinates (theta uniform, r with density ~ sinh(alpha*r)), an edge
+    joins every pair at hyperbolic distance <= R
+    (``HyperbolicSpace::nativeDistance:19-41``). The reference samples with
+    a sequential PRNG and ranges over a quadtree; coordinates here are hash
+    functions of (seed, i) and the pair search is a **core/periphery band
+    join**: nodes with r <= r_c (expected ~sqrt(n), the hubs) broadcast
+    against everyone; periphery pairs (both r > r_c) can only connect
+    within an angular window w = max delta-theta at (r_c, r_c), so a
+    theta-bucket join of width w with adjacent buckets covers all of them
+    — candidate count scales ~linearly in n instead of n^2. Both candidate
+    sets pass the exact cosh distance filter.
+
+    Returns symmetrized (src, dst, weight=1.0).
+    """
+    import math
+
+    alpha = 0.5 * (plexp - 1)
+    R = hyperbolic_target_radius(n, avg_degree, alpha)
+    cosh_r = math.cosh(alpha * R)
+    # split radius: expected core size ~ sqrt(n)
+    frac = math.sqrt(n) / n
+    r_c = math.acosh(1 + frac * (cosh_r - 1)) / alpha
+    # periphery angular window at (r_c, r_c): cos(w) = (cosh^2 r_c - cosh R)/sinh^2 r_c
+    cw = (math.cosh(r_c) ** 2 - math.cosh(R)) / (math.sinh(r_c) ** 2)
+    w = math.pi if cw <= -1 else (0.0 if cw >= 1 else math.acos(cw))
+    n_buckets = max(1, int(2 * math.pi / max(w, 1e-9)))
+    bucket_w = 2 * math.pi / n_buckets
+
+    pts = spark.range(n).select(
+        F.col("id").alias("node"),
+        (2 * math.pi * _u01(F.col("id"), F.lit(seed), F.lit(0))).alias("theta"),
+        (
+            F.acosh(1 + _u01(F.col("id"), F.lit(seed), F.lit(1)) * F.lit(cosh_r - 1))
+            / F.lit(alpha)
+        ).alias("r"),
+    ).persist()
+    pts.count()
+
+    def dist_ok(t1, r1, t2, r2):
+        dphi = F.lit(math.pi) - F.abs(F.lit(math.pi) - F.abs(t1 - t2))
+        coshd = F.cosh(r1) * F.cosh(r2) - F.sinh(r1) * F.sinh(r2) * F.cos(dphi)
+        return coshd <= F.lit(math.cosh(R))
+
+    a = pts.select(
+        F.col("node").alias("src"), F.col("theta").alias("ta"), F.col("r").alias("ra")
+    )
+    b = pts.select(
+        F.col("node").alias("dst"), F.col("theta").alias("tb"), F.col("r").alias("rb")
+    )
+    core = a.filter(F.col("ra") <= r_c)
+    core_pairs = (
+        F.broadcast(core).join(b, F.col("src") != F.col("dst"))
+        .filter(dist_ok(F.col("ta"), F.col("ra"), F.col("tb"), F.col("rb")))
+        .select(F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst"))
+        .distinct()
+    )
+    # periphery: same or adjacent theta buckets (duplicate each node into
+    # its own + next bucket; join on bucket then filter) — covers every
+    # pair with delta-theta <= w
+    peri = pts.filter(F.col("r") > r_c).select(
+        "node", "theta", "r", F.floor(F.col("theta") / bucket_w).alias("bkt")
+    )
+    dup = peri.select(
+        "node", "theta", "r", F.explode(
+            F.array(F.col("bkt"), F.pmod(F.col("bkt") + 1, F.lit(n_buckets)))
+        ).alias("jb")
+    )
+    pa = dup.select(F.col("node").alias("src"), F.col("theta").alias("ta"),
+                    F.col("r").alias("ra"), "jb")
+    pb = peri.select(F.col("node").alias("dst"), F.col("theta").alias("tb"),
+                     F.col("r").alias("rb"), F.col("bkt").alias("jb"))
+    peri_pairs = (
+        pa.join(pb, "jb")
+        .filter(F.col("src") != F.col("dst"))
+        .filter(dist_ok(F.col("ta"), F.col("ra"), F.col("tb"), F.col("rb")))
+        .select(F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst"))
+        .distinct()
+    )
+    und = core_pairs.unionByName(peri_pairs).distinct()
+    out = und.unionByName(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).withColumn("weight", F.lit(1.0))
+    pts.unpersist()
+    return out

@@ -227,3 +227,42 @@ def test_k_path_centrality(spark):
     assert all(v >= 0 for v in a.values())
     leaves_mean = sum(a[i] for i in range(1, n)) / (n - 1)
     assert a[0] > leaves_mean  # center dominates
+
+
+def test_hyperbolic_matches_brute_force(spark):
+    """The core/periphery band join must find EXACTLY the pairs the O(n^2)
+    distance check finds (HyperbolicSpace::nativeDistance:19-41)."""
+    import math
+
+    from networkit_spark.sources.generators import (
+        hyperbolic_graph,
+        hyperbolic_target_radius,
+        _u01,
+    )
+    from pyspark.sql import functions as F
+
+    n, avg_deg, plexp, seed = 200, 6.0, 3.0, 42
+    alpha = 0.5 * (plexp - 1)
+    R = hyperbolic_target_radius(n, avg_deg, alpha)
+    pts = spark.range(n).select(
+        F.col("id").alias("node"),
+        (2 * math.pi * _u01(F.col("id"), F.lit(seed), F.lit(0))).alias("theta"),
+        (F.acosh(1 + _u01(F.col("id"), F.lit(seed), F.lit(1)) * F.lit(math.cosh(alpha * R) - 1))
+         / F.lit(alpha)).alias("r"),
+    ).collect()
+    coords = {p["node"]: (p["theta"], p["r"]) for p in pts}
+    expected = set()
+    for u in range(n):
+        for v in range(u + 1, n):
+            t1, r1 = coords[u]
+            t2, r2 = coords[v]
+            dphi = math.pi - abs(math.pi - abs(t1 - t2))
+            coshd = math.cosh(r1) * math.cosh(r2) - math.sinh(r1) * math.sinh(r2) * math.cos(dphi)
+            if coshd <= math.cosh(R):
+                expected.add((u, v))
+    e = hyperbolic_graph(spark, n, avg_degree=avg_deg, plexp=plexp, seed=seed)
+    got = {(r["src"], r["dst"]) for r in e.filter("src < dst").collect()}
+    assert got == expected
+    # degree sanity: within 2x of target on this small sample
+    m = len(got)
+    assert 0.3 * avg_deg < 2 * m / n < 3 * avg_deg
