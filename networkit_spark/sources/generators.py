@@ -25,7 +25,7 @@ duplicates dropped; symmetrize() for undirected use.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -357,3 +357,204 @@ def hyperbolic_graph(
     ).withColumn("weight", F.lit(1.0))
     pts.unpersist()
     return out
+
+
+def havel_hakimi_edges(degrees: list[int]) -> list[tuple[int, int]]:
+    """Exact Havel-Hakimi realization of a degree sequence
+    (``cpp/generators/HavelHakimiGenerator.cpp`` — same greedy: repeatedly
+    connect the node of highest residual degree to the next-highest ones).
+    Inherently sequential, so this is the driver-side small-n exact form
+    (tests, fixture realization); the scale path for "realize this degree
+    sequence" is :func:`configuration_model`. Raises ``ValueError`` if the
+    sequence is not graphical (greedy failure == Erdos-Gallai violation)."""
+    import heapq
+
+    if sum(degrees) % 2 != 0:
+        raise ValueError("degree sum must be even")
+    heap = [(-d, v) for v, d in enumerate(degrees) if d > 0]
+    heapq.heapify(heap)
+    edges: list[tuple[int, int]] = []
+    while heap:
+        nd, u = heapq.heappop(heap)
+        d = -nd
+        if d > len(heap):
+            raise ValueError("degree sequence is not graphical")
+        taken = [heapq.heappop(heap) for _ in range(d)]
+        for nd2, v in taken:
+            edges.append((min(u, v), max(u, v)))
+        for nd2, v in taken:
+            if -nd2 - 1 > 0:
+                heapq.heappush(heap, (nd2 + 1, v))
+    return edges
+
+
+def havel_hakimi(spark: SparkSession, degrees: list[int]) -> DataFrame:
+    """Havel-Hakimi realization as a symmetrized (src, dst, weight) edge
+    DataFrame (undirected rows both ways), matching the reference
+    generator's output contract (exact degree sequence)."""
+    und = havel_hakimi_edges(degrees)
+    df = spark.createDataFrame(und or [(0, 0)][:0], "src long, dst long")
+    return df.unionByName(
+        df.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).withColumn("weight", F.lit(1.0))
+
+
+def configuration_model(
+    degrees: DataFrame, seed: int = 42, num_partitions: int | None = None
+) -> DataFrame:
+    """Erased configuration model: realize a degree sequence at scale
+    (the distributed replacement for sequential Havel-Hakimi; public
+    construction — Molloy-Reed stub matching with self-loops/multi-edges
+    erased). ``degrees`` = (node long, deg int).
+
+    Plan: explode node -> ``deg`` stubs; give each stub a hash-random but
+    deterministic sort key; rank stubs with the distributed range-sort
+    (:func:`networkit_spark.plans.ids.dense_ids` plan — no single-partition
+    window); pair rank 2k with 2k+1 via a self-join on pair id. Every step
+    is a range or hash shuffle linear in executors; result is a pure
+    function of (degrees, seed) — reproducible under any parallelism.
+
+    Returns symmetrized simple (src, dst, weight) rows; per-node degree is
+    <= requested (erasure loses the few colliding stubs), exact in the
+    large-n limit.
+    """
+    from ..plans.ids import dense_ids
+
+    stubs = degrees.select(
+        "node",
+        F.explode(F.sequence(F.lit(0), F.col("deg") - 1)).alias("slot"),
+    ).filter(F.col("slot") >= 0)
+    keyed = stubs.select(
+        "node",
+        F.struct(
+            F.xxhash64("node", "slot", F.lit(seed)).alias("h"),
+            F.col("node").alias("n"),
+            F.col("slot").alias("s"),
+        ).alias("k"),
+    )
+    ranked = dense_ids(
+        keyed.select("k"), "k", id_col="rank", num_partitions=num_partitions,
+        distinct=False,
+    ).join(keyed, "k").select("rank", "node")
+    evens = ranked.filter(F.col("rank") % 2 == 0).select(
+        (F.col("rank") / 2).cast("long").alias("pair"), F.col("node").alias("a")
+    )
+    odds = ranked.filter(F.col("rank") % 2 == 1).select(
+        ((F.col("rank") - 1) / 2).cast("long").alias("pair"), F.col("node").alias("b")
+    )
+    und = (
+        evens.join(odds, "pair")
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("src"), F.greatest("a", "b").alias("dst"))
+        .distinct()
+    )
+    return und.unionByName(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).withColumn("weight", F.lit(1.0))
+
+
+def edge_switching(
+    edges: DataFrame, rounds: int = 10, seed: int = 42
+) -> DataFrame:
+    """Degree-preserving edge-switching Markov chain
+    (``cpp/generators/EdgeSwitchingMarkovChainGenerator.cpp`` /
+    ``randomization/EdgeSwitching.cpp`` semantics): repeatedly pick two
+    edges (a,b), (c,d) and rewire to (a,d), (c,b) iff the result stays a
+    simple graph. The reference mutates one global graph with a sequential
+    PRNG; here each round pairs ALL edges at once — hash-bucket pairing
+    (bucket = hash(edge, round) % (m/2), the two lowest-hash edges in a
+    bucket form a proposal) — and applies exactly the proposals that keep
+    the graph simple:
+
+    - no self-loop, the two replacement edges distinct,
+    - neither replacement already present (anti-join against current set),
+    - no two proposals creating the same edge (count>1 rejection).
+
+    One hash shuffle + one broadcast-scale anti-join per round; a pure
+    function of (edges, seed) under any parallelism. Input/output:
+    canonical undirected rows (src < dst); degrees are preserved exactly.
+
+    ``cur``/``rn`` are referenced several times per round, so each round
+    eagerly localCheckpoints — the same lineage-truncation discipline as
+    ``plans/iteration.py`` (without it the plan grows ~4x per round).
+    """
+    cur = (
+        edges.select(F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    m = cur.count()
+    n_buckets = max(1, m // 2)
+    for r in range(rounds):
+        h = F.xxhash64("src", "dst", F.lit(seed), F.lit(r))
+        bucketed = cur.select(
+            "src", "dst", h.alias("h"), F.pmod(h, F.lit(n_buckets)).alias("bkt")
+        )
+        w = Window.partitionBy("bkt").orderBy("h", "src", "dst")
+        rn = bucketed.withColumn("rn", F.row_number().over(w)).localCheckpoint(eager=True)
+        first = rn.filter(F.col("rn") == 1).select(
+            "bkt", F.col("src").alias("a"), F.col("dst").alias("b")
+        )
+        second = rn.filter(F.col("rn") == 2).select(
+            "bkt", F.col("src").alias("c"), F.col("dst").alias("d")
+        )
+        unpaired = rn.filter(F.col("rn") > 2).select("src", "dst")
+        # buckets holding a single edge have no partner: keep that edge as-is
+        lone_first = first.join(second.select("bkt"), "bkt", "left_anti").select(
+            F.col("a").alias("src"), F.col("b").alias("dst")
+        )
+        props = (
+            first.join(second, "bkt")
+            .select(
+                "bkt", "a", "b", "c", "d",
+                F.least("a", "d").alias("n1s"), F.greatest("a", "d").alias("n1d"),
+                F.least("c", "b").alias("n2s"), F.greatest("c", "b").alias("n2d"),
+            )
+            .withColumn(
+                "ok",
+                (F.col("n1s") != F.col("n1d"))
+                & (F.col("n2s") != F.col("n2d"))
+                & ~((F.col("n1s") == F.col("n2s")) & (F.col("n1d") == F.col("n2d"))),
+            )
+        )
+        cand = props.filter("ok").select(
+            "bkt",
+            F.explode(
+                F.array(
+                    F.struct(F.col("n1s").alias("src"), F.col("n1d").alias("dst")),
+                    F.struct(F.col("n2s").alias("src"), F.col("n2d").alias("dst")),
+                )
+            ).alias("e"),
+        ).select("bkt", "e.src", "e.dst")
+        # reject: replacement already in the graph, or proposed twice
+        hit_existing = cand.join(cur, ["src", "dst"], "left_semi").select("bkt")
+        dup_edge = (
+            cand.groupBy("src", "dst").agg(F.collect_list("bkt").alias("bs"), F.count("*").alias("c"))
+            .filter("c > 1").select(F.explode("bs").alias("bkt"))
+        )
+        bad = hit_existing.unionByName(dup_edge).distinct()
+        good = props.filter("ok").join(bad, "bkt", "left_anti")
+        kept_pairs = props.join(good.select("bkt"), "bkt", "left_anti").select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                    F.struct(F.col("c").alias("src"), F.col("d").alias("dst")),
+                )
+            ).alias("e")
+        ).select("e.src", "e.dst")
+        new_edges = good.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("n1s").alias("src"), F.col("n1d").alias("dst")),
+                    F.struct(F.col("n2s").alias("src"), F.col("n2d").alias("dst")),
+                )
+            ).alias("e")
+        ).select("e.src", "e.dst")
+        cur = (
+            unpaired.unionByName(lone_first)
+            .unionByName(kept_pairs)
+            .unionByName(new_edges)
+            .localCheckpoint(eager=True)
+        )
+    return cur.withColumn("weight", F.lit(1.0))
