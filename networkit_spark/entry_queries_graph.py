@@ -2048,3 +2048,69 @@ def q_k_path_centrality(spark, sf_dir):
     e = doc_edges_undirected(spark, sf_dir)
     out = k_path_centrality(e, nodes_range(spark, n), k=KP_K, t=KP_T, seed=KP_SEED)
     return out.select("node", F.round("score", 7).alias("score"))
+
+
+# ---------------------------------------------------------------------------
+# Electrical family (SURVEY §2.7: SpanningEdgeCentrality / effective
+# resistance): fixed-iteration damped-Jacobi twin of the block-CG solver
+# ---------------------------------------------------------------------------
+
+ER_ITERS = 10
+ER_OMEGA = 0.5
+ER_PAIRS = 5
+
+
+def _eff_res_oracle_sql() -> str:
+    parts = [
+        f"WITH {UEDGES_CTE}",
+        f""", pairs AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY src, dst) - 1 AS i, src AS u, dst AS v
+  FROM (SELECT src, dst FROM uedges WHERE src < dst ORDER BY src, dst LIMIT {ER_PAIRS})
+), degs AS MATERIALIZED (
+  SELECT src AS node, sum(weight) AS deg FROM uedges GROUP BY src
+), x0 AS MATERIALIZED (
+  SELECT p.i, d.node, d.deg,
+         CASE WHEN d.node = p.u THEN CAST(1.0 AS DOUBLE)
+              WHEN d.node = p.v THEN CAST(-1.0 AS DOUBLE)
+              ELSE CAST(0.0 AS DOUBLE) END AS b,
+         CAST(0.0 AS DOUBLE) AS x
+  FROM degs d CROSS JOIN pairs p
+)""",
+    ]
+    for t in range(1, ER_ITERS + 1):
+        prev = f"x{t - 1}"
+        parts.append(
+            f""", x{t} AS MATERIALIZED (
+  SELECT s.i, s.node, s.deg, s.b,
+         {1.0 - ER_OMEGA} * s.x + {ER_OMEGA} * (s.b + coalesce(m.m, 0.0)) / s.deg AS x
+  FROM {prev} s LEFT JOIN (
+    SELECT e.dst AS node, p.i, sum(e.weight * p.x) AS m
+    FROM uedges e JOIN {prev} p ON e.src = p.node GROUP BY e.dst, p.i
+  ) m ON s.node = m.node AND s.i = m.i
+)"""
+        )
+    parts.append(
+        f"""SELECT p.u, p.v, round(xu.x - xv.x, 7) AS r_est
+FROM pairs p
+JOIN x{ER_ITERS} xu ON xu.i = p.i AND xu.node = p.u
+JOIN x{ER_ITERS} xv ON xv.i = p.i AND xv.node = p.v"""
+    )
+    return "\n".join(parts)
+
+
+@register("effective_resistance_jacobi10", _eff_res_oracle_sql())
+def q_effective_resistance_jacobi10(spark, sf_dir):
+    """Effective resistance (SpanningEdgeCentrality.cpp:44-58 semantics:
+    L x = e_u - e_v, r = x_u - x_v) for the 5 lexicographically-first
+    undirected doc-graph edges — deterministic 10-sweep damped-Jacobi twin
+    of the converged block-CG solver (operators/electrical.py; CG itself is
+    pinned against numpy pseudoinverse oracles in tests/test_electrical.py)."""
+    from networkit_spark.operators.electrical import effective_resistance_jacobi
+
+    e = doc_edges_undirected(spark, sf_dir)
+    pairs = [
+        (r["src"], r["dst"])
+        for r in e.filter("src < dst").orderBy("src", "dst").limit(ER_PAIRS).collect()
+    ]
+    out = effective_resistance_jacobi(e, pairs, iterations=ER_ITERS, omega=ER_OMEGA)
+    return out.select("u", "v", F.round("r_est", 7).alias("r_est"))
