@@ -2114,3 +2114,96 @@ def q_effective_resistance_jacobi10(spark, sf_dir):
     ]
     out = effective_resistance_jacobi(e, pairs, iterations=ER_ITERS, omega=ER_OMEGA)
     return out.select("u", "v", F.round("r_est", 7).alias("r_est"))
+
+
+# ---------------------------------------------------------------------------
+# Group harmonic closeness (SURVEY §2.7 Group* family): pruned greedy
+# ---------------------------------------------------------------------------
+
+GH_K = 3
+GH_CANDS = 8
+GH_BFS = 15
+_GH_BIG = 4611686018427387904  # unreached sentinel
+
+
+def _group_harmonic_oracle_sql() -> str:
+    parts = [
+        f"WITH {UEDGES_CTE}",
+        f""", dg AS (SELECT src AS node, count(*) AS dgc FROM uedges GROUP BY src)
+, cands AS MATERIALIZED (SELECT node FROM dg ORDER BY dgc DESC, node LIMIT {GH_CANDS})
+, b0 AS MATERIALIZED (SELECT node AS source, node, CAST(0 AS BIGINT) AS dist FROM cands)""",
+    ]
+    for t in range(1, GH_BFS + 1):
+        prev = f"b{t - 1}"
+        parts.append(
+            f""", b{t} AS MATERIALIZED (
+  SELECT source, node, min(dist) AS dist FROM (
+    SELECT source, node, dist FROM {prev}
+    UNION ALL
+    SELECT p.source, e.dst AS node, p.dist + 1 AS dist
+    FROM uedges e JOIN {prev} p ON e.src = p.node
+  ) GROUP BY source, node
+)"""
+        )
+    parts.append(f", cd AS MATERIALIZED (SELECT * FROM b{GH_BFS})")
+    contrib_new = (
+        f"CASE WHEN least(coalesce(s.d, {_GH_BIG}), c.dist) > 0 "
+        f"THEN 1.0 / least(coalesce(s.d, {_GH_BIG}), c.dist) ELSE 0 END"
+    )
+    contrib_old = "CASE WHEN s.d > 0 THEN 1.0 / s.d ELSE 0 END"
+    picked_union = []
+    for r in range(1, GH_K + 1):
+        if r == 1:
+            parts.append(
+                """, g1 AS MATERIALIZED (
+  SELECT source, round(sum(CASE WHEN dist > 0 THEN 1.0 / dist ELSE 0 END), 9) AS g
+  FROM cd GROUP BY source
+)
+, p1 AS MATERIALIZED (SELECT source AS node FROM g1 ORDER BY g DESC, source LIMIT 1)
+, ds1 AS MATERIALIZED (SELECT cd.node, cd.dist AS d FROM cd JOIN p1 ON cd.source = p1.node)"""
+            )
+        else:
+            exclude = " AND ".join(
+                f"c.source NOT IN (SELECT node FROM p{j})" for j in range(1, r)
+            )
+            parts.append(
+                f""", g{r} AS MATERIALIZED (
+  SELECT c.source, round(sum(({contrib_new}) - (coalesce({contrib_old}, 0))), 9) AS g
+  FROM cd c LEFT JOIN ds{r - 1} s ON c.node = s.node
+  WHERE {exclude}
+  GROUP BY c.source
+)
+, p{r} AS MATERIALIZED (SELECT source AS node FROM g{r} ORDER BY g DESC, source LIMIT 1)
+, ds{r} AS MATERIALIZED (
+  SELECT coalesce(a.node, b.node) AS node,
+         least(coalesce(a.d, {_GH_BIG}), coalesce(b.dist, {_GH_BIG})) AS d
+  FROM ds{r - 1} a FULL JOIN (
+    SELECT cd.node, cd.dist FROM cd JOIN p{r} ON cd.source = p{r}.node
+  ) b ON a.node = b.node
+)"""
+            )
+        picked_union.append(f"SELECT {r} AS rank, node FROM p{r}")
+    parts.append(
+        f""", picks AS ({' UNION ALL '.join(picked_union)})
+, sc AS (SELECT round(sum(CASE WHEN d > 0 THEN 1.0 / d ELSE 0 END), 7) AS group_score FROM ds{GH_K})
+SELECT p.rank, p.node, sc.group_score FROM picks p CROSS JOIN sc"""
+    )
+    return "\n".join(parts)
+
+
+@register("group_harmonic_closeness", _group_harmonic_oracle_sql())
+def q_group_harmonic_closeness(spark, sf_dir):
+    """Greedy group harmonic closeness (GroupHarmonicCloseness.cpp:622-631
+    score; pruned greedy over the 8 highest-degree candidates, one batched
+    multi-source BFS; picks use gains rounded to 9 decimals, min-id ties)."""
+    from networkit_spark.operators.group_centrality import group_closeness_greedy
+
+    n = _n_docs(spark, sf_dir)
+    e = doc_edges_undirected(spark, sf_dir)
+    members, score = group_closeness_greedy(
+        e, nodes_range(spark, n), k=GH_K, mode="harmonic",
+        n_candidates=GH_CANDS, max_bfs_rounds=GH_BFS,
+    )
+    return members.select(
+        "rank", "node", F.round(F.lit(score), 7).alias("group_score")
+    )
