@@ -2207,3 +2207,91 @@ def q_group_harmonic_closeness(spark, sf_dir):
     return members.select(
         "rank", "node", F.round(F.lit(score), 7).alias("group_score")
     )
+
+
+# ---------------------------------------------------------------------------
+# GedWalk group centrality (SURVEY §2.7): greedy walk-exposure maximization
+# ---------------------------------------------------------------------------
+
+GW_K = 3
+GW_LEVELS = 4
+GW_CANDS = 6
+
+
+def _gedwalk_oracle_sql() -> str:
+    parts = [
+        f"WITH {UEDGES_CTE}",
+        f""", dg AS (SELECT src AS node, count(*) AS dgc FROM uedges GROUP BY src)
+, al AS MATERIALIZED (SELECT 1.0 / (1.0 + 2 * max(dgc)) AS a FROM dg)
+, gcands AS MATERIALIZED (SELECT node AS cand FROM dg ORDER BY dgc DESC, node LIMIT {GW_CANDS})
+, gnodes AS (SELECT doc_id AS node FROM documents)
+, pk0 AS (SELECT node FROM gnodes WHERE FALSE)""",
+    ]
+    for r in range(1, GW_K + 1):
+        parts.append(
+            f""", s{r}_0 AS MATERIALIZED (
+  SELECT c.cand, n.node,
+         CASE WHEN n.node = c.cand OR n.node IN (SELECT node FROM pk{r - 1})
+              THEN 1 ELSE 0 END AS ingrp,
+         CAST(CASE WHEN n.node = c.cand OR n.node IN (SELECT node FROM pk{r - 1})
+              THEN 1 ELSE 0 END AS DOUBLE) AS hit,
+         CAST(CASE WHEN n.node = c.cand OR n.node IN (SELECT node FROM pk{r - 1})
+              THEN 0 ELSE 1 END AS DOUBLE) AS miss
+  FROM gcands c CROSS JOIN gnodes n
+  WHERE c.cand NOT IN (SELECT node FROM pk{r - 1})
+)"""
+        )
+        for i in range(1, GW_LEVELS + 1):
+            prev = f"s{r}_{i - 1}"
+            parts.append(
+                f""", s{r}_{i} AS MATERIALIZED (
+  SELECT s.cand, s.node, s.ingrp,
+         CASE WHEN s.ingrp = 1 THEN coalesce(m.wh, 0) + coalesce(m.wm, 0)
+              ELSE coalesce(m.wh, 0) END AS hit,
+         CASE WHEN s.ingrp = 1 THEN 0.0 ELSE coalesce(m.wm, 0) END AS miss
+  FROM {prev} s LEFT JOIN (
+    SELECT e.dst AS node, p.cand,
+           sum(e.weight * p.hit) AS wh, sum(e.weight * p.miss) AS wm
+    FROM uedges e JOIN {prev} p ON e.src = p.node GROUP BY e.dst, p.cand
+  ) m ON s.node = m.node AND s.cand = m.cand
+)"""
+            )
+        level_union = " UNION ALL ".join(
+            f"SELECT cand, pow(al.a, {i}) * hit AS h FROM s{r}_{i}, al"
+            for i in range(1, GW_LEVELS + 1)
+        )
+        parts.append(
+            f""", g{r} AS MATERIALIZED (
+  SELECT cand, round(sum(h), 9) AS g FROM ({level_union}) GROUP BY cand
+)
+, pick{r} AS MATERIALIZED (SELECT cand AS node, g FROM g{r} ORDER BY g DESC, cand LIMIT 1)
+, pk{r} AS (SELECT node FROM pk{r - 1} UNION ALL SELECT node FROM pick{r})"""
+        )
+    picks_union = " UNION ALL ".join(
+        f"SELECT {r} AS rank, node FROM pick{r}" for r in range(1, GW_K + 1)
+    )
+    parts.append(
+        f""", gpicks AS ({picks_union})
+SELECT p.rank, p.node, (SELECT round(g, 7) FROM pick{GW_K}) AS group_score FROM gpicks p"""
+    )
+    return "\n".join(parts)
+
+
+@register("ged_walk_group", _gedwalk_oracle_sql())
+def q_ged_walk_group(spark, sf_dir):
+    """Greedy GedWalk (GedWalk.hpp:300-341 hit/miss recursion, fixed
+    4-level truncation, alpha = 1/(1 + 2 maxdeg), top-6-degree candidate
+    pool, min-id ties)."""
+    from networkit_spark.operators.gedwalk import ged_walk_greedy
+
+    n = _n_docs(spark, sf_dir)
+    e = doc_edges_undirected(spark, sf_dir)
+    members, score = ged_walk_greedy(
+        e, nodes_range(spark, n), k=GW_K, levels=GW_LEVELS,
+        n_candidates=GW_CANDS, early_stop=False,
+    )
+    # SQL rounds gains to 9 before the final 7-digit round; mirror exactly
+    return members.select(
+        "rank", "node",
+        F.round(F.round(F.lit(score), 9), 7).alias("group_score"),
+    )

@@ -61,26 +61,14 @@ def _forward(edges: DataFrame, sources: DataFrame, max_depth: int):
     return state, depth
 
 
-def betweenness(
-    edges: DataFrame,
-    nodes: DataFrame | None = None,
-    sources: DataFrame | None = None,
-    normalized: bool = False,
-    max_depth: int = 10_000,
-) -> DataFrame:
-    """(node, score). ``edges`` as stored (symmetrized for undirected).
-
-    Exact with sources=None; sampled (EstimateBetweenness semantics:
-    scaled by n/k) otherwise. Raw scores match NetworKit's ordered-pair
-    convention (no undirected halving).
-    """
-    nodes = nodes if nodes is not None else nodes_from_edges(edges)
-    n = nodes.count()
-    src = sources if sources is not None else nodes
-    k = src.count()
-    e = edges.select("src", "dst").persist()
-    e.count()
-
+def source_dependencies(
+    e: DataFrame, src: DataFrame, max_depth: int = 10_000
+) -> tuple[DataFrame, DataFrame]:
+    """Full Brandes pass for the given sources: returns
+    ``(bfs(source, node, dist, sigma), delta(source, node, delta))``.
+    The per-source split is what makes incremental recompute possible
+    (``streaming/dyn_centrality.py``): each source's dependency table is
+    independent, so an edge event only invalidates the affected sources."""
     bfs, depth = _forward(e, src, max_depth)
     bfs = bfs.persist()
     bfs.count()
@@ -119,6 +107,31 @@ def betweenness(
                 (F.col("delta") + F.coalesce(F.col("add"), F.lit(0.0))).alias("delta"),
             )
         )
+    bfs.unpersist()
+    return bfs, delta
+
+
+def betweenness(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    sources: DataFrame | None = None,
+    normalized: bool = False,
+    max_depth: int = 10_000,
+) -> DataFrame:
+    """(node, score). ``edges`` as stored (symmetrized for undirected).
+
+    Exact with sources=None; sampled (EstimateBetweenness semantics:
+    scaled by n/k) otherwise. Raw scores match NetworKit's ordered-pair
+    convention (no undirected halving).
+    """
+    nodes = nodes if nodes is not None else nodes_from_edges(edges)
+    n = nodes.count()
+    src = sources if sources is not None else nodes
+    k = src.count()
+    e = edges.select("src", "dst").persist()
+    e.count()
+
+    _, delta = source_dependencies(e, src, max_depth)
     scores = (
         delta.filter(F.col("source") != F.col("node"))
         .groupBy("node")
@@ -137,7 +150,6 @@ def betweenness(
         scale /= denom if denom else 1.0
     out = scores.select("node", (F.col("score") * scale).alias("score"))
     e.unpersist()
-    bfs.unpersist()
     return (
         nodes.select(F.col("id").alias("node"))
         .join(out, "node", "left")

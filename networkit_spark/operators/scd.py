@@ -188,3 +188,154 @@ def page_rank_nibble(
         und_edges, [seed], alpha=alpha, eps=eps, fixed_rounds=fixed_rounds
     )
     return best_sweep_set(und_edges, pr, n_nodes)
+
+
+def lfm_local(
+    und_edges: DataFrame,
+    seeds: list[int],
+    alpha: float = 1.0,
+    max_rounds: int = 50,
+) -> DataFrame:
+    """LFM local community expansion, batched over many seeds at once.
+
+    Reference: ``cpp/scd/LFMLocal.cpp:12-100`` — fitness
+    ``q(C) = 2 W_int / (2 W_int + cut)^alpha``; greedily add the shell node
+    with the largest positive fitness gain, then drop members whose removal
+    raises fitness (seeds are never dropped), until no shell node improves.
+    The reference expands one community at a time with random tie-breaks;
+    here EVERY seed expands in the same superstep (membership keyed by
+    seed) and ties pick the smallest node id — pinned and reproducible.
+
+    Per round: one members-edges join for shell gains + one for member
+    contributions; per-seed aggregates (#seeds rows) come to the driver for
+    the quality bookkeeping. Scale: cost tracks the community
+    neighborhoods, not the graph.
+
+    ``und_edges``: symmetric rows. Returns (seed, node) memberships.
+    """
+    spark = und_edges.sparkSession
+    e = und_edges.select("src", "dst", "weight").persist()
+    e.count()
+    wdeg = e.groupBy(F.col("src").alias("node")).agg(F.sum("weight").alias("wdeg"))
+
+    members = spark.createDataFrame(
+        [(s, s) for s in seeds], "seed long, node long"
+    ).localCheckpoint(eager=True)
+    active = set(seeds)
+    for _ in range(max_rounds):
+        if not active:
+            break
+        # per-seed totals: vol, W_int -> cut = vol - 2 W_int
+        mem_src = members.select("seed", F.col("node").alias("src"))
+        mem_dst = members.select("seed", F.col("node").alias("dst"))
+        intw = (
+            e.join(mem_src, "src").join(mem_dst, ["seed", "dst"], "left_semi")
+            .groupBy("seed").agg((F.sum("weight") / 2).alias("W"))
+        )
+        vol = (
+            members.join(wdeg, "node")
+            .groupBy("seed").agg(F.sum("wdeg").alias("vol"))
+        )
+        stats = {
+            r["seed"]: (r["W"] or 0.0, (r["vol"] or 0.0) - 2 * (r["W"] or 0.0))
+            for r in vol.join(intw, "seed", "left").collect()
+        }
+        # shell: member -> outside neighbor; intDeg = weight into community
+        shell = (
+            e.join(mem_src, "src")
+            .join(mem_dst, ["seed", "dst"], "left_anti")
+            .groupBy("seed", F.col("dst").alias("node"))
+            .agg(F.sum("weight").alias("intdeg"))
+            .join(wdeg, "node")
+            .select("seed", "node", "intdeg", (F.col("wdeg") - F.col("intdeg")).alias("extdeg"))
+        )
+        stats_df = spark.createDataFrame(
+            [(s, w, c) for s, (w, c) in stats.items() if s in active],
+            "seed long, W double, C double",
+        )
+
+        def q_col(W, C):
+            den = 2 * W + C
+            return F.when(den > 0, (2 * W) / F.pow(den, F.lit(alpha))).otherwise(
+                F.lit(0.0)
+            )
+
+        gains = (
+            shell.join(F.broadcast(stats_df), "seed")
+            .select(
+                "seed", "node", "intdeg", "extdeg",
+                F.round(
+                    q_col(
+                        F.col("W") + F.col("intdeg"),
+                        F.col("C") - F.col("intdeg") + F.col("extdeg"),
+                    )
+                    - q_col(F.col("W"), F.col("C")),
+                    12,
+                ).alias("gain"),
+            )
+            .filter(F.col("gain") > 1e-12)
+        )
+        # distributed argmax per seed: best (gain, smallest node id)
+        picks = gains.groupBy("seed").agg(
+            F.max_by(
+                F.struct("node", "intdeg", "extdeg"),
+                F.struct(F.col("gain"), (-F.col("node")).alias("nn")),
+            ).alias("b")
+        ).select("seed", "b.node", "b.intdeg", "b.extdeg")
+        adds = {
+            r["seed"]: (None, r["node"], r["intdeg"], r["extdeg"])
+            for r in picks.collect()
+        }
+        if not adds:
+            break
+        for s in list(active):
+            if s not in adds:
+                active.discard(s)
+        new_rows = [(s, v[1]) for s, v in adds.items()]
+        members = members.unionByName(
+            spark.createDataFrame(new_rows, "seed long, node long")
+        ).localCheckpoint(eager=True)
+        # removal sweep: drop the worst negative-contribution member per seed
+        for s, v in adds.items():
+            W, C = stats[s]
+            stats[s] = (W + v[2], C - v[2] + v[3])
+        mem_src = members.select("seed", F.col("node").alias("src"))
+        mem_dst = members.select("seed", F.col("node").alias("dst"))
+        mcontrib = (
+            e.join(mem_src, "src").join(mem_dst, ["seed", "dst"], "left_semi")
+            .groupBy("seed", F.col("src").alias("node"))
+            .agg(F.sum("weight").alias("intdeg"))
+            .join(wdeg, "node")
+            .select("seed", "node", "intdeg", (F.col("wdeg") - F.col("intdeg")).alias("extdeg"))
+        )
+        stats2_df = spark.createDataFrame(
+            [(s, w, c) for s, (w, c) in stats.items()],
+            "seed long, W double, C double",
+        )
+        improvs = (
+            mcontrib.filter(F.col("node") != F.col("seed"))  # never drop the seed
+            .join(F.broadcast(stats2_df), "seed")
+            .select(
+                "seed", "node",
+                F.round(
+                    q_col(
+                        F.col("W") - F.col("intdeg"),
+                        F.col("C") + F.col("intdeg") - F.col("extdeg"),
+                    )
+                    - q_col(F.col("W"), F.col("C")),
+                    12,
+                ).alias("improv"),
+            )
+            .filter(F.col("improv") > 1e-12)
+        )
+        drop_df = improvs.groupBy("seed").agg(
+            F.max_by(
+                "node", F.struct(F.col("improv"), (-F.col("node")).alias("nn"))
+            ).alias("node")
+        )
+        if drop_df.count() > 0:
+            members = members.join(
+                drop_df, ["seed", "node"], "left_anti"
+            ).localCheckpoint(eager=True)
+    e.unpersist()
+    return members

@@ -39,17 +39,22 @@ from pyspark.sql import DataFrame
 
 
 def truncate_lineage(df: "DataFrame") -> "DataFrame":
-    """Hard lineage/plan truncation: persist + wrap the materialized RDD in a
-    fresh LogicalRDD plan.
+    """Hard lineage/plan truncation — BOTH layers:
 
-    ``localCheckpoint(eager=True)`` is NOT a reliable truncation under AQE:
-    in loops whose step references the state multiple times we measured the
-    per-iteration wall time TRIPLING per iteration (3 state references ->
-    3^k plan growth; PLM contracted-level sweeps went 1.7s -> 176s in 6
-    sweeps). ``createDataFrame(df.rdd, schema)`` provably resets the logical
-    plan; the persisted RDD backs it so nothing recomputes."""
-    df = df.persist()
-    df.count()
+    1. Logical plan: ``createDataFrame(df.rdd, schema)`` rebinds the state
+       as a fresh LogicalRDD. ``localCheckpoint(eager=True)`` ALONE is not
+       reliable under AQE: in loops whose step references the state
+       multiple times we measured per-iteration wall time TRIPLING (3
+       state references -> 3^k plan growth; PLM contracted-level sweeps
+       went 1.7s -> 176s in 6 sweeps).
+    2. RDD lineage: ``localCheckpoint`` (not plain ``persist``) replaces
+       the RDD's dependency chain with the materialized blocks. With
+       persist alone the chain keeps growing one stage per iteration and
+       deep runs (e.g. exact Brandes on a diameter-19 path, then an
+       incremental update on top) overflow the JVM stack serializing task
+       closures (StackOverflowError in ObjectOutputStream).
+    """
+    df = df.localCheckpoint(eager=True)
     return df.sparkSession.createDataFrame(df.rdd, df.schema)
 
 
