@@ -2295,3 +2295,129 @@ def q_ged_walk_group(spark, sf_dir):
         "rank", "node",
         F.round(F.round(F.lit(score), 9), 7).alias("group_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Luby MIS + Jones-Plassmann coloring (parallel replacements for the
+# reference's sequential independent-set / greedy-order passes)
+# ---------------------------------------------------------------------------
+
+MIS_ROUNDS = 6
+JP_ROUNDS = 12
+
+
+def _pri_sql(expr: str, tag: str, seed: int, rnd: int) -> str:
+    """DuckDB twin of operators.mis_coloring._pri (portable 60-bit md5)."""
+    return (
+        f"(('0x' || substr(md5('{tag}|{seed}|{rnd}|' || CAST({expr} AS VARCHAR)),"
+        f" 1, 15))::BIGINT)"
+    )
+
+
+def _luby_oracle_sql(rounds: int = MIS_ROUNDS, seed: int = 7) -> str:
+    parts = [
+        f"WITH {UEDGES_CTE},",
+        "active0 AS (SELECT doc_id AS node FROM documents),",
+        "mis0 AS (SELECT doc_id AS node FROM documents WHERE FALSE)",
+    ]
+    for k in range(rounds):
+        p_dst = _pri_sql("e.dst", "mis", seed, k)
+        p_me = _pri_sql("a.node", "mis", seed, k)
+        parts.append(
+            f""", nbr{k} AS MATERIALIZED (
+  SELECT e.src AS node, min(struct_pack(p := {p_dst}, nid := e.dst)) AS mn
+  FROM uedges e
+  JOIN active{k} s ON e.src = s.node
+  JOIN active{k} t ON e.dst = t.node
+  GROUP BY e.src
+), win{k} AS MATERIALIZED (
+  SELECT a.node FROM active{k} a
+  LEFT JOIN nbr{k} m ON a.node = m.node
+  WHERE m.node IS NULL
+     OR {p_me} < m.mn.p
+     OR ({p_me} = m.mn.p AND a.node < m.mn.nid)
+), mis{k + 1} AS (SELECT node FROM mis{k} UNION SELECT node FROM win{k})
+, active{k + 1} AS MATERIALIZED (
+  SELECT a.node FROM active{k} a
+  WHERE NOT EXISTS (SELECT 1 FROM win{k} w WHERE w.node = a.node)
+    AND NOT EXISTS (SELECT 1 FROM uedges e JOIN win{k} w ON e.dst = w.node
+                    WHERE e.src = a.node)
+)"""
+        )
+    parts.append(
+        f"""
+SELECT d.doc_id AS node, (m.node IS NOT NULL) AS in_mis
+FROM documents d LEFT JOIN mis{rounds} m ON d.doc_id = m.node"""
+    )
+    return "\n".join(parts)
+
+
+@register("luby_mis", _luby_oracle_sql())
+def q_luby_mis(spark, sf_dir):
+    """Luby maximal independent set, fixed rounds (converges well before
+    MIS_ROUNDS on this graph — asserted in tests/test_mis_coloring.py)."""
+    from networkit_spark.operators.mis_coloring import LubyMIS
+
+    n = _n_docs(spark, sf_dir)
+    e = doc_edges_undirected(spark, sf_dir)
+    return LubyMIS(seed=7, max_rounds=MIS_ROUNDS).run(e, nodes_range(spark, n)).mis_df
+
+
+def _jp_oracle_sql(rounds: int = JP_ROUNDS, seed: int = 7) -> str:
+    p_dst = _pri_sql("e.dst", "jp", seed, 0)
+    p_me = _pri_sql("u.node", "jp", seed, 0)
+    parts = [
+        f"WITH {UEDGES_CTE},",
+        "u0 AS (SELECT doc_id AS node FROM documents),",
+        "c0 AS (SELECT doc_id AS node, CAST(0 AS BIGINT) AS color FROM documents WHERE FALSE)",
+    ]
+    for k in range(rounds):
+        parts.append(
+            f""", nbrmax{k} AS MATERIALIZED (
+  SELECT e.src AS node, max(struct_pack(p := {p_dst}, nid := e.dst)) AS mx
+  FROM uedges e
+  JOIN u{k} s ON e.src = s.node
+  JOIN u{k} t ON e.dst = t.node
+  GROUP BY e.src
+), win{k} AS MATERIALIZED (
+  SELECT u.node FROM u{k} u
+  LEFT JOIN nbrmax{k} m ON u.node = m.node
+  WHERE m.node IS NULL
+     OR {p_me} > m.mx.p
+     OR ({p_me} = m.mx.p AND u.node > m.mx.nid)
+), used{k} AS MATERIALIZED (
+  SELECT w.node, list(DISTINCT c.color) AS used
+  FROM win{k} w
+  JOIN uedges e ON e.src = w.node
+  JOIN c{k} c ON e.dst = c.node
+  GROUP BY w.node
+), newc{k} AS MATERIALIZED (
+  SELECT w.node,
+         list_filter(range(0, CAST(len(coalesce(u.used, [])) + 2 AS BIGINT)),
+                     x -> NOT list_contains(coalesce(u.used, []), x))[1] AS color
+  FROM win{k} w LEFT JOIN used{k} u ON w.node = u.node
+), c{k + 1} AS (SELECT node, color FROM c{k}
+                UNION ALL SELECT node, color FROM newc{k})
+, u{k + 1} AS MATERIALIZED (
+  SELECT u.node FROM u{k} u
+  WHERE NOT EXISTS (SELECT 1 FROM win{k} w WHERE w.node = u.node)
+)"""
+        )
+    parts.append(
+        f"\nSELECT node, CAST(color AS BIGINT) AS color FROM c{rounds}"
+    )
+    return "\n".join(parts)
+
+
+@register("greedy_coloring", _jp_oracle_sql())
+def q_greedy_coloring(spark, sf_dir):
+    """Jones-Plassmann greedy coloring, fixed rounds (convergence on this
+    graph asserted in tests/test_mis_coloring.py)."""
+    from networkit_spark.operators.mis_coloring import JonesPlassmannColoring
+
+    n = _n_docs(spark, sf_dir)
+    e = doc_edges_undirected(spark, sf_dir)
+    res = JonesPlassmannColoring(seed=7, max_rounds=JP_ROUNDS).run(
+        e, nodes_range(spark, n)
+    )
+    return res.colors_df
