@@ -2421,3 +2421,111 @@ def q_greedy_coloring(spark, sf_dir):
         e, nodes_range(spark, n)
     )
     return res.colors_df
+
+
+# ---------------------------------------------------------------------------
+# Maximum spanning forest (Boruvka; RandomMaximumSpanningForest.cpp Kruskal
+# twin under the deterministic edge total order) + maximal cliques
+# ---------------------------------------------------------------------------
+
+MSF_ROUNDS = 10
+MSF_JUMPS = 10
+# portable integer weight on the canonical (src<dst) edge — identical
+# arithmetic in Spark and DuckDB; distinct-ish, ties broken by (lo,hi)
+MSF_W_SQL = "CAST((src*131071 + dst*524287) % 999983 + 1 AS DOUBLE)"
+
+
+def _msf_oracle_sql(rounds: int = MSF_ROUNDS, jumps: int = MSF_JUMPS) -> str:
+    parts = [
+        f"WITH {UEDGES_CTE},",
+        f"cedges AS (SELECT src, dst, {MSF_W_SQL} AS weight FROM uedges WHERE src < dst),",
+        "swedges AS MATERIALIZED (SELECT src, dst, weight FROM cedges"
+        " UNION ALL SELECT dst AS src, src AS dst, weight FROM cedges),",
+        "lab0 AS (SELECT doc_id AS node, doc_id AS label FROM documents)",
+    ]
+    for k in range(rounds):
+        parts.append(
+            f""", le{k} AS MATERIALIZED (
+  SELECT ls.label AS slbl, ld.label AS dlbl, w.src, w.dst, w.weight
+  FROM swedges w
+  JOIN lab{k} ls ON w.src = ls.node
+  JOIN lab{k} ld ON w.dst = ld.node
+  WHERE ls.label <> ld.label
+), best{k} AS MATERIALIZED (
+  SELECT slbl AS label,
+         min(struct_pack(kk := -weight,
+                         lo := least(src, dst),
+                         hi := greatest(src, dst),
+                         tgt := dlbl)) AS b
+  FROM le{k} GROUP BY slbl
+), f{k} AS (SELECT DISTINCT b.lo AS src, b.hi AS dst, -b.kk AS weight FROM best{k}),
+hook{k} AS (SELECT label, b.tgt AS target FROM best{k}),
+p{k}_0 AS MATERIALIZED (
+  SELECT h.label,
+         CASE WHEN o.target = h.label AND h.label < h.target
+              THEN h.label ELSE h.target END AS parent
+  FROM hook{k} h LEFT JOIN hook{k} o ON o.label = h.target
+)"""
+        )
+        for j in range(jumps):
+            parts.append(
+                f""", p{k}_{j + 1} AS MATERIALIZED (
+  SELECT p.label, coalesce(g.parent, p.parent) AS parent
+  FROM p{k}_{j} p LEFT JOIN p{k}_{j} g ON g.label = p.parent
+)"""
+            )
+        parts.append(
+            f""", lab{k + 1} AS MATERIALIZED (
+  SELECT l.node, coalesce(r.parent, l.label) AS label
+  FROM lab{k} l LEFT JOIN p{k}_{jumps} r ON r.label = l.label
+)"""
+        )
+    unions = " UNION ALL ".join(f"SELECT * FROM f{k}" for k in range(rounds))
+    parts.append(f"\nSELECT DISTINCT src, dst, weight FROM ({unions})")
+    return "\n".join(parts)
+
+
+@register("max_spanning_forest", _msf_oracle_sql())
+def q_max_spanning_forest(spark, sf_dir):
+    """Boruvka maximum spanning forest over the gate graph with portable
+    hash weights (unique forest under the (weight desc, (lo,hi) asc) total
+    order; oracle = the same algorithm unrolled to SQL)."""
+    from networkit_spark.operators.spanning import max_spanning_forest_fixed
+
+    n = _n_docs(spark, sf_dir)
+    ue = doc_edges_undirected(spark, sf_dir)
+    cedges = ue.filter(F.col("src") < F.col("dst")).select(
+        "src", "dst",
+        ((F.col("src") * 131071 + F.col("dst") * 524287) % 999983 + 1)
+        .cast("double").alias("weight"),
+    )
+    return max_spanning_forest_fixed(
+        cedges, nodes_range(spark, n), rounds=MSF_ROUNDS, jumps=MSF_JUMPS
+    )
+
+
+@register(
+    "maximal_cliques_size3",
+    f"""WITH {UEDGES_CTE}
+SELECT t.a, t.b, t.c FROM (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM uedges e1
+  JOIN uedges e2 ON e1.dst = e2.src AND e2.dst > e1.dst
+  JOIN uedges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+  WHERE e1.src < e1.dst
+) t
+WHERE NOT EXISTS (
+  SELECT 1 FROM uedges x1
+  JOIN uedges x2 ON x2.src = x1.dst
+  JOIN uedges x3 ON x3.src = x1.dst
+  WHERE x1.src = t.a AND x2.dst = t.b AND x3.dst = t.c
+)""",
+)
+def q_maximal_cliques_size3(spark, sf_dir):
+    """Maximal cliques of size exactly 3 (triangles with no common
+    neighbor) — SQL-expressible slice of the distributed Bron-Kerbosch
+    (operators/cliques.py); full enumeration is pytest-pinned vs networkx."""
+    from networkit_spark.operators.cliques import maximal_triangles
+
+    e = doc_edges_undirected(spark, sf_dir)
+    return maximal_triangles(e)

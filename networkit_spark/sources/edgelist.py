@@ -417,3 +417,51 @@ def write_gexf(edges: DataFrame, path: str, directed: bool = False) -> None:
         .unionByName(spark.createDataFrame([(x,) for x in footer], "x string"))
     )
     parts.coalesce(1).write.mode("overwrite").text(path)
+
+
+def write_dot(edges: DataFrame, path: str, directed: bool = False) -> None:
+    """DOT/GraphViz writer (``DotGraphWriter``, ``graphio.pyx:451-463`` —
+    the reference ships DOT as writer-only; Format.DOT/Format.GraphViz both
+    map to it at graphio.pyx:1526-1527). One ``a -- b;`` (or ``a -> b;``)
+    line per edge, weights as ``[weight=w]`` attributes."""
+    op = "->" if directed else "--"
+    header = "digraph G {" if directed else "graph G {"
+    has_w = "weight" in edges.columns
+    body = edges.select(
+        F.concat(
+            F.col("src").cast("string"), F.lit(f" {op} "),
+            F.col("dst").cast("string"),
+            (
+                F.concat(F.lit(" [weight="), F.col("weight").cast("string"), F.lit("]"))
+                if has_w else F.lit("")
+            ),
+            F.lit(";"),
+        ).alias("x")
+    )
+    spark = edges.sparkSession
+    parts = (
+        spark.createDataFrame([(header,)], "x string")
+        .unionByName(body.orderBy("x"))
+        .unionByName(spark.createDataFrame([("}",)], "x string"))
+    )
+    parts.coalesce(1).write.mode("overwrite").text(path)
+
+
+def read_dot(spark: SparkSession, path: str):
+    """Minimal DOT reader (roundtrip partner of :func:`write_dot`): integer
+    node ids, ``a -- b`` / ``a -> b`` edge statements with an optional
+    ``[weight=w]``. Returns (edges(src, dst, weight), directed)."""
+    txt = spark.read.text(path)
+    directed = txt.filter(F.col("value").rlike(r"^\s*digraph\b")).limit(1).count() > 0
+    pat = r"^\s*(\d+)\s*(--|->)\s*(\d+)\s*(?:\[weight=([0-9.eE+-]+)\])?\s*;"
+    rows = txt.select(
+        F.regexp_extract("value", pat, 1).alias("src"),
+        F.regexp_extract("value", pat, 3).alias("dst"),
+        F.regexp_extract("value", pat, 4).alias("w"),
+    ).filter(F.col("src") != "")
+    edges = rows.select(
+        F.col("src").cast("long"),
+        F.col("dst").cast("long"),
+        F.when(F.col("w") == "", F.lit(1.0)).otherwise(F.col("w").cast("double")).alias("weight"),
+    )
+    return edges, directed
