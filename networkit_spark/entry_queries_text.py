@@ -422,3 +422,68 @@ def q_events_sessions(spark, sf_dir):
         F.min("e").alias("start_e"),
         F.max("e").alias("end_e"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF approximate nearest neighbor (coarse quantizer + cell probe) — the
+# ANN scale path beyond hyperplane LSH; training-free seeded centroids keep
+# the gate variant bit-replayable in SQL (functions/similarity.py).
+# ---------------------------------------------------------------------------
+
+IVF_STEP = 64     # centroid ids = multiples of 64 -> k = ceil(n/64)
+IVF_NPROBE = 2
+IVF_K = 5
+
+
+@register(
+    "ivf_topk",
+    f"""
+WITH vn AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> x::DOUBLE / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS nv
+  FROM embeddings
+),
+cents AS (SELECT vec_id AS cid, nv AS cv FROM vn WHERE vec_id % {IVF_STEP} = 0),
+assign AS (
+  SELECT id, b.cid AS cid FROM (
+    SELECT v.vec_id AS id,
+           min(struct_pack(d := -round(list_dot_product(v.nv, c.cv), 6), cid := c.cid)) AS b
+    FROM vn v, cents c GROUP BY v.vec_id
+  )
+),
+qs AS (
+  SELECT q.vec_id AS query_id, q.nv AS qv, c.cid,
+         round(list_dot_product(q.nv, c.cv), 6) AS cd
+  FROM vn q, cents c WHERE q.vec_id < 10
+),
+probed AS (
+  SELECT query_id, qv, cid FROM (
+    SELECT query_id, qv, cid,
+           row_number() OVER (PARTITION BY query_id ORDER BY cd DESC, cid ASC) AS pr
+    FROM qs
+  ) WHERE pr <= {IVF_NPROBE}
+),
+cand AS (
+  SELECT p.query_id, a.id AS neighbor_id,
+         round(list_dot_product(p.qv, n.nv), 6) AS cosine
+  FROM probed p
+  JOIN assign a ON a.cid = p.cid
+  JOIN vn n ON n.vec_id = a.id
+  WHERE p.query_id <> a.id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM cand
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= {IVF_K}
+""",
+)
+def q_ivf_topk(spark, sf_dir):
+    """IVF cosine top-5 for query ids < 10, nprobe=2 over seeded centroids
+    (k = ceil(n/64)); recall vs brute force pytest-pinned
+    (tests/test_ivf.py)."""
+    from networkit_spark.functions.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk(emb, range(10), k=IVF_K, nprobe=IVF_NPROBE, step=IVF_STEP)

@@ -214,3 +214,130 @@ def pairwise_cosine_near_dup(
         .select("a", "b", _dot(F.col("va"), F.col("vb")).alias("cosine"))
     )
     return scored.filter(F.col("cosine") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) approximate nearest neighbor — the coarse-quantizer
+# scale path: assign every vector to its nearest of k centroids, search only
+# the ``nprobe`` most promising cells per query. Candidate work drops from
+# O(n) per query to O(n * nprobe / k); at 100 TB, k scales ~ sqrt(n) and the
+# centroid table stays broadcast-sized.
+# ---------------------------------------------------------------------------
+
+
+def seeded_centroids(
+    df: DataFrame,
+    step: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Training-free deterministic centroids: the normalized vectors whose id
+    is a multiple of ``step`` (k = ceil(n/step)). Fully reproducible across
+    engines, so the IVF gate query is SQL-oracle-checkable; use
+    :func:`lloyd_refine` when recall matters more than replayability."""
+    return with_normalized(df.filter(F.col(id_col) % step == 0), vec_col).select(
+        F.col(id_col).alias("cid"), F.col("nvec").alias("cv")
+    )
+
+
+def lloyd_refine(
+    df: DataFrame,
+    centroids: DataFrame,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """``iters`` Lloyd steps (spherical k-means: assign by max cosine, new
+    centroid = renormalized mean). Distributed float sums make the result
+    partition-order sensitive, so this variant is pytest-verified (recall
+    uplift) rather than oracle-hashed."""
+    nd = with_normalized(df, vec_col).select(F.col(id_col).alias("id"), "nvec")
+    c = centroids
+    for _ in range(iters):
+        a = _assign(nd.select(F.col("id"), F.col("nvec")), c)
+        sums = (
+            a.join(nd, "id")
+            .select("cid", F.posexplode("nvec").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("x").alias("s"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "s"))).alias("ps"))
+            .select(
+                "cid",
+                F.transform("ps", lambda st: st["s"]).alias("mv"),
+            )
+        )
+        norm = F.sqrt(F.aggregate("mv", F.lit(0.0), lambda acc, x: acc + x * x))
+        c = sums.select(
+            "cid", F.transform("mv", lambda x: x / norm).alias("cv")
+        )
+    return c
+
+
+def _assign(nd: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(id, cid): nearest centroid by cosine, rounded to 6dp with cid-asc
+    tie-break (cross-engine float-stable — same recipe as embedding_topk).
+    One broadcast join + one hash agg (map-side partial) — no window sort."""
+    return (
+        nd.join(F.broadcast(centroids))
+        .groupBy("id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.round(_dot(F.col("nvec"), F.col("cv")), 6)).alias("d"),
+                    F.col("cid"),
+                )
+            ).alias("b")
+        )
+        .select("id", F.col("b.cid").alias("cid"))
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_ids,
+    k: int = 5,
+    nprobe: int = 2,
+    step: int = 64,
+    centroids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate cosine top-k: probe the ``nprobe`` best cells per
+    query, exact re-rank inside them. Returns (query_id, neighbor_id, rank).
+
+    Plan shape: ONE broadcast join against the (tiny) centroid table for
+    assignment, a shuffle on cid for the candidate join, then the same
+    windowed re-rank as the brute-force path — no all-pairs stage anywhere.
+    """
+    nd = with_normalized(df, vec_col).select(F.col(id_col).alias("id"), "nvec").persist()
+    c = centroids if centroids is not None else seeded_centroids(df, step, id_col, vec_col)
+    c = c.persist()
+    assign = _assign(nd, c)
+    q = nd.filter(F.col("id").isin([int(x) for x in query_ids]))
+    # top-nprobe centroids per query
+    qs = (
+        q.join(F.broadcast(c))
+        .select(
+            F.col("id").alias("query_id"), F.col("nvec").alias("qv"), "cid",
+            F.round(_dot(F.col("nvec"), F.col("cv")), 6).alias("cd"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cd"), F.asc("cid"))
+    probed = qs.withColumn("pr", F.row_number().over(wq)).filter(F.col("pr") <= nprobe)
+    cand = (
+        probed.select("query_id", "qv", "cid")
+        .join(assign.select(F.col("id").alias("neighbor_id"), "cid"), "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(nd.select(F.col("id").alias("neighbor_id"), F.col("nvec").alias("cvn")), "neighbor_id")
+        .select(
+            "query_id", "neighbor_id",
+            F.round(_dot(F.col("qv"), F.col("cvn")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+    )
