@@ -2529,3 +2529,45 @@ def q_maximal_cliques_size3(spark, sf_dir):
 
     e = doc_edges_undirected(spark, sf_dir)
     return maximal_triangles(e)
+
+
+# ---------------------------------------------------------------------------
+# Max flow / min cut (SURVEY §2; flow/EdmondsKarp.cpp parity via parallel
+# push-relabel — operators/flow.py)
+# ---------------------------------------------------------------------------
+
+@register("max_flow_value")  # no SQL oracle: push-relabel supersteps are not
+# SQL-expressible; correctness pinned by tests/test_flow.py (value ==
+# networkx max-flow, feasibility, and max-flow-min-cut duality on fixed +
+# random graphs)
+def q_max_flow_value(spark, sf_dir):
+    """Max s-t flow value + minimal source-side cut size on the deterministic
+    doc-subgraph with nodes < 120, capacity = 1 + (src + dst) % 5, s=0,
+    t=119. Single-row result (value, source_set_size).
+
+    The subgraph is a few hundred edges, so the run is pure fixed-cost
+    supersteps; shuffle partitions are dropped to 2 for the call (restored
+    after) — at this input size every stage is one task anyway and the
+    extra empty tasks only add scheduling latency."""
+    from networkit_spark.operators.flow import max_flow
+
+    e = (
+        doc_edges(spark, sf_dir)
+        .filter((F.col("src") < 120) & (F.col("dst") < 120))
+        .select(
+            "src",
+            "dst",
+            (1.0 + (F.col("src") + F.col("dst")) % 5).alias("capacity"),
+        )
+        .coalesce(2)
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        res = max_flow(e, s=0, t=119, max_rounds=200)
+        ss = res.source_set_df.count()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.createDataFrame(
+        [(float(res.value), int(ss))], "value double, source_set_size long"
+    )
