@@ -465,3 +465,96 @@ def read_dot(spark: SparkSession, path: str):
         F.when(F.col("w") == "", F.lit(1.0)).otherwise(F.col("w").cast("double")).alias("weight"),
     )
     return edges, directed
+
+
+def read_rb(spark: SparkSession, path: str):
+    """Rutherford-Boeing reader (``RBGraphReader.cpp`` /
+    ``RBMatrixReader.cpp`` parity; fixture ``input/tiny_05.rb``): 4 header
+    lines (line 2 = totalRows nPtrRows nIdxRows nValRows; line 3 =
+    fmt nCols nRows nVals), then the CSC arrays as whitespace-separated
+    tokens split across known line ranges. Supported fmt: r/i/p +
+    a (assembled), 's' symmetrizes (undirected in the reference).
+
+    Distributed plan: token global positions come from
+    :func:`networkit_spark.plans.ids.dense_ids` ranks over (lineno, pos) —
+    range-partitioned sort, NO unpartitioned window; the CSC->COO column
+    assignment is an ``explode(sequence(ptr[c], ptr[c+1]-1))`` (linear) join
+    on token index rather than a non-equi range join (quadratic).
+    Returns (nodes, edges); matrix entry (row, col, v) -> edge row->col.
+    """
+    from networkit_spark.plans.ids import dense_ids
+
+    lines = spark.sparkContext.textFile(path).zipWithIndex()
+    df = spark.createDataFrame(lines, "line string, lineno long").persist()
+    hdr = {r.lineno: r.line for r in df.filter(F.col("lineno") < 4).collect()}
+    counts = hdr[1].split()
+    n_ptr_rows, n_idx_rows, n_val_rows = int(counts[1]), int(counts[2]), int(counts[3])
+    h3 = hdr[2].split()
+    fmt = h3[0].lower()
+    n_cols, n_rows = int(h3[1]), int(h3[2])
+    if fmt[0] not in ("r", "i", "p"):
+        raise ValueError(f"unsupported RB value type {fmt!r} (r/i/p only)")
+    if fmt[2] != "a":
+        raise ValueError("only assembled (a) RB matrices are supported")
+    pattern_only = fmt[0] == "p"
+    symmetric = fmt[1] == "s"
+
+    def _section_tokens(first_line: int, n_lines: int):
+        """(idx, token) 0-based global token rank within the section."""
+        toks = (
+            df.filter(
+                (F.col("lineno") >= first_line)
+                & (F.col("lineno") < first_line + n_lines)
+            )
+            .select(
+                "lineno",
+                F.posexplode(F.split(F.trim("line"), r"\s+")).alias("pos", "tok"),
+            )
+            .filter(F.col("tok") != "")
+            # RB lines are <= 80 chars -> < 1e5 tokens; composite order key
+            .select((F.col("lineno") * 100000 + F.col("pos")).alias("k"), "tok")
+        )
+        ranked = dense_ids(toks.select("k"), "k", id_col="idx", distinct=False)
+        return toks.join(ranked, "k").select("idx", "tok")
+
+    p0 = 4
+    ptr = _section_tokens(p0, n_ptr_rows).select(
+        F.col("idx").alias("c"), (F.col("tok").cast("long") - 1).alias("p")
+    )
+    # consecutive pointer pairs -> exploded (token_idx, col) assignment
+    nxt = ptr.select((F.col("c") - 1).alias("c"), F.col("p").alias("p_next"))
+    col_of = (
+        ptr.join(nxt, "c")
+        .filter(F.col("p_next") > F.col("p"))
+        .select(
+            F.col("c").alias("col"),
+            F.explode(F.sequence("p", F.col("p_next") - 1)).alias("idx"),
+        )
+    )
+    rows = _section_tokens(p0 + n_ptr_rows, n_idx_rows).select(
+        "idx", (F.col("tok").cast("long") - 1).alias("row")
+    )
+    coo = col_of.join(rows, "idx")
+    if pattern_only:
+        edges = coo.select(
+            F.col("row").alias("src"), F.col("col").alias("dst"),
+            F.lit(1.0).alias("weight"),
+        )
+    else:
+        vals = _section_tokens(p0 + n_ptr_rows + n_idx_rows, n_val_rows).select(
+            "idx", F.col("tok").cast("double").alias("w")
+        )
+        edges = coo.join(vals, "idx").select(
+            F.col("row").alias("src"), F.col("col").alias("dst"),
+            F.col("w").alias("weight"),
+        )
+    if symmetric:
+        edges = edges.union(
+            edges.filter(F.col("src") != F.col("dst")).select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+            )
+        )
+    if n_cols != n_rows:
+        raise ValueError("RB matrix is not square - cannot build a graph")
+    nodes = spark.range(n_cols).select(F.col("id").cast("long").alias("id"))
+    return nodes, edges

@@ -218,3 +218,45 @@ def test_gexf_roundtrip(tmp_path, spark):
     got = sorted((r["src"], r["dst"]) for r in edges.filter("src < dst").collect())
     # ids re-encoded by lexicographic rank of the string id: '0','1','2','3'
     assert got == [(0, 1), (0, 2), (1, 2), (2, 3)]
+
+
+def test_read_rb_tiny05(spark):
+    """RBGraphReader parity on the reference's own fixture: RUA 5x5, 11
+    explicit entries, CSC order — exact (row, col, value) set."""
+    from networkit_spark.sources.edgelist import read_rb
+
+    nodes, edges = read_rb(spark, "/root/reference/input/tiny_05.rb")
+    assert nodes.count() == 5
+    got = {(r.src, r.dst, r.weight) for r in edges.collect()}
+    want = {
+        (0, 0, 1.0), (2, 0, 2.0), (4, 0, 3.0),
+        (0, 1, -4.0), (3, 1, 5.0),
+        (1, 2, -6.0), (4, 2, -7.0),
+        (0, 3, -8.0), (3, 3, -9.0),
+        (1, 4, 10.0), (4, 4, 11.0),
+    }
+    assert got == want
+
+
+def test_read_rb_symmetric_pattern(spark, tmp_path):
+    """'psa' format: pattern-only (weight 1.0) + symmetrize (no doubled
+    self-loops). 3x3 lower triangle: (1,0),(2,0),(2,2)."""
+    from networkit_spark.sources.edgelist import read_rb
+
+    p = tmp_path / "sym.rb"
+    p.write_text(
+        "tiny symmetric pattern                                      T1\n"
+        "             3             1             1             0\n"
+        "PSA                        3             3             3\n"
+        "(4I6)           (3I6)\n"
+        "  1  3  3  4\n"
+        "  2  3  3\n"
+    )
+    nodes, edges = read_rb(spark, str(p))
+    assert nodes.count() == 3
+    got = {(r.src, r.dst, r.weight) for r in edges.collect()}
+    want = {
+        (1, 0, 1.0), (2, 0, 1.0), (2, 2, 1.0),
+        (0, 1, 1.0), (0, 2, 1.0),
+    }
+    assert got == want
