@@ -2571,3 +2571,31 @@ def q_max_flow_value(spark, sf_dir):
     return spark.createDataFrame(
         [(float(res.value), int(ss))], "value double, source_set_size long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Cut clustering (SURVEY §2; community/CutClustering.cpp — Flake-Tarjan)
+# ---------------------------------------------------------------------------
+
+@register("cut_clustering_alpha1")  # no SQL oracle: n min cuts via batched
+# push-relabel are not SQL-expressible; exact-parity (labels included) is
+# pinned by tests/test_cutclustering.py against a sequential networkx
+# replica of CutClustering.cpp's loop
+def q_cut_clustering(spark, sf_dir):
+    """Flake-Tarjan cut clustering, alpha=1.0, on the deterministic
+    doc-subgraph with nodes < 60 (unit weights). Labels = clustering source
+    node ids, matching the reference's assignment order exactly."""
+    from networkit_spark.operators.cutclustering import cut_clustering
+
+    e = (
+        doc_edges_undirected(spark, sf_dir)
+        .filter((F.col("src") < 60) & (F.col("dst") < 60))
+        .coalesce(2)
+    )
+    nodes = spark.range(60).select(F.col("id").alias("node"))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        return cut_clustering(e, nodes, alpha=1.0, batch=30)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

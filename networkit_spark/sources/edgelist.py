@@ -41,6 +41,10 @@ def guess_format(path: str) -> str:
         return "konect"
     if base.endswith(".txt"):
         return "snap"
+    if base.endswith((".rb", ".rua", ".rsa", ".pua", ".psa")):
+        return "rb"
+    if base.endswith(".thrill"):
+        return "thrill"
     return "edgelist-tab-zero"
 
 
