@@ -19,7 +19,7 @@ from networkit_spark.operators.triangles import (
     triangle_counts,
     triangle_edge_score,
 )
-from networkit_spark.testgraph import UEDGES_CTE, doc_edges_undirected
+from networkit_spark.testgraph import EDGES_CTE, UEDGES_CTE, doc_edges_undirected
 
 CC_ITERS = 15
 PLP_ITERS = 5
@@ -2599,3 +2599,92 @@ def q_cut_clustering(spark, sf_dir):
         return cut_clustering(e, nodes, alpha=1.0, batch=30)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+# ---------------------------------------------------------------------------
+# Coarsening (SURVEY §2; coarsening/ParallelPartitionCoarsening.cpp:23-66)
+# ---------------------------------------------------------------------------
+
+@register(
+    "coarsen_partition_mod10",
+    f"""
+WITH {UEDGES_CTE},
+canon AS (SELECT src, dst, weight FROM uedges WHERE src < dst)
+SELECT least(src % 10, dst % 10) AS src,
+       greatest(src % 10, dst % 10) AS dst,
+       CAST(sum(weight) AS DOUBLE) AS weight
+FROM canon
+GROUP BY least(src % 10, dst % 10), greatest(src % 10, dst % 10)
+""",
+)
+def q_coarsen_partition(spark, sf_dir):
+    """ParallelPartitionCoarsening of the undirected doc graph under the
+    deterministic partition label = node % 10 (already-dense subset ids, so
+    the compaction rank is the identity and the oracle can recompute the
+    coarse graph as a pure groupBy). Self-loop rows (src == dst) carry the
+    intra-block weight, each fine edge once — the reference's
+    ``sv != su || u >= v`` convention."""
+    from networkit_spark.operators.coarsening import coarsen_by_partition
+
+    e = doc_edges_undirected(spark, sf_dir).filter(F.col("src") < F.col("dst"))
+    labels = (
+        spark.range(_n_docs(spark, sf_dir))
+        .select(F.col("id").alias("node"), (F.col("id") % 10).alias("label"))
+    )
+    coarse, _mapping = coarsen_by_partition(e, labels)
+    return coarse
+
+
+# ---------------------------------------------------------------------------
+# Reachability (SURVEY §2; reachability/ReachableNodes.cpp, AllSimplePaths.cpp)
+# ---------------------------------------------------------------------------
+
+@register(
+    "reachable_counts",
+    f"""
+WITH RECURSIVE {EDGES_CTE},
+reach(u, v) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.u, e.dst FROM reach r JOIN edges e ON r.v = e.src
+)
+SELECT u AS node, CAST(count(*) AS BIGINT) AS reachable FROM reach GROUP BY u
+""",
+)
+def q_reachable_counts(spark, sf_dir):
+    """Exact ReachableNodes over the directed doc graph: SCC condensation +
+    transitive closure on the condensation (ReachableNodes.cpp:26-84). The
+    oracle is the direct recursive-CTE closure — the condensation is an
+    internal optimization, invisible in the result."""
+    from networkit_spark.operators.reachability import reachable_nodes
+
+    from networkit_spark.testgraph import doc_edges
+
+    n = _n_docs(spark, sf_dir)
+    return reachable_nodes(doc_edges(spark, sf_dir), nodes_range(spark, n))
+
+
+@register(
+    "simple_paths_0_7",
+    f"""
+WITH RECURSIVE {EDGES_CTE},
+paths(last, seen, path, hops) AS (
+  SELECT CAST(0 AS BIGINT), '|0|', '0', 0
+  UNION ALL
+  SELECT e.dst, p.seen || CAST(e.dst AS VARCHAR) || '|',
+         p.path || '->' || CAST(e.dst AS VARCHAR), p.hops + 1
+  FROM paths p JOIN edges e ON p.last = e.src
+  WHERE p.hops < 4 AND p.last <> 7
+    AND p.seen NOT LIKE '%|' || CAST(e.dst AS VARCHAR) || '|%'
+)
+SELECT path, CAST(hops AS INT) AS hops FROM paths WHERE last = 7
+""",
+)
+def q_simple_paths(spark, sf_dir):
+    """AllSimplePaths 0 -> 7, cutoff 4 edges, over the directed doc graph.
+    The oracle's recursive CTE carries the same |-delimited member set, so
+    both engines enumerate the identical path strings."""
+    from networkit_spark.operators.reachability import all_simple_paths
+    from networkit_spark.testgraph import doc_edges
+
+    return all_simple_paths(doc_edges(spark, sf_dir), 0, 7, cutoff=4)
