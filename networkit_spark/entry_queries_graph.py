@@ -2688,3 +2688,31 @@ def q_simple_paths(spark, sf_dir):
     from networkit_spark.testgraph import doc_edges
 
     return all_simple_paths(doc_edges(spark, sf_dir), 0, 7, cutoff=4)
+
+
+# ---------------------------------------------------------------------------
+# Epidemic simulation (SURVEY §2; simulation/EpidemicSimulationSEIR.cpp)
+# ---------------------------------------------------------------------------
+
+def _seir_oracle() -> str:
+    from networkit_spark.operators.epidemic import seir_oracle_sql
+
+    return seir_oracle_sql(
+        EDGES_CTE, t_max=6, trans_p=0.35, e_time=2, i_time=3, zero=0
+    )
+
+
+@register("seir_census", _seir_oracle())
+def q_seir_census(spark, sf_dir):
+    """SEIR epidemic over the directed doc graph: zero node 0, transP=0.35,
+    eTime=2, iTime=3, 6 sweeps. Output = getData() census rows
+    (zero, t, state, population); draws are deterministic portable-md5, so
+    the unrolled SQL oracle replays the identical epidemic."""
+    from networkit_spark.operators.epidemic import seir_simulation
+    from networkit_spark.testgraph import doc_edges
+
+    n = _n_docs(spark, sf_dir)
+    return seir_simulation(
+        doc_edges(spark, sf_dir), nodes_range(spark, n),
+        t_max=6, trans_p=0.35, e_time=2, i_time=3, zero=0,
+    )
