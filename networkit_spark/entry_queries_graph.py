@@ -2716,3 +2716,103 @@ def q_seir_census(spark, sf_dir):
         doc_edges(spark, sf_dir), nodes_range(spark, n),
         t_max=6, trans_p=0.35, e_time=2, i_time=3, zero=0,
     )
+
+
+# ---------------------------------------------------------------------------
+# Randomization (SURVEY §2; randomization/DegreePreservingShuffle.cpp,
+# GlobalCurveball.cpp)
+# ---------------------------------------------------------------------------
+
+@register(
+    "degree_preserving_shuffle",
+    f"""
+WITH {EDGES_CTE},
+sig AS (
+  SELECT d.doc_id AS node, coalesce(i.c, 0) AS din, coalesce(o.c, 0) AS dout
+  FROM documents d
+  LEFT JOIN (SELECT src, count(*) AS c FROM edges GROUP BY src) o ON d.doc_id = o.src
+  LEFT JOIN (SELECT dst, count(*) AS c FROM edges GROUP BY dst) i ON d.doc_id = i.dst
+),
+by_id AS (SELECT node, din, dout,
+          row_number() OVER (PARTITION BY din, dout ORDER BY node) AS pos FROM sig),
+by_rand AS (SELECT node AS new_id, din, dout,
+            row_number() OVER (PARTITION BY din, dout
+              ORDER BY ('0x'||substr(md5('dps42|'||node),1,15))::BIGINT, node) AS pos
+            FROM sig)
+SELECT b.node, r.new_id
+FROM by_id b JOIN by_rand r ON b.din = r.din AND b.dout = r.dout AND b.pos = r.pos
+""",
+)
+def q_degree_preserving_shuffle(spark, sf_dir):
+    """Seeded random node-id bijection within (in, out)-degree classes over
+    the directed doc graph (DegreePreservingShuffle::getPermutation)."""
+    from networkit_spark.operators.randomization import degree_preserving_shuffle
+    from networkit_spark.testgraph import doc_edges
+
+    n = _n_docs(spark, sf_dir)
+    return degree_preserving_shuffle(
+        doc_edges(spark, sf_dir), nodes_range(spark, n), seed=42
+    )
+
+
+@register(
+    "global_curveball_1round",
+    f"""
+WITH {UEDGES_CTE},
+ced AS (SELECT src, dst FROM uedges WHERE src < dst),
+rk AS (SELECT doc_id AS node,
+       row_number() OVER (ORDER BY ('0x'||substr(md5('gcb42r0|'||doc_id),1,15))::BIGINT, doc_id) - 1 AS r
+       FROM documents),
+prs AS (SELECT node, r // 2 AS tid FROM rk),
+mates AS (SELECT tid, min(node) AS u, max(node) AS v FROM prs GROUP BY tid HAVING count(*) = 2),
+nt AS (SELECT p.node, p.tid, CASE WHEN p.node = m.u THEN m.v ELSE m.u END AS mate
+       FROM prs p JOIN mates m ON p.tid = m.tid),
+adj AS (SELECT src AS node, dst AS w FROM ced UNION ALL SELECT dst, src FROM ced),
+inc AS (SELECT least(a.node, a.w) AS a, greatest(a.node, a.w) AS b, a.node, t.tid, t.mate, a.w
+        FROM adj a JOIN nt t ON a.node = t.node),
+own AS (SELECT a, b, node FROM (
+          SELECT a, b, node, row_number() OVER (PARTITION BY a, b ORDER BY tid, node) AS rn
+          FROM inc) WHERE rn = 1),
+asg AS (SELECT i.* FROM inc i JOIN own o ON i.a = o.a AND i.b = o.b AND i.node = o.node),
+pinned AS (SELECT a, b FROM asg WHERE w = mate),
+cand AS (SELECT tid, node, mate, w FROM asg WHERE w <> mate),
+pc AS (SELECT tid, w, count(*) AS cnt, min(node) AS n1, max(node) AS n2 FROM cand GROUP BY tid, w),
+common AS (SELECT * FROM pc WHERE cnt = 2),
+common_edges AS (SELECT n1 AS x, w FROM common UNION ALL SELECT n2, w FROM common),
+disj AS (SELECT c.* FROM cand c LEFT JOIN common cm ON c.tid = cm.tid AND c.w = cm.w
+         WHERE cm.tid IS NULL),
+bk AS (SELECT DISTINCT node AS mate, w FROM adj),
+disj2 AS (SELECT d.*, (b.mate IS NOT NULL) AS blocked
+          FROM disj d LEFT JOIN bk b ON d.mate = b.mate AND d.w = b.w),
+stuck AS (SELECT node AS x, w FROM disj2 WHERE blocked),
+movable AS (SELECT tid, node, mate, w FROM disj2 WHERE NOT blocked),
+qu AS (SELECT tid, sum(CASE WHEN node < mate THEN 1 ELSE 0 END) AS q,
+       min(least(node, mate)) AS u, min(greatest(node, mate)) AS v
+       FROM movable GROUP BY tid),
+dealt AS (SELECT m.tid,
+       CASE WHEN row_number() OVER (PARTITION BY m.tid
+              ORDER BY ('0x'||substr(md5('gcb42r0d|'||m.w),1,15))::BIGINT, m.w) <= q.q
+            THEN q.u ELSE q.v END AS x, m.w
+       FROM movable m JOIN qu q ON m.tid = q.tid),
+de AS (SELECT tid, least(x, w) AS src, greatest(x, w) AS dst FROM dealt),
+dup AS (SELECT src, dst FROM de GROUP BY src, dst HAVING count(*) > 1),
+rejected AS (SELECT DISTINCT d.tid FROM de d JOIN dup p ON d.src = p.src AND d.dst = p.dst),
+kept AS (SELECT x, w FROM dealt d WHERE NOT EXISTS (SELECT 1 FROM rejected r WHERE r.tid = d.tid)),
+reverted AS (SELECT node AS x, w FROM movable m WHERE EXISTS (SELECT 1 FROM rejected r WHERE r.tid = m.tid)),
+half AS (SELECT x, w FROM common_edges UNION ALL SELECT x, w FROM kept
+         UNION ALL SELECT x, w FROM reverted UNION ALL SELECT x, w FROM stuck)
+SELECT least(x, w) AS src, greatest(x, w) AS dst, CAST(1.0 AS DOUBLE) AS weight FROM half
+UNION ALL
+SELECT a AS src, b AS dst, CAST(1.0 AS DOUBLE) AS weight FROM pinned
+""",
+)
+def q_global_curveball(spark, sf_dir):
+    """One synchronous global curveball trade round over the canonical
+    undirected doc graph; the oracle replays the identical pairing, card
+    assignment, deal and reject logic from the shared md5 draws."""
+    from networkit_spark.operators.randomization import global_curveball
+    from networkit_spark.testgraph import doc_edges_undirected
+
+    n = _n_docs(spark, sf_dir)
+    e = doc_edges_undirected(spark, sf_dir).filter(F.col("src") < F.col("dst"))
+    return global_curveball(e, nodes_range(spark, n), rounds=1, seed=42)
