@@ -2816,3 +2816,27 @@ def q_global_curveball(spark, sf_dir):
     n = _n_docs(spark, sf_dir)
     e = doc_edges_undirected(spark, sf_dir).filter(F.col("src") < F.col("dst"))
     return global_curveball(e, nodes_range(spark, n), rounds=1, seed=42)
+
+
+# ---------------------------------------------------------------------------
+# b-matching (SURVEY §2; matching/BSuitorMatcher.cpp)
+# ---------------------------------------------------------------------------
+
+def _bmatch_oracle() -> str:
+    from networkit_spark.operators.bmatching import b_suitor_oracle_sql
+
+    # 15 unrolled rounds >= convergence on the doc graph; extra rounds no-op
+    return b_suitor_oracle_sql(UEDGES_CTE, b=2, rounds=15)
+
+
+@register("b_matching_b2", _bmatch_oracle())
+def q_b_matching(spark, sf_dir):
+    """b-suitor b-matching (b=2) over the canonical undirected doc graph;
+    unit weights, ties -> smaller partner id; the oracle unrolls the same
+    want/lock/decrement rounds."""
+    from networkit_spark.operators.bmatching import b_suitor_matching
+    from networkit_spark.testgraph import doc_edges_undirected
+
+    n = _n_docs(spark, sf_dir)
+    e = doc_edges_undirected(spark, sf_dir).filter(F.col("src") < F.col("dst"))
+    return b_suitor_matching(e, 2, nodes_range(spark, n), max_rounds=15)
