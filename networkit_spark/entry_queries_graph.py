@@ -2840,3 +2840,32 @@ def q_b_matching(spark, sf_dir):
     n = _n_docs(spark, sf_dir)
     e = doc_edges_undirected(spark, sf_dir).filter(F.col("src") < F.col("dst"))
     return b_suitor_matching(e, 2, nodes_range(spark, n), max_rounds=15)
+
+
+# ---------------------------------------------------------------------------
+# NetworkitBinary I/O (SURVEY §2; io/NetworkitBinaryReader.cpp / Writer.cpp)
+# ---------------------------------------------------------------------------
+
+@register(
+    "nkb_roundtrip",
+    f"WITH {EDGES_CTE} SELECT src, dst, CAST(weight AS DOUBLE) AS weight FROM edges",
+)
+def q_nkb_roundtrip(spark, sf_dir):
+    """Write the directed doc graph as nkbg003 (chunked varint binary) and
+    read it back — the oracle is the original edge derivation, so the row
+    set proves the codec + chunk layout are lossless."""
+    import os
+    import tempfile
+
+    from networkit_spark.sources.nkb import (
+        read_networkit_binary,
+        write_networkit_binary,
+    )
+    from networkit_spark.testgraph import doc_edges
+
+    e = doc_edges(spark, sf_dir)
+    n = _n_docs(spark, sf_dir)
+    path = os.path.join(tempfile.mkdtemp(prefix="nkb"), "g.nkbg")
+    write_networkit_binary(e, n, path, directed=True, weighted=True, chunks=8)
+    _nodes, back, _directed = read_networkit_binary(spark, path)
+    return back

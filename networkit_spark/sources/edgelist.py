@@ -65,16 +65,34 @@ def read_edge_list(
     (``EdgeListReader.cpp:65-83`` analog). Weight column auto-detected from
     a third csv column (``:43-44``).
     """
-    raw = (
-        spark.read.option("sep", sep)
-        .option("comment", comment)
-        .csv(path)
-        .toDF(*["c0", "c1", "c2"][: 3])
-        if _ncols(spark, path, sep, comment) >= 3
-        else spark.read.option("sep", sep).option("comment", comment).csv(path).toDF("c0", "c1")
-    )
-    has_w = "c2" in raw.columns
-    w = F.col("c2").cast("double") if has_w else F.lit(1.0)
+    if sep.strip() == "":
+        # whitespace dialects tokenize on RUNS of blanks (the reference's
+        # strtok-style scan — KONECT fixtures pad columns with double spaces)
+        lines = spark.read.text(path).filter(
+            ~F.col("value").startswith(comment) & (F.trim("value") != "")
+        )
+        toks = F.filter(F.split(F.trim("value"), r"\s+"), lambda t: t != "")
+        raw = (
+            lines.select(toks.alias("t"))
+            .filter(F.size("t") >= 2)
+            .select(
+                F.col("t")[0].alias("c0"),
+                F.col("t")[1].alias("c1"),
+                F.when(F.size("t") >= 3, F.col("t")[2]).alias("c2"),
+            )
+        )
+        w = F.coalesce(F.col("c2").cast("double"), F.lit(1.0))
+    else:
+        raw = (
+            spark.read.option("sep", sep)
+            .option("comment", comment)
+            .csv(path)
+            .toDF(*["c0", "c1", "c2"][: 3])
+            if _ncols(spark, path, sep, comment) >= 3
+            else spark.read.option("sep", sep).option("comment", comment).csv(path).toDF("c0", "c1")
+        )
+        has_w = "c2" in raw.columns
+        w = F.col("c2").cast("double") if has_w else F.lit(1.0)
     if continuous:
         edges = raw.select(
             (F.col("c0").cast("long") - first_node).alias("src"),
