@@ -2869,3 +2869,53 @@ def q_nkb_roundtrip(spark, sf_dir):
     write_networkit_binary(e, n, path, directed=True, weighted=True, chunks=8)
     _nodes, back, _directed = read_networkit_binary(spark, path)
     return back
+
+
+# ---------------------------------------------------------------------------
+# Bidirectional BFS / SPSP (SURVEY §2; distance/BidirectionalBFS.cpp, SPSP.cpp)
+# ---------------------------------------------------------------------------
+
+@register(
+    "bidir_bfs_0_97",
+    f"""
+WITH RECURSIVE {EDGES_CTE},
+w(node, dist) AS (
+  SELECT CAST(0 AS BIGINT), 0
+  UNION
+  SELECT e.dst, w.dist + 1 FROM w JOIN edges e ON w.node = e.src WHERE w.dist < 30
+)
+SELECT CAST(min(dist) AS INT) AS dist FROM w WHERE node = 97
+""",
+)
+def q_bidir_bfs(spark, sf_dir):
+    """Meet-in-the-middle s-t hop distance (0 -> 97) on the directed doc
+    graph; oracle = recursive-CTE forward BFS min."""
+    from networkit_spark.operators.distance import bidirectional_bfs
+    from networkit_spark.testgraph import doc_edges
+
+    d = bidirectional_bfs(doc_edges(spark, sf_dir), 0, 97)
+    return spark.createDataFrame([(int(d),)], "dist int")
+
+
+@register(
+    "spsp_sources8",
+    f"""
+WITH RECURSIVE {UEDGES_CTE},
+walk(source, node, dist) AS (
+  SELECT doc_id, doc_id, 0 FROM documents WHERE doc_id < 8
+  UNION
+  SELECT w.source, e.dst, w.dist + 1
+  FROM walk w JOIN uedges e ON w.node = e.src WHERE w.dist < 30
+)
+SELECT source, node, CAST(min(dist) AS BIGINT) AS dist
+FROM walk GROUP BY source, node
+""",
+)
+def q_spsp_sources8(spark, sf_dir):
+    """SPSP: simultaneous BFS waves from sources 0..7 to every node of the
+    undirected doc graph (reached pairs only)."""
+    from networkit_spark.operators.distance import spsp
+
+    n = _n_docs(spark, sf_dir)
+    srcs = spark.range(8).select("id")
+    return spsp(doc_edges_undirected(spark, sf_dir), srcs, nodes_range(spark, n))

@@ -213,3 +213,87 @@ def bfs_fixed(edges: DataFrame, nodes: DataFrame, source: int, rounds: int) -> D
     return dist.select(
         "node", F.when(F.col("dist") >= big, F.lit(-1)).otherwise(F.col("dist")).cast("long").alias("dist")
     )
+
+
+def bidirectional_bfs(
+    edges: DataFrame,
+    source: int,
+    target: int,
+    max_rounds: int = 10_000,
+) -> int:
+    """Shortest s-t hop distance by meet-in-the-middle expansion; -1 if
+    unreachable. Reference: ``cpp/distance/BidirectionalBFS.cpp`` — expand
+    the smaller frontier (forward on out-edges, backward on in-edges) until
+    the settled balls intersect.
+
+    Each superstep touches only the chosen frontier's incident edges —
+    O(sqrt) of the work of a full BFS on expander-like web graphs, same
+    join shape as :func:`bfs_distances`.
+    """
+    if source == target:
+        return 0
+    spark = edges.sparkSession
+    e = edges.select("src", "dst").persist()
+    e.count()
+    te = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    fwd = spark.createDataFrame([(source, 0)], "node long, dist int").localCheckpoint(eager=True)
+    bwd = spark.createDataFrame([(target, 0)], "node long, dist int").localCheckpoint(eager=True)
+    f_front, b_front = fwd, bwd
+    f_sz = b_sz = 1
+    best = None
+    for _ in range(max_rounds):
+        grow_fwd = f_sz <= b_sz
+        tab, front, ball = (e, f_front, fwd) if grow_fwd else (te, b_front, bwd)
+        nxt = (
+            tab.join(front.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .join(ball.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        n_new = nxt.count()
+        if n_new == 0:
+            e.unpersist()
+            return -1 if best is None else best
+        other = bwd if grow_fwd else fwd
+        meet = (
+            nxt.join(other.withColumnRenamed("dist", "odist"), "node")
+            .agg(F.min(F.col("dist") + F.col("odist")).alias("m"))
+            .first()["m"]
+        )
+        if grow_fwd:
+            fwd, f_front, f_sz = fwd.union(nxt).localCheckpoint(eager=True), nxt, n_new
+        else:
+            bwd, b_front, b_sz = bwd.union(nxt).localCheckpoint(eager=True), nxt, n_new
+        if meet is not None:
+            # settled distances are exact, so any s-t path of length
+            # < meet would contain a node inside BOTH balls with a smaller
+            # df+db — it would already be this round's meet. Final.
+            best = int(meet) if best is None else min(best, int(meet))
+            e.unpersist()
+            return best
+    e.unpersist()
+    return -1 if best is None else best
+
+
+def apsp(edges: DataFrame, nodes: DataFrame, max_rounds: int = 10_000) -> DataFrame:
+    """All-pairs hop distances (source, node, dist) — n simultaneous BFS
+    waves (``cpp/distance/APSP.cpp:18`` runs n SSSPs; here they share every
+    superstep). Output is the intrinsic O(n^2) pair table: meant for the
+    small/medium graphs the reference targets with APSP."""
+    return multi_source_bfs(edges, nodes, max_rounds)
+
+
+def spsp(
+    edges: DataFrame,
+    sources: DataFrame,
+    targets: DataFrame,
+    max_rounds: int = 10_000,
+) -> DataFrame:
+    """Some-pairs shortest paths (``cpp/distance/SPSP.cpp``): hop distances
+    (source, node, dist) restricted to the requested target set."""
+    d = multi_source_bfs(edges, sources, max_rounds)
+    return d.join(targets.select(F.col("id").alias("node")), "node").select(
+        "source", "node", "dist"
+    )
