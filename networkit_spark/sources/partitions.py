@@ -1,0 +1,174 @@
+"""Partition / Cover I/O family (reference `io` module).
+
+* text Partition: one subset id per line, node = line number
+  (``PartitionReader.cpp`` / ``PartitionWriter.cpp``; the reader lives in
+  ``sources/edgelist.read_partition``).
+* text Cover: the i-th non-comment line lists the member nodes of subset i
+  (``CoverReader.cpp:18-28`` / ``CoverWriter.cpp``) — a node may appear in
+  several lines (overlapping communities).
+* binary Partition: ``n`` little-endian fixed-width (4/8 byte) subset ids,
+  node = record index (``BinaryPartitionReader.cpp:13-45`` / Writer).
+* binary edge-list Partition: (node, subset) fixed-width LE pairs across one
+  or more shard files (``BinaryEdgeListPartitionReader.cpp``) — the
+  distributed-friendly variant: order-free, shardable.
+
+Spark notes: text/binary-indexed formats are sequential by construction
+(record position IS the node id), so writers assemble on the driver via a
+streaming iterator — rendering stays in Spark; the edge-list binary variant
+reads and writes shard-parallel (one task per shard), which is the format
+to use at scale.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_partition(labels: DataFrame, path: str) -> None:
+    """PartitionWriter: line i = subset id of node i (nodes must be 0..n-1)."""
+    with open(path, "w") as f:
+        for row in labels.orderBy("node").select("label").toLocalIterator():
+            f.write(f"{row['label']}\n")
+
+
+def read_cover(spark: SparkSession, path: str) -> DataFrame:
+    """-> (node, subset): subset = 0-based non-comment line number, members =
+    whitespace-separated node ids on that line (CoverReader semantics)."""
+    rdd = spark.sparkContext.textFile(path).zipWithIndex()
+    df = spark.createDataFrame(rdd, "line string, lineno long")
+    body = df.filter(~F.col("line").startswith("#"))
+    from networkit_spark.plans.ids import dense_ids
+
+    # comment lines do NOT consume subset ids: re-rank surviving lines
+    ranked = dense_ids(body.select("lineno"), "lineno", id_col="subset", distinct=False)
+    body = body.join(ranked, "lineno")
+    toks = F.filter(F.split(F.trim("line"), r"\s+"), lambda t: t != "")
+    return (
+        body.select("subset", F.explode(toks).alias("tok"))
+        .select(F.col("tok").cast("long").alias("node"), "subset")
+    )
+
+
+def write_cover(cover: DataFrame, path: str) -> None:
+    """CoverWriter: line i = members of subset i, ascending node order."""
+    rows = (
+        cover.groupBy("subset")
+        .agg(F.array_join(F.array_sort(F.collect_list("node")), " ").alias("line"))
+        .orderBy("subset")
+    )
+    with open(path, "w") as f:
+        for row in rows.select("line").toLocalIterator():
+            f.write(row["line"] + "\n")
+
+
+def read_binary_partition(spark: SparkSession, path: str, width: int = 8) -> DataFrame:
+    """BinaryPartitionReader: n fixed-width LE subset ids, node = index."""
+    if width not in (4, 8):
+        raise ValueError("Only 4 and 8 are supported widths")
+    size = os.path.getsize(path)
+    if size % width:
+        raise ValueError("length of partition file must be a multiple of the width")
+    n = size // width
+    # index-addressed records: split into ranges, decode slice per task
+    tasks = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    step = max(1, -(-n // tasks))
+    specs = [(i, min(n, i + step)) for i in range(0, n, step)]
+    spec_df = spark.createDataFrame(specs or [(0, 0)], "lo long, hi long").repartition(
+        max(1, len(specs))
+    )
+    fmt = "<I" if width == 4 else "<Q"
+
+    def _decode(iterator):
+        import pandas as pd
+
+        for pdf in iterator:
+            nodes, labels = [], []
+            for row in pdf.itertuples(index=False):
+                with open(path, "rb") as fh:
+                    fh.seek(row.lo * width)
+                    buf = fh.read((row.hi - row.lo) * width)
+                for i in range(row.hi - row.lo):
+                    (lab,) = struct.unpack_from(fmt, buf, i * width)
+                    nodes.append(row.lo + i)
+                    labels.append(lab)
+            yield pd.DataFrame({"node": nodes, "label": labels})
+
+    return spec_df.mapInPandas(_decode, "node long, label long")
+
+
+def write_binary_partition(labels: DataFrame, path: str, width: int = 8) -> None:
+    """BinaryPartitionWriter: nodes must be compact 0..n-1."""
+    if width not in (4, 8):
+        raise ValueError("Only 4 and 8 are supported widths")
+    fmt = "<I" if width == 4 else "<Q"
+    with open(path, "wb") as f:
+        for row in labels.orderBy("node").select("label").toLocalIterator():
+            f.write(struct.pack(fmt, int(row["label"])))
+
+
+def read_binary_edgelist_partition(
+    spark: SparkSession, paths: list[str] | str, width: int = 8
+) -> DataFrame:
+    """BinaryEdgeListPartitionReader: fixed-width LE (node, subset) pairs
+    across shard files — order-free, so shards decode fully in parallel."""
+    if width not in (4, 8):
+        raise ValueError("Only 4 and 8 are supported widths")
+    if isinstance(paths, str):
+        paths = [paths]
+    fmt = "<I" if width == 4 else "<Q"
+    files = spark.createDataFrame([(p,) for p in paths], "path string").repartition(
+        max(1, len(paths))
+    )
+
+    def _decode(iterator):
+        import pandas as pd
+
+        for pdf in iterator:
+            nodes, labels = [], []
+            for row in pdf.itertuples(index=False):
+                with open(row.path, "rb") as fh:
+                    buf = fh.read()
+                if len(buf) % (2 * width):
+                    raise ValueError("file length must be a multiple of 2*width")
+                for off in range(0, len(buf), 2 * width):
+                    (u,) = struct.unpack_from(fmt, buf, off)
+                    (p_,) = struct.unpack_from(fmt, buf, off + width)
+                    nodes.append(u)
+                    labels.append(p_)
+            yield pd.DataFrame({"node": nodes, "label": labels})
+
+    return files.mapInPandas(_decode, "node long, label long")
+
+
+def write_binary_edgelist_partition(
+    labels: DataFrame, dir_path: str, width: int = 8, shards: int | None = None
+) -> None:
+    """Shard-parallel writer for the (node, subset) pair format."""
+    if width not in (4, 8):
+        raise ValueError("Only 4 and 8 are supported widths")
+    spark = labels.sparkSession
+    if shards is None:
+        shards = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    os.makedirs(dir_path, exist_ok=True)
+    fmt = "<I" if width == 4 else "<Q"
+
+    def _write(key, pdf):
+        import pandas as pd
+
+        shard = int(key[0])
+        pdf = pdf.sort_values("node")
+        with open(os.path.join(dir_path, f"part-{shard:05d}"), "wb") as f:
+            for u, lab in zip(pdf["node"], pdf["label"]):
+                f.write(struct.pack(fmt, int(u)) + struct.pack(fmt, int(lab)))
+        return pd.DataFrame({"shard": [shard]})
+
+    (
+        labels.withColumn("shard", F.pmod(F.hash("node"), F.lit(shards)).cast("int"))
+        .groupBy("shard")
+        .applyInPandas(_write, "shard int")
+        .count()
+    )
