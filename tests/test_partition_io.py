@@ -63,3 +63,25 @@ def test_binary_edgelist_partition_roundtrip(spark, tmp_path):
         for r in read_binary_edgelist_partition(spark, paths, width=8).collect()
     }
     assert got == want
+
+
+def test_cover_reference_fixture_golden(spark):
+    """IOGTest.cpp:447-458: community_overlapping.cover -> 9 subsets,
+    10 member nodes, node 0 in 3 subsets incl. subset 1, node 3 in 1."""
+    import os
+
+    import pytest
+
+    path = "/root/reference/input/community_overlapping.cover"
+    if not os.path.exists(path):
+        pytest.skip("fixture absent")
+    cov = read_cover(spark, path)
+    rows = [(r.node, r.subset) for r in cov.collect()]
+    subsets = {s for _, s in rows}
+    # the file's empty first line consumes subset id 0 in the reference too
+    # (CoverReader.cpp increments i for every non-'#' line) -> upperBound 9
+    assert max(subsets) + 1 == 9 and len(subsets) == 8
+    assert len({n for n, _ in rows}) == 10
+    of_node0 = {s for n, s in rows if n == 0}
+    assert 1 in of_node0 and len(of_node0) == 3
+    assert len({s for n, s in rows if n == 3}) == 1
