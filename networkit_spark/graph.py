@@ -190,3 +190,39 @@ def check_consistency(edges: DataFrame) -> bool:
         edges.groupBy("src", "dst").count().filter(F.col("count") > 1).limit(1).count()
     )
     return dup == 0
+
+
+def append_graph(
+    edges_a: DataFrame,
+    nodes_a: DataFrame,
+    edges_b: DataFrame,
+    nodes_b: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """GraphTools::append (GraphTools.cpp:382-394): add B's nodes after A's
+    (B's node u becomes ``u + max(A)+1`` — the compact-id dual of the
+    reference's sequential addNode walk) and its edges under the remap.
+    Returns (edges, nodes)."""
+    off_row = nodes_a.agg(F.max("id")).first()[0]
+    off = int(off_row) + 1 if off_row is not None else 0
+    nb = nodes_b.select((F.col("id") + off).alias("id"))
+    eb = edges_b.select(
+        (F.col("src") + off).alias("src"),
+        (F.col("dst") + off).alias("dst"),
+        *[c for c in edges_b.columns if c not in ("src", "dst")],
+    )
+    return edges_a.unionByName(eb), nodes_a.union(nb)
+
+
+def merge_graphs(
+    edges_a: DataFrame,
+    nodes_a: DataFrame,
+    edges_b: DataFrame,
+    nodes_b: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """GraphTools::merge (GraphTools.cpp:396-420): same id space; node set =
+    union, edge set = union with A's weight winning on conflicts (the
+    reference skips addEdge when the edge already exists)."""
+    nodes = nodes_a.union(nodes_b).distinct()
+    keep = [c for c in edges_a.columns if c not in ("src", "dst")]
+    new_b = edges_b.join(edges_a.select("src", "dst"), ["src", "dst"], "left_anti")
+    return edges_a.unionByName(new_b.select("src", "dst", *keep)), nodes

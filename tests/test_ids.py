@@ -93,3 +93,26 @@ def test_cc_vectorized_batch_kernel():
         mask = np.isin(ids, nodes)
         got = np.unique(roots[mask])
         assert len(got) == 1 and got[0] == nodes.min()
+
+
+def test_append_and_merge_graphs(spark):
+    from networkit_spark.graph import append_graph, edges_df, merge_graphs, nodes_range
+
+    ea = edges_df(spark, [(0, 1), (1, 2)], weighted=False)
+    eb = edges_df(spark, [(0, 1)], weighted=False)
+    na, nb = nodes_range(spark, 3), nodes_range(spark, 2)
+    e, n = append_graph(ea, na, eb, nb)
+    assert sorted((r.src, r.dst) for r in e.collect()) == [(0, 1), (1, 2), (3, 4)]
+    assert sorted(r.id for r in n.collect()) == [0, 1, 2, 3, 4]
+
+    # merge: shared id space, A's rows win on conflict
+    from pyspark.sql import functions as F
+
+    ea2 = ea.withColumn("weight", F.lit(2.0))
+    eb2 = edges_df(spark, [(0, 1), (2, 0)], weighted=False).withColumn(
+        "weight", F.lit(9.0)
+    )
+    em, nm = merge_graphs(ea2, na, eb2, nodes_range(spark, 3))
+    rows = {(r.src, r.dst): r.weight for r in em.collect()}
+    assert rows == {(0, 1): 2.0, (1, 2): 2.0, (2, 0): 9.0}
+    assert nm.count() == 3
