@@ -487,3 +487,36 @@ def q_ivf_topk(spark, sf_dir):
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return ivf_topk(emb, range(10), k=IVF_K, nprobe=IVF_NPROBE, step=IVF_STEP)
+
+
+def _near_dup_clusters_sql(cc_rounds: int = 8) -> str:
+    """Unrolled hash-min CC over the banded-LSH pair graph (nested WITH)."""
+    parts = [
+        f"WITH pairs AS ({_minhash_pairs_sql(8, 4, 3)}),",
+        "und AS (SELECT a AS src, b AS dst FROM pairs"
+        " UNION ALL SELECT b, a FROM pairs),",
+        "l0 AS (SELECT doc_id AS node, doc_id AS label FROM documents)",
+    ]
+    for k in range(1, cc_rounds + 1):
+        prev = f"l{k - 1}"
+        parts.append(
+            f", l{k} AS MATERIALIZED ("
+            f" SELECT n.node, least(n.label, coalesce(t.ml, n.label)) AS label"
+            f" FROM {prev} n LEFT JOIN ("
+            f"   SELECT e.dst AS node, min(p.label) AS ml"
+            f"   FROM und e JOIN {prev} p ON e.src = p.node GROUP BY e.dst"
+            f" ) t ON n.node = t.node)"
+        )
+    parts.append(f"SELECT node AS doc_id, label AS cluster FROM l{cc_rounds}")
+    return "\n".join(parts)
+
+
+@register("near_dup_clusters", _near_dup_clusters_sql())
+def q_near_dup_clusters(spark, sf_dir):
+    """Dedup survivor map: MinHash-LSH candidate pairs -> connected
+    components -> (doc_id, cluster = min doc id of its near-dup cluster);
+    singletons map to themselves."""
+    from networkit_spark.functions.dedup import near_dup_clusters
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return near_dup_clusters(df, num_hashes=8, bands=4)

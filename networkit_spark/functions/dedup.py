@@ -320,3 +320,32 @@ def simhash_candidates(
         cand.select("a", "b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def near_dup_clusters(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    portable: bool = True,
+    cc_rounds: int = 8,
+):
+    """-> (doc_id, cluster): near-duplicate cluster table — the survivor map
+    a dedup pipeline actually consumes. Candidate pairs come from the banded
+    MinHash-LSH join (never all-pairs); clusters are the connected
+    components of the pair graph (hash-min, ``cc_rounds`` >= the max cluster
+    diameter — near-dup clusters are shallow); every document appears,
+    singletons as their own cluster. The canonical survivor per cluster is
+    ``cluster`` itself (min doc id), matching exact_duplicates' min-id rule.
+    """
+    from networkit_spark.operators.components import components_fixed
+
+    pairs = minhash_lsh_candidates(
+        df, id_col, text_col, num_hashes, bands, shingle_k, portable
+    )
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    nodes = df.select(F.col(id_col).alias("id"))
+    labels = components_fixed(edges, nodes, cc_rounds)
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster"))
