@@ -119,10 +119,15 @@ def global_curveball(
     nodes: DataFrame,
     rounds: int = 5,
     seed: int = 42,
+    trades_per_round: int | None = None,
 ) -> DataFrame:
     """-> randomized canonical undirected edge table (src < dst, weight 1.0).
 
     ``edges``: simple undirected graph, canonical rows (src < dst).
+    ``trades_per_round=None`` is the GLOBAL trade (every node paired);
+    a number limits each round to the first k hash-order pairs — the
+    uniform-trade ``Curveball`` variant (``CurveballUniformTradeGenerator``),
+    where edges not touching a trading node carry over unchanged.
     """
     cur = edges.select("src", "dst").localCheckpoint(eager=True)
     n_nodes = nodes.select(F.col("id").alias("node"))
@@ -144,6 +149,8 @@ def global_curveball(
             .filter(F.col("c") == 2)
             .drop("c")
         )
+        if trades_per_round is not None:
+            mates = mates.filter(F.col("tid") < trades_per_round)
         node_trade = pairs.join(mates, "tid").select(
             "node",
             "tid",
@@ -239,11 +246,33 @@ def global_curveball(
             .union(reverted)
             .union(stuck.select("x", "w"))
         )
+        # edges with NO trading endpoint never enter `inc` — carry them over
+        carried = cur.join(
+            owner.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+            ["src", "dst"],
+            "left_anti",
+        )
         cur = (
             new_half.select(
                 F.least("x", "w").alias("src"), F.greatest("x", "w").alias("dst")
             )
             .union(pinned.select(F.col("a").alias("src"), F.col("b").alias("dst")))
+            .union(carried)
             .localCheckpoint(eager=True)
         )
     return cur.withColumn("weight", F.lit(1.0))
+
+
+def curveball(
+    edges: DataFrame,
+    nodes: DataFrame,
+    trades_per_round: int,
+    rounds: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Uniform-trade Curveball (``cpp/randomization/Curveball.cpp`` fed by
+    ``CurveballUniformTradeGenerator``): each round trades ``trades_per_round``
+    seeded-random disjoint node pairs; untouched edges carry over."""
+    return global_curveball(
+        edges, nodes, rounds=rounds, seed=seed, trades_per_round=trades_per_round
+    )

@@ -118,3 +118,23 @@ def test_global_curveball_deterministic(spark):
     c = sorted((r.src, r.dst) for r in global_curveball(e, nodes_range(spark, n), 2, seed=6).collect())
     assert a == b
     assert a != c
+
+
+def test_uniform_curveball_invariants(spark):
+    from networkit_spark.operators.randomization import curveball
+
+    n = 24
+    pairs = _canon_undirected(n)
+    e = edges_df(spark, pairs).withColumn("weight", F.lit(1.0))
+    out = curveball(e, nodes_range(spark, n), trades_per_round=4, rounds=3, seed=9)
+    rows = [(r.src, r.dst) for r in out.collect()]
+    assert all(a < b for a, b in rows)
+    assert len(rows) == len(set(rows)) == len(pairs)
+    c0, c1 = Counter(), Counter()
+    for a, b in pairs:
+        c0[a] += 1
+        c0[b] += 1
+    for a, b in rows:
+        c1[a] += 1
+        c1[b] += 1
+    assert c0 == c1
