@@ -267,18 +267,22 @@ def read_graphml(spark: SparkSession, path: str):
     edge_blocks = txt.select(
         F.explode(
             F.regexp_extract_all(
-                F.col("value"), F.lit(r'<edge\s+[^>]*source="[^"]+"[^>]*>'), F.lit(0)
+                F.col("value"),
+                F.lit(r'(?s)<edge\s+[^>]*source="[^"]+"[^>]*?(?:/>|>.*?</edge>)'),
+                F.lit(0),
             )
         ).alias("blk")
     )
+    w_str = F.regexp_extract("blk", r"<data[^>]*>\s*([0-9.eE+-]+)\s*</data>", 1)
     pairs = edge_blocks.select(
         F.regexp_extract("blk", r'source="([^"]+)"', 1).alias("sraw"),
         F.regexp_extract("blk", r'target="([^"]+)"', 1).alias("traw"),
+        F.when(w_str == "", 1.0).otherwise(w_str.cast("double")).alias("weight"),
     )
     edges = (
         pairs.join(nodes.select(F.col("raw").alias("sraw"), F.col("id").alias("src")), "sraw")
         .join(nodes.select(F.col("raw").alias("traw"), F.col("id").alias("dst")), "traw")
-        .select("src", "dst", F.lit(1.0).alias("weight"))
+        .select("src", "dst", "weight")
     )
     if not directed:
         edges = edges.union(
@@ -580,3 +584,72 @@ def read_rb(spark: SparkSession, path: str):
         raise ValueError("RB matrix is not square - cannot build a graph")
     nodes = spark.range(n_cols).select(F.col("id").cast("long").alias("id"))
     return nodes, edges
+
+
+def write_gml(edges: DataFrame, nodes: DataFrame, path: str, directed: bool = True) -> None:
+    """GML writer (``GMLGraphWriter.cpp:15-37``): node blocks then edge
+    blocks; undirected graphs pass canonical rows (each edge once, like the
+    reference's forEdges). Weighted rows emit a ``weight`` attribute (read
+    back by :func:`read_gml`). Sequential text format -> driver-streamed."""
+    has_w = "weight" in edges.columns
+    with open(path, "w") as f:
+        f.write("graph [\n")
+        if directed:
+            f.write("  directed 1\n")
+        for row in nodes.orderBy("id").toLocalIterator():
+            f.write(f"  node [\n    id {row['id']}\n  ]\n")
+        for row in edges.orderBy("src", "dst").toLocalIterator():
+            f.write(f"  edge [\n    source {row['src']}\n    target {row['dst']}\n")
+            if has_w:
+                f.write(f"    weight {row['weight']}\n")
+            f.write("  ]\n")
+        f.write("]\n")
+
+
+def write_graphml(
+    edges: DataFrame, nodes: DataFrame, path: str, directed: bool = True
+) -> None:
+    """GraphML writer (``graphio.pyx:2325`` GraphMLWriter): key d1 = weight
+    when present; ids written as ``n<k>`` like yEd-style exports our reader
+    dictionary-encodes back."""
+    has_w = "weight" in edges.columns
+    dflt = "directed" if directed else "undirected"
+    with open(path, "w") as f:
+        f.write('<?xml version="1.0" encoding="UTF-8"?>\n')
+        f.write('<graphml xmlns="http://graphml.graphdrawing.org/xmlns">\n')
+        if has_w:
+            f.write('  <key for="edge" id="d1" attr.name="weight" attr.type="double"/>\n')
+        f.write(f'  <graph id="G" edgedefault="{dflt}">\n')
+        for row in nodes.orderBy("id").toLocalIterator():
+            f.write(f'    <node id="n{row["id"]}"/>\n')
+        for row in edges.orderBy("src", "dst").toLocalIterator():
+            if has_w:
+                f.write(
+                    f'    <edge source="n{row["src"]}" target="n{row["dst"]}">'
+                    f'<data key="d1">{row["weight"]}</data></edge>\n'
+                )
+            else:
+                f.write(f'    <edge source="n{row["src"]}" target="n{row["dst"]}"/>\n')
+        f.write("  </graph>\n</graphml>\n")
+
+
+def write_metis(edges: DataFrame, n: int, path: str, weighted: bool = False) -> None:
+    """METIS writer (``METISGraphWriter.cpp:20-50``): header ``n m fmt``,
+    line i+1 = 1-based neighbors of node i (undirected symmetrized input;
+    m = #undirected edges). ``weighted`` emits ``v w`` pairs (fmt=1)."""
+    sym = edges.select("src", "dst", *(["weight"] if weighted else []))
+    m = sym.filter(F.col("src") <= F.col("dst")).count()
+    if weighted:
+        nbr = F.concat(F.col("dst") + 1, F.lit(" "), F.col("weight"))
+    else:
+        nbr = (F.col("dst") + 1).cast("string")
+    rows = (
+        sym.groupBy("src")
+        .agg(F.array_join(F.array_sort(F.collect_list(nbr)), " ").alias("line"))
+        .select(F.col("src").alias("node"), "line")
+    )
+    by_node = {r["node"]: r["line"] for r in rows.toLocalIterator()}
+    with open(path, "w") as f:
+        f.write(f"{n} {m} {int(weighted)}\n")
+        for u in range(n):
+            f.write(by_node.get(u, "") + "\n")

@@ -172,3 +172,24 @@ def write_binary_edgelist_partition(
         .applyInPandas(_write, "shard int")
         .count()
     )
+
+
+def read_edgelist_cover(
+    spark: SparkSession, path: str, first_node: int = 1
+) -> DataFrame:
+    """EdgeListCoverReader (``EdgeListCoverReader.cpp:16-46``): each
+    non-comment line = node id followed by the ids of the subsets it belongs
+    to (node ids shifted by ``first_node``); -> (node, subset)."""
+    lines = spark.read.text(path).filter(
+        ~F.col("value").startswith("#") & (F.trim("value") != "")
+    )
+    toks = F.filter(F.split(F.trim("value"), r"\s+"), lambda t: t != "")
+    return (
+        lines.select(toks.alias("t"))
+        .select(
+            (F.col("t")[0].cast("long") - first_node).alias("node"),
+            F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(0))).alias("ss"),
+        )
+        .select("node", F.explode("ss").alias("s"))
+        .select("node", F.col("s").cast("long").alias("subset"))
+    )
