@@ -25,6 +25,8 @@ from networkit_spark.functions.similarity import _dot, with_normalized
 from networkit_spark.functions.text import (
     DE_STOPWORDS,
     EN_STOPWORDS,
+    ES_STOPWORDS,
+    FR_STOPWORDS,
     fingerprint,
     lang_id,
     punct_ratio,
@@ -40,6 +42,8 @@ SQL_FP = (
 )
 SQL_SW = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
 SQL_SW_DE = "[" + ", ".join(f"'{w}'" for w in DE_STOPWORDS) + "]"
+SQL_SW_ES = "[" + ", ".join(f"'{w}'" for w in ES_STOPWORDS) + "]"
+SQL_SW_FR = "[" + ", ".join(f"'{w}'" for w in FR_STOPWORDS) + "]"
 
 
 def _sql_shingles(k: int = 3) -> str:
@@ -96,18 +100,24 @@ r AS (
   SELECT doc_id,
          len(toks) AS n,
          len(list_filter(toks, x -> list_contains({SQL_SW}, lower(x)))) AS eh,
-         len(list_filter(toks, x -> list_contains({SQL_SW_DE}, lower(x)))) AS dh
+         len(list_filter(toks, x -> list_contains({SQL_SW_DE}, lower(x)))) AS dh,
+         len(list_filter(toks, x -> list_contains({SQL_SW_ES}, lower(x)))) AS sh,
+         len(list_filter(toks, x -> list_contains({SQL_SW_FR}, lower(x)))) AS fh
   FROM t
 ),
 rates AS (
   SELECT doc_id,
          CASE WHEN n > 0 THEN eh::DOUBLE / n ELSE 0.0 END AS en,
-         CASE WHEN n > 0 THEN dh::DOUBLE / n ELSE 0.0 END AS de
+         CASE WHEN n > 0 THEN dh::DOUBLE / n ELSE 0.0 END AS de,
+         CASE WHEN n > 0 THEN sh::DOUBLE / n ELSE 0.0 END AS es,
+         CASE WHEN n > 0 THEN fh::DOUBLE / n ELSE 0.0 END AS fr
   FROM r
 )
 SELECT doc_id,
-       CASE WHEN en > de AND en > 0.01 THEN 'en'
-            WHEN de > en AND de > 0.01 THEN 'de'
+       CASE WHEN en >= de AND en >= es AND en >= fr AND en > 0.01 THEN 'en'
+            WHEN de >= es AND de >= fr AND de > 0.01 THEN 'de'
+            WHEN es >= fr AND es > 0.01 THEN 'es'
+            WHEN fr > 0.01 THEN 'fr'
             ELSE 'unknown' END AS lang_pred
 FROM rates
 """,

@@ -27,6 +27,14 @@ DE_STOPWORDS = [
     "der", "die", "das", "und", "ist", "von", "zu", "den", "mit", "nicht",
     "ein", "eine", "auf", "für", "im", "des", "dem", "sich",
 ]
+ES_STOPWORDS = [
+    "el", "la", "de", "que", "y", "en", "los", "del", "se", "las",
+    "por", "un", "una", "con", "para", "es", "al", "lo", "como", "más",
+]
+FR_STOPWORDS = [
+    "le", "la", "les", "de", "des", "et", "est", "dans", "que", "qui",
+    "une", "pour", "sur", "pas", "au", "plus", "par", "avec", "ce", "sont",
+]
 
 
 def portable_hash60(col: Column) -> Column:
@@ -102,13 +110,18 @@ def quality_score(col: Column) -> Column:
 
 
 def lang_id(col: Column) -> Column:
-    """Stopword-vote language ID (en/de/unknown) — the n-gram-heuristic
-    family, implemented as two stopword-rate features."""
+    """Stopword-vote language ID (en/de/es/fr/unknown) — the n-gram-heuristic
+    family as stopword-rate features; argmax with a 1% floor, deterministic
+    priority en > de > es > fr on exact ties (strict > chain)."""
     en = stopword_ratio(col, EN_STOPWORDS)
     de = stopword_ratio(col, DE_STOPWORDS)
+    es = stopword_ratio(col, ES_STOPWORDS)
+    fr = stopword_ratio(col, FR_STOPWORDS)
     return (
-        F.when((en > de) & (en > 0.01), "en")
-        .when((de > en) & (de > 0.01), "de")
+        F.when((en >= de) & (en >= es) & (en >= fr) & (en > 0.01), "en")
+        .when((de >= es) & (de >= fr) & (de > 0.01), "de")
+        .when((es >= fr) & (es > 0.01), "es")
+        .when(fr > 0.01, "fr")
         .otherwise("unknown")
     )
 

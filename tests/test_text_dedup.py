@@ -113,3 +113,14 @@ def test_text_stats_schema(spark):
     cols = set(out.columns)
     assert {"n_tokens", "stopword_ratio", "punct_ratio", "quality", "lang_pred", "fp"} <= cols
     assert out.count() == len(DOCS)
+
+
+def test_lang_id_es_fr(spark):
+    rows = [
+        (0, "el perro corre por la calle y los gatos se esconden en las casas"),
+        (1, "le chat est dans les maisons et les chiens sont pour la plupart dehors"),
+        (2, "the quick brown fox jumps over the lazy dog and runs to the barn"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.l for r in df.select("doc_id", lang_id(F.col("text")).alias("l")).collect()}
+    assert got == {0: "es", 1: "fr", 2: "en"}
