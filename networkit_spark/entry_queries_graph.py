@@ -2919,3 +2919,91 @@ def q_spsp_sources8(spark, sf_dir):
     n = _n_docs(spark, sf_dir)
     srcs = spark.range(8).select("id")
     return spsp(doc_edges_undirected(spark, sf_dir), srcs, nodes_range(spark, n))
+
+
+# ---------------------------------------------------------------------------
+# Hub labeling + dynamic SSSP (SURVEY §2; distance/PrunedLandmarkLabeling.cpp,
+# DynBFS.cpp / DynDijkstra.cpp)
+# ---------------------------------------------------------------------------
+
+@register(
+    "pll_distances_sub40",
+    f"""
+WITH RECURSIVE {UEDGES_CTE},
+sub AS (SELECT src, dst FROM uedges WHERE src < 40 AND dst < 40),
+walk(u, node, dist) AS (
+  SELECT doc_id, doc_id, 0 FROM documents WHERE doc_id < 40
+  UNION
+  SELECT w.u, e.dst, w.dist + 1 FROM walk w JOIN sub e ON w.node = e.src WHERE w.dist < 30
+)
+SELECT u, node AS v, CAST(min(dist) AS BIGINT) AS dist
+FROM walk WHERE u < node GROUP BY u, node
+""",
+)
+def q_pll_distances(spark, sf_dir):
+    """End-to-end pruned-landmark-labeling check: build 2-hop hub labels
+    (degree-order batches of 8) over the <40-node undirected doc subgraph,
+    answer EVERY pair query from the labels alone; the oracle recomputes the
+    same distances by recursive BFS — exactness of the label cover is the
+    thing being verified."""
+    from networkit_spark.operators.hublabels import hub_distances, pruned_landmark_labels
+
+    e = doc_edges_undirected(spark, sf_dir).filter(
+        (F.col("src") < 40) & (F.col("dst") < 40)
+    )
+    nodes = spark.range(40).select(F.col("id").alias("id"))
+    labels = pruned_landmark_labels(e, nodes, batch=8)
+    pairs = (
+        spark.range(40).select(F.col("id").alias("u"))
+        .crossJoin(spark.range(40).select(F.col("id").alias("v")))
+        .filter(F.col("u") < F.col("v"))
+    )
+    return hub_distances(labels, pairs)
+
+
+@register(
+    "dyn_sssp_insert_from0",
+    f"""
+WITH RECURSIVE {UEDGES_CTE},
+extra AS (
+  SELECT doc_id AS src, (doc_id * 11 + 5) % (SELECT n FROM nn) AS dst
+  FROM documents WHERE doc_id % 50 = 0
+),
+full_e AS (
+  SELECT src, dst FROM uedges
+  UNION SELECT src, dst FROM extra WHERE src <> dst
+  UNION SELECT dst, src FROM extra WHERE src <> dst
+),
+w(node, dist) AS (
+  SELECT CAST(0 AS BIGINT), 0
+  UNION
+  SELECT e.dst, w.dist + 1 FROM w JOIN full_e e ON w.node = e.src WHERE w.dist < 30
+)
+SELECT node, CAST(min(dist) AS DOUBLE) AS dist FROM w GROUP BY node
+""",
+)
+def q_dyn_sssp(spark, sf_dir):
+    """DynSSSP: BFS distances from node 0 on the undirected doc graph, then
+    insert the deterministic extra edges (i, (11i+5) mod n for i%50==0,
+    symmetrized) INCREMENTALLY — the oracle recomputes from scratch on the
+    post-insertion graph, so the delta relaxation must land on the same
+    fixpoint."""
+    from networkit_spark.operators.distance import sssp_distances
+    from networkit_spark.streaming.dyn_sssp import update_sssp_insert
+
+    n = _n_docs(spark, sf_dir)
+    base = doc_edges_undirected(spark, sf_dir)
+    extra = (
+        spark.range(0, n, 50)
+        .select(F.col("id").alias("src"), ((F.col("id") * 11 + 5) % n).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    extra_sym = extra.union(
+        extra.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).withColumn("weight", F.lit(1.0))
+    full_e = (
+        base.select("src", "dst").union(extra_sym.select("src", "dst")).distinct()
+        .withColumn("weight", F.lit(1.0))
+    )
+    d0 = sssp_distances(base, 0)
+    return update_sssp_insert(full_e, d0, extra_sym)
