@@ -339,3 +339,103 @@ def lfm_local(
             ).localCheckpoint(eager=True)
     e.unpersist()
     return members
+
+
+def gce(
+    edges: DataFrame,
+    seeds: set[int] | list[int],
+    max_additions: int = 10_000,
+) -> set[int]:
+    """Greedy Community Expansion, objective M (``cpp/scd/GCE.cpp:40-110``):
+    Q = internal edge weight / cut; repeatedly add the shell node with the
+    largest positive dQ = (intW + intDeg(v)) / (cut - intDeg(v) + extDeg(v))
+    - Q (ties -> smallest id, replacing the reference's random tie pick with
+    a deterministic one). ``edges``: undirected, symmetrized or canonical.
+
+    Selective/local algorithm: the community is small by construction, so
+    the greedy loop runs on the driver while each round's shell scan is one
+    broadcast join + aggregation over the edge table — the reference's
+    forShellNodes walk, distributed."""
+    spark = edges.sparkSession
+    sym = (
+        edges.select("src", "dst", "weight")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"))
+        .dropDuplicates(["src", "dst"])
+        .persist()
+    )
+    sym.count()
+    com = set(int(s) for s in seeds)
+    for _ in range(max_additions):
+        mdf = F.broadcast(
+            spark.createDataFrame([(v,) for v in sorted(com)], "m long")
+        )
+        # rows from community members: dst membership decides int vs cut
+        out_rows = sym.join(mdf.withColumnRenamed("m", "src"), "src", "left_semi").join(
+            mdf.withColumnRenamed("m", "dst").withColumn("_in", F.lit(True)), "dst", "left"
+        )
+        agg = out_rows.agg(
+            (F.sum(F.when(F.col("_in"), F.col("weight")).otherwise(0.0)) / 2).alias("intw"),
+            F.sum(F.when(F.col("_in").isNull(), F.col("weight")).otherwise(0.0)).alias("cut"),
+        ).first()
+        intw, cut = float(agg["intw"] or 0.0), float(agg["cut"] or 0.0)
+        if cut == 0:
+            break  # whole component absorbed
+        q = intw / cut
+        # shell: non-members adjacent to C, with intDeg (to C) / extDeg
+        shell = (
+            sym.join(mdf.withColumnRenamed("m", "src"), "src", "left_anti")
+            .join(
+                mdf.withColumnRenamed("m", "dst").withColumn("_in", F.lit(True)),
+                "dst",
+                "left",
+            )
+            .groupBy("src")
+            .agg(
+                F.sum(F.when(F.col("_in"), F.col("weight")).otherwise(0.0)).alias("intd"),
+                F.sum(F.when(F.col("_in").isNull(), F.col("weight")).otherwise(0.0)).alias("extd"),
+            )
+            .filter(F.col("intd") > 0)
+            .withColumn("_den", F.lit(cut) - F.col("intd") + F.col("extd"))
+            .withColumn(
+                "dq",
+                F.when(
+                    F.col("_den") > 0,
+                    (F.lit(intw) + F.col("intd")) / F.col("_den") - F.lit(q),
+                ).otherwise(F.lit(float("inf"))),  # absorbs the whole cut:
+                # the reference's double division yields +inf and wins too
+            )
+            .filter(F.col("dq") > 0)
+            .orderBy(F.desc("dq"), F.asc("src"))
+            .limit(1)
+            .collect()
+        )
+        if not shell:
+            break
+        com.add(int(shell[0]["src"]))
+    sym.unpersist()
+    return com
+
+
+def set_conductance(edges: DataFrame, community: set[int] | list[int]) -> float:
+    """``cpp/scd/SetConductance.cpp``: cut(C) / min(vol(C), vol(V\\C)),
+    volumes over 2x total edge weight; 1.0 when either side has no volume."""
+    spark = edges.sparkSession
+    sym = edges.select("src", "dst", "weight").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    ).dropDuplicates(["src", "dst"])
+    mdf = F.broadcast(
+        spark.createDataFrame([(int(v),) for v in sorted(set(community))], "m long")
+    )
+    rows = sym.join(mdf.withColumnRenamed("m", "src"), "src", "left_semi").join(
+        mdf.withColumnRenamed("m", "dst").withColumn("_in", F.lit(True)), "dst", "left"
+    )
+    agg = rows.agg(
+        F.sum("weight").alias("vol"),
+        F.sum(F.when(F.col("_in").isNull(), F.col("weight")).otherwise(0.0)).alias("cut"),
+    ).first()
+    vol, cut = float(agg["vol"] or 0.0), float(agg["cut"] or 0.0)
+    total = float(sym.agg(F.sum("weight")).first()[0] or 0.0)
+    rest = total - vol
+    if min(vol, rest) <= 0:
+        return 1.0
+    return cut / min(vol, rest)

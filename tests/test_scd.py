@@ -36,3 +36,74 @@ def test_apr_converges_support_localized(spark):
     support = sorted(r["node"] for r in pr.filter("p > 0 or res > 0").collect())
     assert len(support) < n / 2
     assert 20 in support
+
+
+def _gce_replica(pairs, seeds):
+    """Sequential GCE-M replica (unit weights, min-id ties)."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    com = set(seeds)
+
+    def stats():
+        intw = sum(1 for a, b in pairs if a in com and b in com)
+        cut = sum(1 for a, b in pairs if (a in com) != (b in com))
+        return intw, cut
+
+    while True:
+        intw, cut = stats()
+        if cut == 0:
+            break
+        q = intw / cut
+        best, best_dq = None, 0.0
+        shell = {v for u in com for v in adj[u] if v not in com}
+        for v in sorted(shell):
+            intd = sum(1 for w in adj[v] if w in com)
+            extd = len(adj[v]) - intd
+            den = cut - intd + extd
+            dq = float("inf") if den == 0 else (intw + intd) / den - q
+            if dq > best_dq:
+                best, best_dq = v, dq
+        if best is None:
+            break
+        com.add(best)
+    return com
+
+
+def test_gce_recovers_clique_and_matches_replica(spark):
+    from pyspark.sql import functions as F
+
+    from networkit_spark.operators.scd import gce, set_conductance
+
+    # 6-clique with a path tail hanging off node 0
+    pairs = [(a, b) for a in range(6) for b in range(a + 1, 6)]
+    pairs += [(0, 6), (6, 7), (7, 8)]
+    e = edges_df(spark, pairs).withColumn("weight", F.lit(1.0))
+    got = gce(e, {2})
+    assert got == _gce_replica(pairs, {2})
+    # the clique is absorbed first; objective M then swallows the cheap tail
+    # (cut shrinks to 0) — reference behavior, pinned by the replica above
+    assert set(range(6)) <= got
+    # conductance of the clique cut: cut=1, vol(C)=2*15+1=31, rest=2*3+1... use replica arithmetic
+    c = set_conductance(e, set(range(6)))
+    cut = 1
+    vol = 2 * 15 + 1
+    total = 2 * len(pairs)
+    assert abs(c - cut / min(vol, total - vol)) < 1e-12
+
+
+def test_gce_matches_replica_on_toy(spark):
+    from pyspark.sql import functions as F
+
+    from networkit_spark.operators.scd import gce
+
+    n = 20
+    pairs = sorted({(min(i, (i * 3 + 1) % n), max(i, (i * 3 + 1) % n)) for i in range(n)}
+                   | {(min(i, (i * 7 + 2) % n), max(i, (i * 7 + 2) % n)) for i in range(n)})
+    pairs = [(a, b) for a, b in pairs if a != b]
+    e = edges_df(spark, pairs).withColumn("weight", F.lit(1.0))
+    for seed in (0, 5, 13):
+        assert gce(e, {seed}) == _gce_replica(pairs, {seed}), seed
