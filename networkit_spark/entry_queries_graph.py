@@ -3007,3 +3007,18 @@ def q_dyn_sssp(spark, sf_dir):
     )
     d0 = sssp_distances(base, 0)
     return update_sssp_insert(full_e, d0, extra_sym)
+
+
+@register("gce_community_seed0")  # no SQL oracle: data-dependent greedy
+# argmax loop (like cut_clustering); exact parity vs a sequential replica is
+# pinned in tests/test_scd.py
+def q_gce_community(spark, sf_dir):
+    """GCE objective-M community grown from seed 0 on the <60-node
+    undirected doc subgraph; deterministic (min-id ties)."""
+    from networkit_spark.operators.scd import gce
+
+    e = doc_edges_undirected(spark, sf_dir).filter(
+        (F.col("src") < 60) & (F.col("dst") < 60)
+    )
+    com = gce(e, {0})
+    return spark.createDataFrame([(int(v),) for v in sorted(com)], "node long")
