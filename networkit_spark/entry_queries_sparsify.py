@@ -244,3 +244,96 @@ def q_algebraic_distance(spark, sf_dir):
         norm=2,
     )
     return out.select("src", "dst", F.round("score", 7).alias("score"))
+
+
+# --- PrefixJaccardScore + GeometricMeanScore (edgescores combinator family) --
+
+PREFIX_JACCARD_SQL = f"""
+WITH {TRIEDGE_CTE},
+incid AS (
+    SELECT src AS node, dst AS nbr, tc FROM escore
+    UNION ALL SELECT dst, src, tc FROM escore
+),
+rinc AS (
+    SELECT node, nbr, rank() OVER (PARTITION BY node ORDER BY tc DESC) - 1 AS rk
+    FROM incid
+),
+ce AS (SELECT src AS u, dst AS v FROM escore),
+un AS (SELECT ce.u, ce.v, r.nbr, r.rk AS ru
+       FROM ce JOIN rinc r ON r.node = ce.u WHERE r.nbr <> ce.v),
+vn AS (SELECT ce.u, ce.v, r.nbr, r.rk AS rv
+       FROM ce JOIN rinc r ON r.node = ce.v WHERE r.nbr <> ce.u),
+b AS (
+    SELECT coalesce(un.u, vn.u) AS u, coalesce(un.v, vn.v) AS v,
+           coalesce(un.nbr, vn.nbr) AS nbr, un.ru, vn.rv
+    FROM un FULL OUTER JOIN vn
+      ON un.u = vn.u AND un.v = vn.v AND un.nbr = vn.nbr
+),
+ev AS (
+    SELECT u, v, ru AS r, 1 AS du, 0 AS dv, 0 AS dc FROM b WHERE rv IS NULL
+    UNION ALL
+    SELECT u, v, rv, 0, 1, 0 FROM b WHERE ru IS NULL
+    UNION ALL
+    SELECT u, v, least(ru, rv),
+           CASE WHEN ru <= rv THEN 1 ELSE 0 END,
+           CASE WHEN ru <= rv THEN 0 ELSE 1 END, 0
+    FROM b WHERE ru IS NOT NULL AND rv IS NOT NULL
+    UNION ALL
+    SELECT u, v, greatest(ru, rv),
+           CASE WHEN ru <= rv THEN -1 ELSE 0 END,
+           CASE WHEN ru <= rv THEN 0 ELSE -1 END, 1
+    FROM b WHERE ru IS NOT NULL AND rv IS NOT NULL
+),
+jac AS (
+    SELECT u, v,
+           CAST(sum(dc) OVER w AS DOUBLE)
+             / (sum(du) OVER w + sum(dv) OVER w + sum(dc) OVER w) AS j
+    FROM ev
+    WINDOW w AS (PARTITION BY u, v ORDER BY r
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+best AS (SELECT u, v, max(j) AS bj FROM jac GROUP BY u, v)
+SELECT e.src, e.dst, round(coalesce(best.bj, 0.0), 7) AS score
+FROM escore e
+LEFT JOIN best ON e.src = best.u AND e.dst = best.v
+"""
+
+
+@register("prefix_jaccard", PREFIX_JACCARD_SQL)
+def q_prefix_jaccard(spark, sf_dir):
+    """PrefixJaccardScore over per-edge triangle counts
+    (PrefixJaccardScore.cpp:20-150 — best Jaccard over rank prefixes)."""
+    from networkit_spark.operators.sparsification import prefix_jaccard_score
+
+    e = doc_edges_undirected(spark, sf_dir)
+    out = prefix_jaccard_score(e)
+    return out.select("src", "dst", F.round("score", 7).alias("score"))
+
+
+@register(
+    "geometric_mean_score",
+    f"""
+WITH {TRIEDGE_CTE},
+ns AS (
+    SELECT node, sum(tc) AS s FROM (
+        SELECT src AS node, tc FROM escore
+        UNION ALL SELECT dst, tc FROM escore
+    ) GROUP BY node
+)
+SELECT e.src, e.dst,
+       round(CASE WHEN e.tc > 0
+                  THEN e.tc / sqrt(nu.s * nv.s)
+                  ELSE 0.0 END, 7) AS score
+FROM escore e
+JOIN ns nu ON e.src = nu.node
+JOIN ns nv ON e.dst = nv.node
+""",
+)
+def q_geometric_mean_score(spark, sf_dir):
+    """GeometricMeanScore over per-edge triangle counts
+    (GeometricMeanScore.cpp:18-41)."""
+    from networkit_spark.operators.sparsification import geometric_mean_score
+
+    e = doc_edges_undirected(spark, sf_dir)
+    out = geometric_mean_score(e)
+    return out.select("src", "dst", F.round("score", 7).alias("score"))

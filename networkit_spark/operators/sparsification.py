@@ -7,7 +7,11 @@ score column, then filter by (possibly rank-normalized) threshold*:
 - ``TriangleEdgeScore`` -> operators.triangles.triangle_edge_score
 - ``RandomEdgeScore`` (:432)      -> :func:`random_edge_score` (seeded hash)
 - ``LocalDegreeScore`` (:516)     -> :func:`local_degree_score`
-- ``PrefixJaccardScore`` (:386) / per-edge Jaccard -> :func:`jaccard_edge_score`
+- per-edge neighborhood Jaccard -> :func:`jaccard_edge_score`
+- ``PrefixJaccardScore`` (:386)   -> :func:`prefix_jaccard_score` (best
+  Jaccard over rank prefixes — the SimmelianSparsifierNonParametric substrate)
+- ``EdgeScoreAsWeight`` / ``EdgeScoreBlender`` / ``GeometricMeanScore`` ->
+  :func:`score_as_weight` / :func:`score_blender` / :func:`geometric_mean_score`
 - ``EdgeScoreNormalizer`` (:196)  -> :func:`normalize_scores` (min-max)
 - ``EdgeScoreLinearizer`` (:165)  -> :func:`linearize_scores` (rank/percentile)
 - ``GlobalThresholdFilter`` (:664)-> :func:`global_threshold_filter`
@@ -405,3 +409,151 @@ def forest_fire_score(
     )
     e.unpersist()
     return canon.select("src", "dst", (F.col("burns") / F.lit(float(mx))).alias("score"))
+
+
+def score_as_weight(
+    scored: DataFrame,
+    squared: bool = False,
+    offset: float = 1.0,
+    factor: float = 1.0,
+) -> DataFrame:
+    """``EdgeScoreAsWeight.cpp:16-34``: weight = offset + factor * score
+    (score squared first when ``squared``). Pure column expression."""
+    s = F.col("score") * F.col("score") if squared else F.col("score")
+    return scored.select(
+        "src", "dst", (F.lit(offset) + F.lit(factor) * s).alias("weight")
+    )
+
+
+def score_blender(
+    scores0: DataFrame, scores1: DataFrame, selection: DataFrame
+) -> DataFrame:
+    """``EdgeScoreBlender.cpp:17-29``: per edge pick ``scores1`` where the
+    boolean ``selection(src, dst, sel)`` is true else ``scores0``. Two
+    co-keyed joins on the canonical edge key (broadcast-eligible when one
+    side is a small override set)."""
+    return (
+        scores0.select("src", "dst", F.col("score").alias("s0"))
+        .join(scores1.select("src", "dst", F.col("score").alias("s1")), ["src", "dst"])
+        .join(selection, ["src", "dst"])
+        .select(
+            "src",
+            "dst",
+            F.when(F.col("sel"), F.col("s1")).otherwise(F.col("s0")).alias("score"),
+        )
+    )
+
+
+def geometric_mean_score(und_edges: DataFrame, scored: DataFrame | None = None) -> DataFrame:
+    """``GeometricMeanScore.cpp:18-41``: score(e=(u,v)) = att(e) /
+    sqrt(nodeSum(u) * nodeSum(v)) where nodeSum is the sum of the attribute
+    over a node's incident edges (0 stays 0). One symmetrized groupBy for
+    the node sums + two joins — no per-row Python."""
+    att = scored if scored is not None else triangle_edge_score(und_edges)
+    sums = (
+        att.select(F.col("src").alias("node"), "score")
+        .union(att.select(F.col("dst").alias("node"), "score"))
+        .groupBy("node")
+        .agg(F.sum("score").alias("ns"))
+    )
+    return (
+        att.join(sums.select(F.col("node").alias("src"), F.col("ns").alias("su")), "src")
+        .join(sums.select(F.col("node").alias("dst"), F.col("ns").alias("sv")), "dst")
+        .select(
+            "src",
+            "dst",
+            F.when(
+                F.col("score") > 0,
+                F.col("score") / F.sqrt(F.col("su") * F.col("sv")),
+            )
+            .otherwise(0.0)
+            .alias("score"),
+        )
+    )
+
+
+def prefix_jaccard_score(und_edges: DataFrame, scored: DataFrame | None = None) -> DataFrame:
+    """``PrefixJaccardScore.cpp:20-150``: rank each node's incident edges by
+    attribute descending (competition rank — ties share the count of
+    strictly-greater entries; the partner endpoint occupies a rank but is
+    skipped in the sweep); for each edge (u, v) sweep rank levels ascending,
+    maintaining the prefix neighbor sets of both endpoints, and return the
+    best Jaccard ``common / (uOnly + vOnly + common)`` over all levels.
+    Default attribute: per-edge triangle count (the
+    SimmelianSparsifierNonParametric substrate, ``sparsification.pyx:386``).
+
+    Physical plan — the sequential two-pointer merge becomes set algebra:
+    a per-node window rank, a full-outer join pairing the two endpoints'
+    neighbor lists per edge, an event encoding (a common neighbor counts for
+    its earlier side on [min_rank, max_rank) then flips to common — the
+    ``++commonNeighbors; --vNeighbors`` bookkeeping), and one per-edge
+    RANGE-cumulative window whose running Jaccard is maxed. Work is
+    sum(deg(u)+deg(v)) over edges — the same order as the wedge join that
+    produced the triangle attribute; per-edge window keys bound the sort."""
+    att = scored if scored is not None else triangle_edge_score(und_edges)
+    inc = att.select(F.col("src").alias("node"), F.col("dst").alias("nbr"), "score").union(
+        att.select(F.col("dst").alias("node"), F.col("src").alias("nbr"), "score")
+    )
+    wr = Window.partitionBy("node").orderBy(F.desc("score"))
+    inc = inc.withColumn("rk", F.rank().over(wr) - 1).select("node", "nbr", "rk")
+    e = att.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    un = (
+        e.join(inc.withColumnRenamed("node", "u"), "u")
+        .filter(F.col("nbr") != F.col("v"))
+        .select("u", "v", "nbr", F.col("rk").alias("ru"))
+    )
+    vn = (
+        e.join(inc.withColumnRenamed("node", "v"), "v")
+        .filter(F.col("nbr") != F.col("u"))
+        .select("u", "v", "nbr", F.col("rk").alias("rv"))
+    )
+    both = un.join(vn, ["u", "v", "nbr"], "full")
+    u_first = F.col("ru") <= F.col("rv")  # min-side tie goes to u (net-neutral)
+    events = (
+        both.filter(F.col("rv").isNull()).select(
+            "u", "v", F.col("ru").alias("r"), F.lit(1).alias("du"), F.lit(0).alias("dv"), F.lit(0).alias("dc")
+        )
+        .union(
+            both.filter(F.col("ru").isNull()).select(
+                "u", "v", F.col("rv").alias("r"), F.lit(0), F.lit(1), F.lit(0)
+            )
+        )
+        .union(
+            both.filter(F.col("ru").isNotNull() & F.col("rv").isNotNull()).select(
+                "u", "v", F.least("ru", "rv").alias("r"),
+                F.when(u_first, 1).otherwise(0),
+                F.when(u_first, 0).otherwise(1),
+                F.lit(0),
+            )
+        )
+        .union(
+            both.filter(F.col("ru").isNotNull() & F.col("rv").isNotNull()).select(
+                "u", "v", F.greatest("ru", "rv").alias("r"),
+                F.when(u_first, -1).otherwise(0),
+                F.when(u_first, 0).otherwise(-1),
+                F.lit(1),
+            )
+        )
+    )
+    wc = (
+        Window.partitionBy("u", "v")
+        .orderBy("r")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    jac = events.select(
+        "u",
+        "v",
+        (
+            F.sum("dc").over(wc)
+            / (F.sum("du").over(wc) + F.sum("dv").over(wc) + F.sum("dc").over(wc))
+        ).alias("j"),
+    )
+    best = jac.groupBy("u", "v").agg(F.max("j").alias("score"))
+    return (
+        e.join(best, ["u", "v"], "left")
+        .select(
+            F.col("u").alias("src"),
+            F.col("v").alias("dst"),
+            F.coalesce(F.col("score"), F.lit(0.0)).alias("score"),
+        )
+    )
