@@ -337,3 +337,35 @@ def q_geometric_mean_score(spark, sf_dir):
     e = doc_edges_undirected(spark, sf_dir)
     out = geometric_mean_score(e)
     return out.select("src", "dst", F.round("score", 7).alias("score"))
+
+
+@register(
+    "quadrangle_edge_score",
+    f"""
+WITH {UEDGES_CTE},
+dg AS (SELECT src AS node, count(*) AS d FROM uedges GROUP BY src),
+p2 AS (
+    SELECT e1.src AS a, e2.dst AS y, count(*) AS c2
+    FROM uedges e1 JOIN uedges e2 ON e1.dst = e2.src
+    GROUP BY e1.src, e2.dst
+),
+p3 AS (
+    SELECT p2.a, e3.dst AS b, sum(c2) AS w3
+    FROM p2 JOIN uedges e3 ON p2.y = e3.src
+    GROUP BY p2.a, e3.dst
+)
+SELECT ce.src, ce.dst,
+       CAST(coalesce(p3.w3, 0) - da.d - db.d + 1 AS BIGINT) AS score
+FROM (SELECT src, dst FROM uedges WHERE src < dst) ce
+LEFT JOIN p3 ON ce.src = p3.a AND ce.dst = p3.b
+JOIN dg da ON ce.src = da.node
+JOIN dg db ON ce.dst = db.node
+""",
+)
+def q_quadrangle_edge_score(spark, sf_dir):
+    """Per-edge 4-cycle counts (ChibaNishizekiQuadrangleEdgeScore.cpp) via
+    the order-free closed form P3 - deg(a) - deg(b) + 1."""
+    from networkit_spark.operators.triangles import quadrangle_edge_score
+
+    e = doc_edges_undirected(spark, sf_dir)
+    return quadrangle_edge_score(e)
