@@ -297,3 +297,16 @@ def spsp(
     return d.join(targets.select(F.col("id").alias("node")), "node").select(
         "source", "node", "dist"
     )
+
+
+def multi_target_dijkstra(
+    edges: DataFrame, source: int, targets: list[int], max_rounds: int = 10_000
+) -> DataFrame:
+    """MultiTargetDijkstra / STSP semantics (``distance.pyx`` STSP family):
+    weighted distances from ``source`` restricted to ``targets``. The full
+    relaxation wave is the distributed plan either way (no priority queue to
+    stop early on); the target filter prunes the result, and Catalyst pushes
+    it into the final exchange."""
+    spark = edges.sparkSession
+    t = spark.createDataFrame([(int(x),) for x in targets], "node long")
+    return sssp_distances(edges, source, max_rounds).join(t, "node", "left_semi")

@@ -558,3 +558,35 @@ def edge_switching(
             .localCheckpoint(eager=True)
         )
     return cur.withColumn("weight", F.lit(1.0))
+
+
+def regular_ring_lattice(spark: SparkSession, n: int, k: int) -> DataFrame:
+    """RegularRingLatticeGenerator.cpp:12-24: node i connects to the k
+    clockwise neighbors (i+1 .. i+k) mod n, with k clamped to n/2 - 1.
+    Closed form — one range + explode, no shuffle."""
+    k = min(k, n // 2 - 1)
+    df = spark.range(n).select(
+        F.col("id").alias("src"),
+        F.explode(F.sequence(F.lit(1), F.lit(k))).alias("off"),
+    )
+    return _finish(df.select("src", ((F.col("src") + F.col("off")) % n).alias("dst")))
+
+
+def dorogovtsev_mendes(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
+    """DorogovtsevMendesGenerator.cpp:17-38: start from a triangle; each new
+    node attaches to both endpoints of a uniformly random existing edge.
+
+    The growth step reads its own output (edge t must exist before edge
+    t+1's choice), so like the reference this is inherently sequential —
+    generated driver-side with a seeded RNG (same small-n stance as
+    ``havel_hakimi``); the scalable preferential-attachment analog is
+    :func:`barabasi_albert`."""
+    import random
+
+    rng = random.Random(seed)
+    edges = [(0, 1), (1, 2), (2, 0)]
+    for w in range(3, n):
+        u, v = edges[rng.randrange(len(edges))]
+        edges.append((w, u))
+        edges.append((w, v))
+    return _finish(spark.createDataFrame(edges, "src long, dst long"))
