@@ -310,3 +310,68 @@ def multi_target_dijkstra(
     spark = edges.sparkSession
     t = spark.createDataFrame([(int(x),) for x in targets], "node long")
     return sssp_distances(edges, source, max_rounds).join(t, "node", "left_semi")
+
+
+def astar_distance(
+    edges: DataFrame,
+    heuristic: DataFrame,
+    source: int,
+    target: int,
+    max_rounds: int = 10_000,
+) -> tuple[float, DataFrame]:
+    """A* source->target distance (``AStar.hpp`` / ``AStarGeneral.hpp``):
+    ``heuristic(node, h)`` is an admissible lower bound on each node's
+    distance to ``target``. Returns (distance, settled-distances table).
+
+    Spark plan: the priority queue has no distributed analog, so the goal
+    direction becomes *frontier pruning* on the same relaxation wave as
+    :func:`sssp_distances` — a tentative label expands only while
+    ``dist + h < best known target distance`` (admissibility makes the
+    pruned labels provably useless, so results stay exact). With h = 0 this
+    degrades to plain distributed Dijkstra; a tighter h cuts the frontier —
+    the same work-saving the sequential queue realizes."""
+    import math
+
+    spark = edges.sparkSession
+    e = edges.select("src", "dst", "weight").persist()
+    e.count()
+    heu = heuristic.select("node", "h").persist()
+    dist = spark.createDataFrame([(source, 0.0)], "node long, dist double")
+    frontier = dist
+    best = 0.0 if source == target else math.inf
+    for _ in range(max_rounds):
+        live = frontier.join(heu, "node", "left").filter(
+            F.col("dist") + F.coalesce(F.col("h"), F.lit(0.0)) < F.lit(best)
+        ).select("node", "dist")
+        if live.isEmpty():
+            break
+        cand = (
+            e.join(live.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"), (F.col("dist") + F.col("weight")).alias("nd")
+            )
+            .groupBy("node")
+            .agg(F.min("nd").alias("nd"))
+        )
+        merged = (
+            dist.join(cand, "node", "full")
+            .select(
+                "node",
+                F.least(
+                    F.coalesce(F.col("dist"), F.lit(float("inf"))),
+                    F.coalesce(F.col("nd"), F.lit(float("inf"))),
+                ).alias("dist"),
+                F.col("dist").alias("old"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        frontier = merged.filter(
+            F.col("old").isNull() | (F.col("dist") < F.col("old"))
+        ).select("node", "dist")
+        dist = merged.select("node", "dist")
+        hit = dist.filter(F.col("node") == target).first()
+        if hit is not None:
+            best = min(best, hit["dist"])
+    e.unpersist()
+    heu.unpersist()
+    return best, dist

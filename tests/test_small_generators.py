@@ -57,3 +57,51 @@ def test_multi_target_dijkstra(spark):
         for r in multi_target_dijkstra(e, 0, [2, 3]).collect()
     }
     assert got == {2: 3.0, 3: 6.0}
+
+
+def _grid_edges(spark, w, h):
+    # w x h grid, unit weights, node = y*w + x
+    rows = []
+    for y in range(h):
+        for x in range(w):
+            u = y * w + x
+            if x + 1 < w:
+                rows.append((u, u + 1, 1.0))
+            if y + 1 < h:
+                rows.append((u, u + w, 1.0))
+    rows += [(d, s, ww) for s, d, ww in rows]
+    return spark.createDataFrame(rows, "src long, dst long, weight double")
+
+
+def test_astar_grid_exact_and_pruned(spark):
+    from networkit_spark.operators.distance import astar_distance, sssp_distances
+
+    w, h = 5, 4
+    e = _grid_edges(spark, w, h)
+    target = h * w - 1  # corner (w-1, h-1)
+
+    def manhattan(u):
+        x, y = u % w, u // w
+        return float(abs((w - 1) - x) + abs((h - 1) - y))
+
+    heu = spark.createDataFrame(
+        [(u, manhattan(u)) for u in range(w * h)], "node long, h double"
+    )
+    d, settled = astar_distance(e, heu, 0, target)
+    assert d == float((w - 1) + (h - 1))
+    # exactness vs plain SSSP on the settled target
+    full = {r["node"]: r["dist"] for r in sssp_distances(e, 0).collect()}
+    assert d == full[target]
+    # admissible heuristic prunes: fewer labels settled than the full wave
+    assert settled.count() <= len(full)
+
+
+def test_astar_zero_heuristic_matches_sssp(spark):
+    from networkit_spark.operators.distance import astar_distance
+
+    rows = [(0, 1, 2.0), (1, 2, 2.0), (0, 2, 5.0)]
+    rows += [(d, s, w) for s, d, w in rows]
+    e = spark.createDataFrame(rows, "src long, dst long, weight double")
+    heu = spark.createDataFrame([(i, 0.0) for i in range(3)], "node long, h double")
+    d, _ = astar_distance(e, heu, 0, 2)
+    assert d == 4.0
