@@ -3022,3 +3022,76 @@ def q_gce_community(spark, sf_dir):
     )
     com = gce(e, {0})
     return spark.createDataFrame([(int(v),) for v in sorted(com)], "node long")
+
+
+# --- SCDGroundTruthComparison: PLP-found communities vs lang cover ---------
+
+_SCD_GT_FINAL = """
+SELECT s.seed,
+       round(coalesce(max(sc.j), 0.0), 7) AS jaccard,
+       round(coalesce(max(sc.f1), 0.0), 7) AS f1,
+       round(coalesce(max(sc.p), 0.0), 7) AS prec,
+       round(coalesce(max(sc.r), 0.0), 7) AS rec
+FROM (SELECT doc_id AS seed FROM documents WHERE doc_id < 8) s
+LEFT JOIN (
+    WITH labels AS (SELECT node, label FROM {last}),
+    seeds AS (SELECT doc_id AS seed FROM documents WHERE doc_id < 8),
+    found AS (
+        SELECT se.seed, l2.node
+        FROM seeds se
+        JOIN labels l1 ON l1.node = se.seed
+        JOIN labels l2 ON l2.label = l1.label
+    ),
+    truth AS (SELECT doc_id AS node, lang AS subset FROM documents),
+    fsz AS (SELECT seed, count(*) AS fs FROM found GROUP BY seed),
+    tsz AS (SELECT subset, count(*) AS ts FROM truth GROUP BY subset),
+    allowed AS (SELECT t.node AS seed, t.subset FROM truth t),
+    ov AS (
+        SELECT f.seed, t.subset, count(*) AS o
+        FROM found f
+        JOIN truth t ON f.node = t.node
+        WHERE EXISTS (SELECT 1 FROM allowed a
+                      WHERE a.seed = f.seed AND a.subset = t.subset)
+        GROUP BY f.seed, t.subset
+    )
+    SELECT ov.seed,
+           ov.o * 1.0 / (fsz.fs + tsz.ts - ov.o) AS j,
+           ov.o * 1.0 / tsz.ts AS r,
+           ov.o * 1.0 / fsz.fs AS p,
+           CASE WHEN ov.o > 0
+                THEN 2.0 * (ov.o * 1.0 / fsz.fs) * (ov.o * 1.0 / tsz.ts)
+                     / (ov.o * 1.0 / fsz.fs + ov.o * 1.0 / tsz.ts)
+                ELSE 0.0 END AS f1
+    FROM ov JOIN fsz ON ov.seed = fsz.seed JOIN tsz ON ov.subset = tsz.subset
+) sc ON s.seed = sc.seed
+GROUP BY s.seed
+"""
+
+
+@register("scd_ground_truth", _plp_oracle_sql(PLP_ITERS, _SCD_GT_FINAL))
+def q_scd_ground_truth(spark, sf_dir):
+    """SCDGroundTruthComparison (SCDGroundTruthComparison.cpp:11-130): the
+    PLP community of each seed doc (seeds 0..7) scored against the lang
+    ground-truth cover — best jaccard/f1/precision/recall per seed."""
+    from networkit_spark.operators.scd import scd_ground_truth_comparison
+
+    labels = q_plp_fixed5(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seeds = docs.filter(F.col("doc_id") < 8).select(F.col("doc_id").alias("seed"))
+    l1 = labels.select(F.col("node").alias("seed"), "label")
+    found = (
+        seeds.join(l1, "seed")
+        .join(labels.select("node", "label"), "label")
+        .select("seed", "node")
+    )
+    truth = docs.select(
+        F.col("doc_id").alias("node"), F.col("lang").alias("subset")
+    )
+    out = scd_ground_truth_comparison(found, truth)
+    return out.select(
+        "seed",
+        F.round("jaccard", 7).alias("jaccard"),
+        F.round("f1", 7).alias("f1"),
+        F.round("prec", 7).alias("prec"),
+        F.round("rec", 7).alias("rec"),
+    )

@@ -439,3 +439,50 @@ def set_conductance(edges: DataFrame, community: set[int] | list[int]) -> float:
     if min(vol, rest) <= 0:
         return 1.0
     return cut / min(vol, rest)
+
+
+def scd_ground_truth_comparison(
+    found: DataFrame, truth: DataFrame, ignore_seeds: bool = False
+) -> DataFrame:
+    """``SCDGroundTruthComparison.cpp:11-130``: per seed, compare its found
+    community ``found(seed, node)`` against a ground-truth cover
+    ``truth(node, subset)``; report the best Jaccard / F1 / precision /
+    recall over candidate subsets — each maximized independently, exactly as
+    the reference tracks four separate bests. Unless ``ignore_seeds``,
+    candidate subsets are restricted to the subsets containing the seed.
+
+    All joins/aggs, no iteration: overlap counts via one (node) join, the
+    seed restriction as a semi-join, sizes broadcast-scale."""
+    fsz = found.groupBy("seed").agg(F.count("*").alias("fs"))
+    tsz = truth.groupBy("subset").agg(F.count("*").alias("ts"))
+    ov = found.join(truth, "node")
+    if not ignore_seeds:
+        allowed = truth.select(F.col("node").alias("seed"), "subset")
+        ov = ov.join(allowed, ["seed", "subset"], "left_semi")
+    ov = ov.groupBy("seed", "subset").agg(F.count("*").alias("o"))
+    p = F.col("o") / F.col("fs")
+    r = F.col("o") / F.col("ts")
+    sc = (
+        ov.join(fsz, "seed")
+        .join(tsz, "subset")
+        .select(
+            "seed",
+            (F.col("o") / (F.col("fs") + F.col("ts") - F.col("o"))).alias("j"),
+            r.alias("r"),
+            p.alias("p"),
+            F.when(F.col("o") > 0, 2.0 * p * r / (p + r)).otherwise(0.0).alias("f1"),
+        )
+        .groupBy("seed")
+        .agg(
+            F.max("j").alias("jaccard"),
+            F.max("f1").alias("f1"),
+            F.max("p").alias("prec"),
+            F.max("r").alias("rec"),
+        )
+    )
+    return (
+        found.select("seed")
+        .distinct()
+        .join(sc, "seed", "left")
+        .fillna({"jaccard": 0.0, "f1": 0.0, "prec": 0.0, "rec": 0.0})
+    )

@@ -107,3 +107,44 @@ def test_gce_matches_replica_on_toy(spark):
     e = edges_df(spark, pairs).withColumn("weight", F.lit(1.0))
     for seed in (0, 5, 13):
         assert gce(e, {seed}) == _gce_replica(pairs, {seed}), seed
+
+
+def test_scd_ground_truth_comparison(spark):
+    from networkit_spark.operators.scd import scd_ground_truth_comparison
+
+    # found: seed 0 -> {0,1,2}; seed 5 -> {5,9}
+    found = spark.createDataFrame(
+        [(0, 0), (0, 1), (0, 2), (5, 5), (5, 9)], "seed long, node long"
+    )
+    # truth cover: subset a = {0,1,3}, subset b = {2,5}, node 0 also in b
+    truth = spark.createDataFrame(
+        [(0, "a"), (1, "a"), (3, "a"), (2, "b"), (5, "b"), (0, "b")],
+        "node long, subset string",
+    )
+    got = {
+        r["seed"]: (r["jaccard"], r["f1"], r["prec"], r["rec"])
+        for r in scd_ground_truth_comparison(found, truth).collect()
+    }
+    # seed 0 allowed subsets {a, b}: vs a overlap 2 (j=2/4, p=2/3, r=2/3,
+    # f1=2/3); vs b overlap 2 of {0,2} (ts=3: nodes 2,5,0) -> j=2/4, p=2/3,
+    # r=2/3 -> bests equal
+    assert got[0] == (0.5, 2 / 3, 2 / 3, 2 / 3)
+    # seed 5 allowed {b}: overlap {5} -> o=1, fs=2, ts=3: j=1/4, p=0.5, r=1/3
+    assert abs(got[5][0] - 0.25) < 1e-12
+    assert abs(got[5][2] - 0.5) < 1e-12
+    assert abs(got[5][3] - 1 / 3) < 1e-12
+    # ignore_seeds widens seed 5's candidates to subset a too (overlap 0 -> no row)
+    got_ig = {
+        r["seed"]: r["jaccard"]
+        for r in scd_ground_truth_comparison(found, truth, ignore_seeds=True).collect()
+    }
+    assert abs(got_ig[5] - 0.25) < 1e-12
+
+
+def test_scd_ground_truth_no_overlap_is_zero(spark):
+    from networkit_spark.operators.scd import scd_ground_truth_comparison
+
+    found = spark.createDataFrame([(7, 7), (7, 8)], "seed long, node long")
+    truth = spark.createDataFrame([(1, "x"), (2, "x")], "node long, subset string")
+    row = scd_ground_truth_comparison(found, truth).collect()[0]
+    assert (row["jaccard"], row["f1"], row["prec"], row["rec"]) == (0, 0, 0, 0)
