@@ -668,6 +668,74 @@ def q_plm_communities(spark, sf_dir):
     return PLM(max_sweeps_per_level=6, max_levels=2).run(e, nodes_range(spark, n)).get_partition()
 
 
+PLM_SWEEPS = 2
+
+
+def _plm_oracle_sql(iterations: int) -> str:
+    """Unrolled synchronous Louvain move sweeps (``plm_fixed_sweeps``
+    formulas, ``PLM.cpp:84+``): per sweep, community volumes + per-node
+    neighbor-community weights, gain ``w_uc - wdeg*(vol - [c=cur]*wdeg)/2m``
+    rounded to 9 decimals in both engines, stay option with w_uc = 0,
+    tie-break (score desc, prefer current, smallest c), node%2 parity
+    staging. Output labels normalized to min member node id."""
+    parts = [
+        f"WITH {UEDGES_CTE}",
+        ", tv AS (SELECT sum(weight) AS m2 FROM uedges)",
+        ", wd AS (SELECT d.doc_id AS node, coalesce(w.wdeg, 0) AS wdeg"
+        "  FROM documents d LEFT JOIN ("
+        "    SELECT src AS node, sum(weight) AS wdeg FROM uedges GROUP BY src"
+        "  ) w ON d.doc_id = w.node)",
+        ", pm0 AS (SELECT doc_id AS node, doc_id AS comm FROM documents)",
+    ]
+    for k in range(1, iterations + 1):
+        prev = f"pm{k - 1}"
+        parity = (k - 1) % 2
+        parts.append(
+            f""", vol{k} AS (
+  SELECT m.comm AS c, sum(d.wdeg) AS vol
+  FROM {prev} m JOIN wd d ON m.node = d.node GROUP BY m.comm
+), wuc{k} AS (
+  SELECT e.dst AS node, a.comm AS c, sum(e.weight) AS wuc
+  FROM uedges e JOIN {prev} a ON e.src = a.node GROUP BY e.dst, a.comm
+), cand{k} AS (
+  SELECT w.node, w.c, m.comm AS cur,
+         round(w.wuc - d.wdeg * (v.vol - CASE WHEN w.c = m.comm THEN d.wdeg ELSE 0 END) / t.m2, 9) AS score
+  FROM wuc{k} w JOIN {prev} m ON w.node = m.node
+  JOIN wd d ON w.node = d.node JOIN vol{k} v ON v.c = w.c CROSS JOIN tv t
+), stay{k} AS (
+  SELECT m.node, m.comm AS c, m.comm AS cur,
+         round(-d.wdeg * (v.vol - d.wdeg) / t.m2, 9) AS score
+  FROM {prev} m JOIN wd d ON m.node = d.node JOIN vol{k} v ON v.c = m.comm CROSS JOIN tv t
+), bst{k} AS (
+  SELECT node, c FROM (
+    SELECT node, c,
+           row_number() OVER (PARTITION BY node ORDER BY score DESC, (c = cur) DESC, c ASC) AS rk
+    FROM (SELECT * FROM cand{k} UNION ALL SELECT * FROM stay{k})) WHERE rk = 1
+), pm{k} AS MATERIALIZED (
+  SELECT m.node, CASE WHEN (m.node % 2) = {parity} THEN b.c ELSE m.comm END AS comm
+  FROM {prev} m JOIN bst{k} b ON m.node = b.node
+)"""
+        )
+    parts.append(
+        f"""SELECT m.node, mn.label FROM pm{iterations} m
+JOIN (SELECT comm, min(node) AS label FROM pm{iterations} GROUP BY comm) mn
+  ON m.comm = mn.comm"""
+    )
+    return "\n".join(parts)
+
+
+@register("plm_fixed2", _plm_oracle_sql(PLM_SWEEPS))
+def q_plm_fixed2(spark, sf_dir):
+    """Fixed-2-sweep synchronous Louvain move phase (oracle-portable twin of
+    the PLM move phase, ``PLM.cpp:84+``) — the SQL-checkable counterpart to
+    the rows-only ``plm_communities`` multi-level heuristic."""
+    from networkit_spark.operators.plm import plm_fixed_sweeps
+
+    n = _n_docs(spark, sf_dir)
+    e = doc_edges_undirected(spark, sf_dir)
+    return plm_fixed_sweeps(e, nodes_range(spark, n), iterations=PLM_SWEEPS)
+
+
 def _scc_oracle_sql(steps: int = 20) -> str:
     """SCC labels via transitive closure: label(u) = min{v : u->*v and v->*u}.
 

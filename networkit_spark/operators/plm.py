@@ -189,6 +189,109 @@ def _local_move_sweeps(
     return labels, sweeps
 
 
+def plm_fixed_sweeps(
+    edges: DataFrame, nodes: DataFrame | None = None, iterations: int = 2
+) -> DataFrame:
+    """Oracle-portable PLM move phase (driver-query / DuckDB-oracle twin of
+    :class:`PLM`, same pattern as ``map_equation_fixed``): fixed sweep count,
+    ``node % 2`` parity staging (instead of the hash staging of the
+    convergence engine), Louvain gain scores rounded to 9 decimals so the
+    move decisions reproduce across engines, no coarsening.
+
+    Gain formula identical to :func:`_local_move_sweeps`
+    (``cpp/community/PLM.cpp:84+`` move phase):
+    ``score(u, c) = w_uc - wdeg_u * (vol_c - [c == cur] * wdeg_u) / 2m``;
+    stay option scored with ``w_uc = 0``; argmax tie-break = (score desc,
+    prefer current, smallest community id). Returns (node, label) with
+    label = min member node id."""
+    nodes = nodes if nodes is not None else nodes_from_edges(edges)
+    m2 = edges.agg(F.sum("weight")).first()[0] or 0.0
+    if m2 == 0:
+        return nodes.select(F.col("id").alias("node"), F.col("id").alias("label"))
+    wdeg = (
+        nodes.select(F.col("id").alias("node"))
+        .join(
+            edges.groupBy(F.col("src").alias("node")).agg(F.sum("weight").alias("wdeg")),
+            "node",
+            "left",
+        )
+        .fillna({"wdeg": 0.0})
+    )
+    e = edges.filter(F.col("src") != F.col("dst"))
+    labels = nodes.select(F.col("id").alias("node"), F.col("id").alias("comm"))
+    for k in range(iterations):
+        parity = k % 2
+        vols = labels.join(wdeg, "node").groupBy("comm").agg(F.sum("wdeg").alias("vol"))
+        wuc = (
+            e.join(
+                labels.select(F.col("node").alias("src"), F.col("comm").alias("c")),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"), "c")
+            .agg(F.sum("weight").alias("wuc"))
+        )
+        cur = labels.select("node", F.col("comm").alias("cur"))
+        cand = (
+            wuc.join(cur, "node")
+            .join(wdeg, "node")
+            .join(vols.withColumnRenamed("comm", "c"), "c")
+            .select(
+                "node",
+                "c",
+                "cur",
+                F.round(
+                    F.col("wuc")
+                    - F.col("wdeg")
+                    * (
+                        F.col("vol")
+                        - F.when(F.col("c") == F.col("cur"), F.col("wdeg")).otherwise(0.0)
+                    )
+                    / F.lit(m2),
+                    9,
+                ).alias("score"),
+            )
+        )
+        stay = (
+            cur.join(wdeg, "node")
+            .join(vols.withColumnRenamed("comm", "cur"), "cur")
+            .select(
+                "node",
+                F.col("cur").alias("c"),
+                "cur",
+                F.round(
+                    -F.col("wdeg") * (F.col("vol") - F.col("wdeg")) / F.lit(m2), 9
+                ).alias("score"),
+            )
+        )
+        best = (
+            cand.unionByName(stay)
+            .groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("score"),
+                        (F.col("c") == F.col("cur")).cast("int").alias("is_cur"),
+                        (-F.col("c")).alias("negc"),
+                    )
+                ).alias("top")
+            )
+            .select("node", (-F.col("top.negc")).alias("newc"))
+        )
+        labels = truncate_lineage(
+            labels.join(best, "node", "left").select(
+                "node",
+                F.when(
+                    (F.pmod(F.col("node"), 2) == parity) & F.col("newc").isNotNull(),
+                    F.col("newc"),
+                )
+                .otherwise(F.col("comm"))
+                .alias("comm"),
+            )
+        )
+    norm = labels.groupBy("comm").agg(F.min("node").alias("label"))
+    return labels.join(norm, "comm").select("node", "label")
+
+
 def _contract(edges: DataFrame, labels: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(contracted_nodes, contracted_edges): communities become nodes;
     symmetrized row sums preserve volumes (self rows carry 2x intra)."""

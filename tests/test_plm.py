@@ -53,6 +53,32 @@ def test_plm_merges_tight_pair(spark):
     assert lab[0] != lab[3]
 
 
+def test_plm_fixed_sweeps_groups_cliques(spark):
+    """Oracle-portable fixed-sweep twin: after enough parity sweeps every
+    clique collapses to one community, labels normalized to min member id."""
+    from networkit_spark.operators.plm import plm_fixed_sweeps
+
+    k, size = 3, 6
+    e = symmetrize(edges_df(spark, planted_cliques_with_bridges(k, size)))
+    nodes = nodes_range(spark, k * size)
+    lab = labels_map(plm_fixed_sweeps(e, nodes, iterations=6))
+    for c in range(k):
+        base = c * size
+        assert len({lab[base + i] for i in range(size)}) == 1, f"clique {c} split"
+    # label = min member node id
+    for node, label in lab.items():
+        assert label == min(n for n, l2 in lab.items() if l2 == label)
+    assert modularity(e, plm_fixed_sweeps(e, nodes, iterations=6)) > 0.4
+
+
+def test_plm_fixed_sweeps_singletons_on_empty(spark):
+    from networkit_spark.operators.plm import plm_fixed_sweeps
+
+    e = symmetrize(edges_df(spark, [], weighted=True))
+    lab = labels_map(plm_fixed_sweeps(e, nodes_range(spark, 4), iterations=2))
+    assert lab == {i: i for i in range(4)}
+
+
 def test_plm_singleton_on_empty_graph(spark):
     e = edges_df(spark, [], weighted=True)
     res = PLM().run(symmetrize(e), nodes_range(spark, 5))
