@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from networkit_spark.entry_queries import register
 from networkit_spark.functions.dedup import (
+    DEFAULT_SHINGLE_DF_CAP,
     exact_duplicates,
     minhash_lsh_candidates,
     ngram_jaccard_all_pairs,
@@ -211,12 +212,17 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     return minhash_lsh_candidates(df, num_hashes=8, bands=4)
 
 
-@register(
-    "ngram_jaccard_dups",
-    f"""
+def _ngram_dups_sql(cap: int) -> str:
+    """Inverted-index ngram Jaccard with the hot-shingle DF cap mirrored:
+    denominators (per-doc distinct shingle counts) taken BEFORE the cap,
+    only the shingle self-join runs on the capped index — identical to
+    :func:`ngram_jaccard_all_pairs`."""
+    return f"""
 WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
 shing AS (SELECT doc_id, list_distinct({_sql_shingles(3)}) AS sh FROM t),
-inv AS (SELECT doc_id, len(sh) AS nsh, unnest(sh) AS s FROM shing WHERE len(sh) > 0),
+inv0 AS (SELECT doc_id, len(sh) AS nsh, unnest(sh) AS s FROM shing WHERE len(sh) > 0),
+hot AS (SELECT s FROM inv0 GROUP BY s HAVING count(*) > {cap}),
+inv AS (SELECT * FROM inv0 ANTI JOIN hot USING (s)),
 inter AS (
   SELECT a.doc_id AS a, b.doc_id AS b, a.nsh AS na, b.nsh AS nb, count(*) AS i
   FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -224,9 +230,13 @@ inter AS (
 )
 SELECT a, b, round(i::DOUBLE / (na + nb - i), 7) AS jaccard
 FROM inter WHERE i::DOUBLE / (na + nb - i) >= 0.5
-""",
-)
+"""
+
+
+@register("ngram_jaccard_dups", _ngram_dups_sql(DEFAULT_SHINGLE_DF_CAP))
 def q_ngram_jaccard_dups(spark, sf_dir):
+    """Runs with the DEFAULT hot-shingle cap — the gate exercises the
+    production path (cap mirrored in the oracle's ANTI JOIN)."""
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
     out = ngram_jaccard_all_pairs(df, threshold=0.5)
     return out.select("a", "b", F.round("jaccard", 7).alias("jaccard"))

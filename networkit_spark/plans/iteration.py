@@ -104,12 +104,23 @@ class SuperstepRunner:
         state_dir: str | None = None,
         checkpoint_every: int = 5,
         use_local_checkpoint: bool = True,
+        catalog=None,
     ):
         self.spark = spark
         self.run_id = run_id
         self.state_dir = state_dir
         self.checkpoint_every = max(1, checkpoint_every)
         self.use_local_checkpoint = use_local_checkpoint
+        # Optional sources.catalog.TableCatalog: when set, durable state
+        # commits go through the Iceberg facade (Iceberg snapshot per commit
+        # on a cluster with the runtime jars; atomic parquet iter=N dirs in
+        # the fallback) under table name ``<run_id>_state``. metrics.jsonl
+        # still needs state_dir (or is skipped).
+        self.catalog = catalog
+
+    @property
+    def _state_table(self) -> str:
+        return f"{self.run_id}_state"
 
     # -- state layout --------------------------------------------------------
     def _iter_path(self, i: int) -> str:
@@ -119,7 +130,10 @@ class SuperstepRunner:
         return os.path.join(self.state_dir, self.run_id, "metrics.jsonl")
 
     def latest_committed(self) -> int | None:
-        """Highest iteration with a _SUCCESS marker (atomic parquet commit)."""
+        """Highest iteration with a _SUCCESS marker (atomic parquet commit);
+        with a catalog, the facade's snapshot/iter=N record."""
+        if self.catalog is not None:
+            return self.catalog.latest_state_iteration(self._state_table)
         if not self.state_dir:
             return None
         base = os.path.join(self.state_dir, self.run_id)
@@ -134,6 +148,9 @@ class SuperstepRunner:
         return max(its) if its else None
 
     def _commit(self, state: DataFrame, i: int) -> DataFrame:
+        if self.catalog is not None:
+            self.catalog.commit_state(state, self._state_table, i)
+            return self.catalog.read_state(self._state_table, i)
         path = self._iter_path(i)
         state.write.mode("overwrite").parquet(path)
         fresh = self.spark.read.parquet(path)
@@ -161,9 +178,14 @@ class SuperstepRunner:
         resume: bool = False,
     ) -> SuperstepResult:
         start_iter = 0
-        last = self.latest_committed() if (resume and self.state_dir) else None
+        durable_sink = self.state_dir or self.catalog is not None
+        last = self.latest_committed() if (resume and durable_sink) else None
         if last is not None:
-            state = self.spark.read.parquet(self._iter_path(last))
+            state = (
+                self.catalog.read_state(self._state_table, last)
+                if self.catalog is not None
+                else self.spark.read.parquet(self._iter_path(last))
+            )
             start_iter = last + 1
         else:
             state = init_state() if callable(init_state) else init_state
@@ -183,7 +205,7 @@ class SuperstepRunner:
         while i < max_iterations:
             t0 = time.monotonic()
             state_next, info = step_fn(state, i)
-            durable = self.state_dir and (
+            durable = (self.state_dir or self.catalog is not None) and (
                 (i + 1) % self.checkpoint_every == 0 or i + 1 == max_iterations
             )
             if durable:
@@ -203,7 +225,7 @@ class SuperstepRunner:
             i += 1
             if converged_fn is not None and converged_fn(info):
                 converged = True
-                if self.state_dir and not durable:
+                if (self.state_dir or self.catalog is not None) and not durable:
                     state = self._commit(state, i - 1)
                 break
         return SuperstepResult(state=state, iterations=i - start_iter, converged=converged, metrics=metrics)

@@ -79,3 +79,69 @@ class TableCatalog:
             except Exception:
                 return False
         return os.path.exists(os.path.join(self._path(name), "_SUCCESS"))
+
+    # -- per-iteration state commits (superstep checkpoint/resume) ----------
+    #
+    # Iceberg: each commit is a table REPLACE -> a new snapshot whose summary
+    # carries ``nk-iteration`` (written via the documented
+    # ``snapshot-property.`` write option); resume reads the CURRENT snapshot
+    # and its iteration from the ``<table>.snapshots`` metadata table, and
+    # old snapshots are reclaimed by ordinary snapshot expiration — no
+    # per-iteration table proliferation. Parquet fallback: one ``iter=N``
+    # subdirectory per commit with Spark's atomic ``_SUCCESS`` marker,
+    # identical resume semantics (used by SuperstepRunner when a catalog is
+    # passed; same layout the runner uses standalone).
+
+    def commit_state(self, df: DataFrame, name: str, iteration: int,
+                     keep_last: int = 2) -> None:
+        """Durably commit ``df`` as the state of ``name`` at ``iteration``."""
+        if self.iceberg:
+            (
+                df.writeTo(name)
+                .using("iceberg")
+                .option("snapshot-property.nk-iteration", str(iteration))
+                .createOrReplace()
+            )
+            return
+        df.write.mode("overwrite").parquet(
+            os.path.join(self._path(name), f"iter={iteration}")
+        )
+        base = self._path(name)
+        for entry in os.listdir(base):
+            if entry.startswith("iter=") and int(entry.split("=", 1)[1]) <= iteration - keep_last:
+                import shutil
+
+                shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
+
+    def latest_state_iteration(self, name: str) -> int | None:
+        """Highest durably-committed iteration of ``name`` (None if no
+        commit). Iceberg: max ``nk-iteration`` over snapshot summaries."""
+        if self.iceberg:
+            try:
+                row = self.spark.sql(
+                    f"SELECT max(cast(summary['nk-iteration'] AS INT)) AS it "
+                    f"FROM {name}.snapshots"
+                ).collect()[0]
+                return row["it"]
+            except Exception:
+                return None
+        base = self._path(name)
+        if not os.path.isdir(base):
+            return None
+        its = [
+            int(e.split("=", 1)[1])
+            for e in os.listdir(base)
+            if e.startswith("iter=")
+            and os.path.exists(os.path.join(base, e, "_SUCCESS"))
+        ]
+        return max(its) if its else None
+
+    def read_state(self, name: str, iteration: int) -> DataFrame:
+        """State as of ``iteration``. Iceberg: commits REPLACE the table, so
+        the latest committed iteration is the current snapshot (older ones
+        remain reachable by snapshot id until expired)."""
+        if self.iceberg:
+            return self.spark.read.table(name)
+        return self.spark.read.parquet(
+            os.path.join(self._path(name), f"iter={iteration}")
+        )

@@ -359,6 +359,22 @@ def hyperbolic_graph(
     return out
 
 
+# Inherently-sequential generators build their edge list on the driver;
+# above this n that is a misuse (memory + zero parallelism), and each such
+# generator documents a distributed twin to use instead.
+DRIVER_GEN_MAX_N = 1_000_000
+
+
+def _guard_driver_n(n: int, name: str, scale_twin: str) -> None:
+    if n > DRIVER_GEN_MAX_N:
+        raise ValueError(
+            f"{name} is a driver-side sequential generator (inherently "
+            f"sequential reference semantics) guarded at n <= "
+            f"{DRIVER_GEN_MAX_N}; got n={n}. Use {scale_twin} for the "
+            f"distributed realization at scale."
+        )
+
+
 def havel_hakimi_edges(degrees: list[int]) -> list[tuple[int, int]]:
     """Exact Havel-Hakimi realization of a degree sequence
     (``cpp/generators/HavelHakimiGenerator.cpp`` — same greedy: repeatedly
@@ -366,9 +382,13 @@ def havel_hakimi_edges(degrees: list[int]) -> list[tuple[int, int]]:
     Inherently sequential, so this is the driver-side small-n exact form
     (tests, fixture realization); the scale path for "realize this degree
     sequence" is :func:`configuration_model`. Raises ``ValueError`` if the
-    sequence is not graphical (greedy failure == Erdos-Gallai violation)."""
+    sequence is not graphical (greedy failure == Erdos-Gallai violation).
+
+    Guarded at ``DRIVER_GEN_MAX_N`` nodes: beyond that this O(n log n)
+    driver loop is the wrong tool — use :func:`configuration_model`."""
     import heapq
 
+    _guard_driver_n(len(degrees), "havel_hakimi", "configuration_model")
     if sum(degrees) % 2 != 0:
         raise ValueError("degree sum must be even")
     heap = [(-d, v) for v, d in enumerate(degrees) if d > 0]
@@ -580,9 +600,10 @@ def dorogovtsev_mendes(spark: SparkSession, n: int, seed: int = 42) -> DataFrame
     t+1's choice), so like the reference this is inherently sequential —
     generated driver-side with a seeded RNG (same small-n stance as
     ``havel_hakimi``); the scalable preferential-attachment analog is
-    :func:`barabasi_albert`."""
+    :func:`barabasi_albert`. Guarded at ``DRIVER_GEN_MAX_N`` nodes."""
     import random
 
+    _guard_driver_n(n, "dorogovtsev_mendes", "barabasi_albert")
     rng = random.Random(seed)
     edges = [(0, 1), (1, 2), (2, 0)]
     for w in range(3, n):

@@ -49,6 +49,26 @@ def test_havel_hakimi_rejects_non_graphical():
         havel_hakimi_edges([1, 1, 1])  # odd sum
 
 
+def test_driver_generators_guarded_at_scale():
+    """Driver-side sequential generators refuse n beyond DRIVER_GEN_MAX_N
+    and point at their distributed twins (round-2 verdict item)."""
+    from networkit_spark.sources.generators import (
+        DRIVER_GEN_MAX_N,
+        dorogovtsev_mendes,
+    )
+
+    big = DRIVER_GEN_MAX_N + 1
+    with pytest.raises(ValueError, match="configuration_model"):
+        # len() check fires before any work: a lazy fake list is enough
+        class _FakeSeq(list):
+            def __len__(self):
+                return big
+
+        havel_hakimi_edges(_FakeSeq())
+    with pytest.raises(ValueError, match="barabasi_albert"):
+        dorogovtsev_mendes(None, big)
+
+
 def test_havel_hakimi_dataframe(spark):
     df = havel_hakimi(spark, [2, 2, 2, 1, 1])
     deg = {r["src"]: r["c"] for r in df.groupBy("src").agg(F.count("*").alias("c")).collect()}

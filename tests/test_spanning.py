@@ -107,6 +107,35 @@ def test_umsf_distinct_weights_equals_msf(spark):
     assert got == msf
 
 
+def test_umsf_many_distinct_weights_log_rounds(spark):
+    """Round-2 verdict scale fix: 10^4 all-distinct weights must sweep in
+    O(log L) depths (segment-tree batching), not O(L) driver rounds — and
+    with distinct weights UMSF == the unique MSF."""
+    import math
+
+    rng = random.Random(42)
+    n, m = 1500, 10_000
+    pairs = set()
+    while len(pairs) < m:
+        a, b = rng.randrange(n), rng.randrange(n)
+        if a != b:
+            pairs.add((min(a, b), max(a, b)))
+    ws = rng.sample(range(1, 20 * m), m)
+    triples = [(a, b, float(w)) for (a, b), w in zip(sorted(pairs), ws)]
+    df = _df(spark, triples)
+    stats = {}
+    um = union_maximum_spanning_forest(df, stats=stats)
+    got = {(r.src, r.dst) for r in um.filter("in_umsf").collect()}
+    assert stats["distinct_weights"] == m
+    assert stats["depths"] <= math.ceil(math.log2(m)) + 1  # 15 for 10^4
+    G = _nx(triples)
+    expected = {
+        (min(u, v), max(u, v))
+        for u, v, _ in nx.maximum_spanning_edges(G, data=True)
+    }
+    assert got == expected
+
+
 def test_umsf_tied_weights_cut_property(spark):
     # few weight levels -> real ties; oracle: edge in UMSF iff endpoints
     # disconnected in the strictly-heavier subgraph

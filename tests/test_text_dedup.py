@@ -89,6 +89,31 @@ def test_ngram_jaccard_exact(spark):
     assert (0, 4) not in allp
 
 
+def test_ngram_hot_shingle_cap(spark):
+    """Planted hot shingle (round-2 verdict): a shingle shared by every doc
+    must not by itself pair otherwise-unrelated docs when capped, while true
+    near-dups (sharing rare shingles) survive. Denominators stay uncapped."""
+    # every doc starts with the same 3 tokens -> shingle "common x y" in all
+    docs = [(i, f"common hot shingle unique{i}a unique{i}b unique{i}c") for i in range(12)]
+    # a planted near-dup pair sharing most rare shingles
+    docs.append((100, "alpha beta gamma delta epsilon zeta eta theta"))
+    docs.append((101, "alpha beta gamma delta epsilon zeta eta iota"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    capped = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in ngram_jaccard_all_pairs(df, threshold=0.2, shingle_df_cap=8).collect()
+    }
+    assert (100, 101) in capped  # rare-shingle near-dup survives
+    assert all(a == 100 for a, b in capped), capped  # hot-only pairs dropped
+    # uncapped finds the hot-shingle pairs too (jaccard 1/11 < 0.2 though);
+    # at threshold 0 the pair count difference is exactly the hot bucket
+    uncapped = ngram_jaccard_all_pairs(df, threshold=0.0, shingle_df_cap=None).count()
+    capped0 = ngram_jaccard_all_pairs(df, threshold=0.0, shingle_df_cap=8).count()
+    assert uncapped == capped0 + (12 * 11) // 2
+    # denominators (per-doc shingle counts) unaffected by the cap
+    assert abs(capped[(100, 101)] - 5 / 7) < 1e-9
+
+
 def test_simhash_near_dup(spark):
     df = docs_df(spark)
     sigs = {r["doc_id"]: r["s"] for r in df.select("doc_id", simhash64(F.col("text")).alias("s")).collect()}
