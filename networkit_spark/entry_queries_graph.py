@@ -913,6 +913,23 @@ def q_betweenness_sampled(spark, sf_dir):
     return out.select("node", F.round("score", 6).alias("score"))
 
 
+@register("kadabra_betweenness")  # adaptive sampling -> rows-only check
+def q_kadabra_betweenness(spark, sf_dir):
+    """Absolute-mode KADABRA (KadabraBetweenness.cpp) — the adaptive
+    stopping rule makes the sample count data-dependent, so like the other
+    genuinely non-SQL iterative queries this is rows-only in the gate;
+    accuracy is pinned by tests/test_kadabra.py against the reference's own
+    looptest1 golden scores."""
+    from networkit_spark.operators.kadabra import kadabra_betweenness
+
+    n = _n_docs(spark, sf_dir)
+    e = doc_edges_undirected(spark, sf_dir)
+    out = kadabra_betweenness(
+        e, nodes_range(spark, n), err=0.2, delta=0.2, seed=42
+    )
+    return out.select("node", F.round("score", 6).alias("score"))
+
+
 def _matching_oracle_sql(rounds: int = 6) -> str:
     """Fixed-round local-max handshake unrolled: per round, every node
     points at its heaviest neighbor (ties -> smallest id); mutual pointers

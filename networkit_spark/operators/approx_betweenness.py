@@ -148,6 +148,90 @@ def num_samples(vd: int, eps: float, delta: float, c: float = 1.0) -> int:
     )
 
 
+def sample_pairs(
+    nd: DataFrame, n: int, sid_start: int, r: int, seed: int
+) -> DataFrame:
+    """``r`` deterministic (u != v) node-pair samples with sample ids
+    ``[sid_start, sid_start + r)`` — distinct sids are independent LCG
+    streams, so adaptive callers (KADABRA epochs) extend the sample set by
+    advancing ``sid_start``. ``nd`` = (idx, id) dense node index."""
+    spark = nd.sparkSession
+    sid = spark.range(sid_start, sid_start + r).select(F.col("id").alias("sid"))
+    u_pick = F.pmod(_lcg(F.col("sid"), 1, seed), F.lit(n))
+    # v != u: offset in [1, n) added mod n
+    v_off = F.pmod(_lcg(F.col("sid"), 2, seed), F.lit(n - 1)) + 1
+    samples = sid.select(
+        "sid", u_pick.alias("ui"), F.pmod(u_pick + v_off, F.lit(n)).alias("vi")
+    )
+    return (
+        samples.join(nd.select(F.col("idx").alias("ui"), F.col("id").alias("u")), "ui")
+        .join(nd.select(F.col("idx").alias("vi"), F.col("id").alias("v")), "vi")
+        .select("sid", "u", "v")
+        .localCheckpoint(eager=True)
+    )
+
+
+def path_sample_hits(edges: DataFrame, samples: DataFrame, seed: int) -> DataFrame:
+    """One uniformly-random shortest path per sample pair, all samples
+    batched: forward multi-source Brandes BFS over the distinct sources,
+    then the backward sigma-weighted walk for every sample simultaneously
+    (one DAG join + cumulative-weight window per path step). Returns raw
+    interior-node hit counts (node, hits long) — unreachable pairs
+    contribute nothing (but the caller still counts them as samples, like
+    the reference's early-return ``randomPath``)."""
+    srcs = samples.select(F.col("u").alias("id")).distinct()
+    dist, preds = bfs_with_sigma(edges, srcs)
+    dist = dist.localCheckpoint(eager=True)
+
+    # active walks: samples whose target is reachable
+    active = (
+        samples.join(
+            dist.select(F.col("source").alias("u"), F.col("node").alias("v"), "dist"),
+            ["u", "v"],
+        )
+        .select("sid", "u", F.col("v").alias("t"), F.col("dist").alias("steps"))
+        .localCheckpoint(eager=True)
+    )
+    max_steps = active.agg(F.max("steps")).first()[0] or 0
+    contribs = None
+    for _ in range(int(max_steps)):
+        live = active.filter(F.col("t") != F.col("u"))
+        if live.isEmpty():
+            break
+        cand = live.join(
+            preds.withColumnRenamed("source", "u").withColumnRenamed("node", "t"),
+            ["u", "t"],
+        )
+        # weighted choice z ~ sigma_pred / sigma_t: cumulative weights per
+        # sid in (pred asc) order; threshold = uniform * sigma_t
+        wspec = Window.partitionBy("sid").orderBy("pred")
+        cand = cand.withColumn(
+            "cum", F.sum("sigma_pred").over(wspec)
+        ).withColumn("tot", F.sum("sigma_pred").over(Window.partitionBy("sid")))
+        urand = (
+            _lcg(F.col("sid") * F.lit(31) + F.col("t"), 3, seed).cast("double")
+            / F.lit(float(_M31))
+        )
+        chosen = (
+            cand.withColumn("thr", urand * F.col("tot"))
+            .filter(F.col("cum") > F.col("thr"))
+            .withColumn(
+                "rk", F.row_number().over(Window.partitionBy("sid").orderBy("pred"))
+            )
+            .filter(F.col("rk") == 1)
+            .select("sid", "u", F.col("pred").alias("t"))
+            .localCheckpoint(eager=True)
+        )
+        step_contrib = chosen.filter(F.col("t") != F.col("u")).select(
+            F.col("t").alias("node")
+        )
+        contribs = step_contrib if contribs is None else contribs.union(step_contrib)
+        active = chosen
+    if contribs is None:
+        return samples.sparkSession.createDataFrame([], "node long, hits long")
+    return contribs.groupBy("node").agg(F.count("*").alias("hits"))
+
+
 def approx_betweenness(
     edges: DataFrame,
     nodes: DataFrame | None = None,
@@ -176,77 +260,16 @@ def approx_betweenness(
             F.col("idx"), F.col("id")
         ).persist()
         n = nd.count()
-        sid = spark.range(r).select(F.col("id").alias("sid"))
-        u_pick = F.pmod(_lcg(F.col("sid"), 1, seed), F.lit(n))
-        # v != u: offset in [1, n) added mod n
-        v_off = F.pmod(_lcg(F.col("sid"), 2, seed), F.lit(n - 1)) + 1
-        samples = sid.select(
-            "sid", u_pick.alias("ui"), F.pmod(u_pick + v_off, F.lit(n)).alias("vi")
-        )
-        samples = (
-            samples.join(nd.select(F.col("idx").alias("ui"), F.col("id").alias("u")), "ui")
-            .join(nd.select(F.col("idx").alias("vi"), F.col("id").alias("v")), "vi")
-            .select("sid", "u", "v")
-            .localCheckpoint(eager=True)
-        )
-
-        srcs = samples.select(F.col("u").alias("id")).distinct()
-        dist, preds = bfs_with_sigma(edges, srcs)
-        dist = dist.localCheckpoint(eager=True)
-
-        # active walks: samples whose target is reachable
-        active = (
-            samples.join(
-                dist.select(F.col("source").alias("u"), F.col("node").alias("v"), "dist"),
-                ["u", "v"],
-            )
-            .select("sid", "u", F.col("v").alias("t"), F.col("dist").alias("steps"))
-            .localCheckpoint(eager=True)
-        )
-        max_steps = active.agg(F.max("steps")).first()[0] or 0
-        contribs = None
+        samples = sample_pairs(nd, n, 0, r, seed)
+        hits = path_sample_hits(edges, samples, seed)
         inc = 1.0 / r
-        for _ in range(int(max_steps)):
-            live = active.filter(F.col("t") != F.col("u"))
-            if live.isEmpty():
-                break
-            cand = live.join(
-                preds.withColumnRenamed("source", "u").withColumnRenamed("node", "t"),
-                ["u", "t"],
+        scores = (
+            nodes.select(F.col("id").alias("node"))
+            .join(hits, "node", "left")
+            .select(
+                "node",
+                (F.coalesce(F.col("hits"), F.lit(0)) * F.lit(inc)).alias("score"),
             )
-            # weighted choice z ~ sigma_pred / sigma_t: cumulative weights per
-            # sid in (pred asc) order; threshold = uniform * sigma_t
-            wspec = Window.partitionBy("sid").orderBy("pred")
-            cand = cand.withColumn(
-                "cum", F.sum("sigma_pred").over(wspec)
-            ).withColumn("tot", F.sum("sigma_pred").over(Window.partitionBy("sid")))
-            urand = (
-                _lcg(F.col("sid") * F.lit(31) + F.col("t"), 3, seed).cast("double")
-                / F.lit(float(_M31))
-            )
-            chosen = (
-                cand.withColumn("thr", urand * F.col("tot"))
-                .filter(F.col("cum") > F.col("thr"))
-                .withColumn(
-                    "rk", F.row_number().over(Window.partitionBy("sid").orderBy("pred"))
-                )
-                .filter(F.col("rk") == 1)
-                .select("sid", "u", F.col("pred").alias("t"))
-                .localCheckpoint(eager=True)
-            )
-            step_contrib = chosen.filter(F.col("t") != F.col("u")).select(
-                F.col("t").alias("node")
-            )
-            contribs = step_contrib if contribs is None else contribs.union(step_contrib)
-            active = chosen
-        if contribs is None:
-            scores = zero
-        else:
-            got = contribs.groupBy("node").agg((F.count("*") * F.lit(inc)).alias("s"))
-            scores = (
-                nodes.select(F.col("id").alias("node"))
-                .join(got, "node", "left")
-                .select("node", F.coalesce(F.col("s"), F.lit(0.0)).alias("score"))
-            )
+        )
         nd.unpersist()
         return scores, r
