@@ -3153,6 +3153,80 @@ GROUP BY s.seed
 """
 
 
+_SCD_MEMBERS = (0, 1, 2)
+_SCD_MEM_CTE = "mem AS (SELECT * FROM (VALUES (0), (1), (2)) AS t(m))"
+
+
+@register(
+    "tce_shell_scores",
+    f"""
+WITH {UEDGES_CTE},
+{_SCD_MEM_CTE},
+deg AS (SELECT src AS node, count(*) AS deg, sum(weight) AS wd FROM uedges GROUP BY src),
+ce AS (
+  SELECT e.src AS u, e.dst AS v, e.weight AS w FROM uedges e
+  WHERE e.src IN (SELECT m FROM mem) AND e.dst NOT IN (SELECT m FROM mem)),
+tri AS (
+  SELECT ce.u, ce.v, sum(least(a.weight, b.weight)) AS tmin
+  FROM ce JOIN uedges a ON a.src = ce.u
+          JOIN uedges b ON b.src = ce.v AND b.dst = a.dst
+  GROUP BY ce.u, ce.v),
+sel AS (
+  SELECT ce.v AS node,
+         (ce.w + coalesce(tri.tmin, 0)) / (least(du.wd, dv.wd) * dv.deg) AS s
+  FROM ce LEFT JOIN tri ON tri.u = ce.u AND tri.v = ce.v
+  JOIN deg du ON du.node = ce.u
+  JOIN deg dv ON dv.node = ce.v)
+SELECT node, round(sum(s), 7) AS score FROM sel GROUP BY node
+""",
+)
+def q_tce_shell_scores(spark, sf_dir):
+    """TCE shell-priority table (TCE.cpp:105-121) for the fixed community
+    {0,1,2} — the distributed per-round computation the greedy loop
+    consumes; the full greedy is pinned vs a sequential replica in
+    tests/test_scd_expansion.py."""
+    from networkit_spark.operators.scd_expansion import tce_shell_scores_df
+
+    e = doc_edges_undirected(spark, sf_dir)
+    out = tce_shell_scores_df(e, set(_SCD_MEMBERS))
+    return out.select("node", F.round("score", 7).alias("score"))
+
+
+@register(
+    "lte_shell_similarity",
+    f"""
+WITH {UEDGES_CTE},
+{_SCD_MEM_CTE},
+deg AS (SELECT src AS node, sum(weight * weight) AS wsq FROM uedges GROUP BY src),
+ce AS (
+  SELECT e.src AS u, e.dst AS v, e.weight AS w FROM uedges e
+  WHERE e.src IN (SELECT m FROM mem) AND e.dst NOT IN (SELECT m FROM mem)),
+tri AS (
+  SELECT ce.u, ce.v, sum(a.weight * b.weight) AS tprod
+  FROM ce JOIN uedges a ON a.src = ce.u
+          JOIN uedges b ON b.src = ce.v AND b.dst = a.dst
+  GROUP BY ce.u, ce.v),
+sel AS (
+  SELECT ce.v AS node,
+         (2 * ce.w + coalesce(tri.tprod, 0))
+         / (sqrt(1 + du.wsq) * sqrt(1 + dv.wsq)) AS s
+  FROM ce LEFT JOIN tri ON tri.u = ce.u AND tri.v = ce.v
+  JOIN deg du ON du.node = ce.u
+  JOIN deg dv ON dv.node = ce.v)
+SELECT node, round(sum(s), 7) AS int_sim FROM sel GROUP BY node
+""",
+)
+def q_lte_shell_similarity(spark, sf_dir):
+    """LocalTightnessExpansion structural-similarity priorities for the
+    fixed community {0,1,2} (LocalTightnessExpansion.cpp); greedy pinned by
+    the sequential replica in tests/test_scd_expansion.py."""
+    from networkit_spark.operators.scd_expansion import lte_shell_similarity_df
+
+    e = doc_edges_undirected(spark, sf_dir)
+    out = lte_shell_similarity_df(e, set(_SCD_MEMBERS))
+    return out.select("node", F.round("int_sim", 7).alias("int_sim"))
+
+
 @register("scd_ground_truth", _plp_oracle_sql(PLP_ITERS, _SCD_GT_FINAL))
 def q_scd_ground_truth(spark, sf_dir):
     """SCDGroundTruthComparison (SCDGroundTruthComparison.cpp:11-130): the
