@@ -611,3 +611,355 @@ def dorogovtsev_mendes(spark: SparkSession, n: int, seed: int = 42) -> DataFrame
         edges.append((w, u))
         edges.append((w, v))
     return _finish(spark.createDataFrame(edges, "src long, dst long"))
+
+
+# ---------------------------------------------------------------------------
+# Exact LFR (constrained realization with rewiring)
+# ---------------------------------------------------------------------------
+
+
+def _powerlaw_cumprob(min_deg: int, max_deg: int, gamma: float) -> list[float]:
+    """PowerlawDegreeSequence.cpp:151-169: cumulative P(deg >= max_deg - i)
+    for i = 0..max_deg-min_deg, from d^gamma summed heaviest-first."""
+    s = 0.0
+    cum = []
+    for d in range(max_deg, min_deg - 1, -1):
+        s += float(d) ** gamma
+        cum.append(s)
+    cum = [c / s for c in cum]
+    cum[-1] = 1.0
+    return cum
+
+
+def _powerlaw_expected_avg(cum: list[float], max_deg: int) -> float:
+    avg = cum[0] * max_deg
+    for i in range(1, len(cum)):
+        avg += (cum[i] - cum[i - 1]) * (max_deg - i)
+    return avg
+
+
+def _powerlaw_min_from_avg(avg_deg: float, max_deg: int, gamma: float) -> int:
+    """PowerlawDegreeSequence.cpp:61-101 binary search for the minimum
+    degree whose expected average is closest to ``avg_deg``."""
+    lo, hi = 1, max_deg
+    avg_lo = _powerlaw_expected_avg(_powerlaw_cumprob(lo, max_deg, gamma), max_deg)
+    if avg_lo > avg_deg:
+        raise RuntimeError("The average degree is too low")
+    if max_deg < avg_deg:
+        raise RuntimeError("The average degree must not be higher than the maximum degree")
+    avg_hi = float(max_deg)
+    while lo + 1 < hi:
+        mid = int((lo + hi) * 0.5)
+        avg = _powerlaw_expected_avg(_powerlaw_cumprob(mid, max_deg, gamma), max_deg)
+        if avg > avg_deg:
+            hi, avg_hi = mid, avg
+        else:
+            lo, avg_lo = mid, avg
+    return lo if (avg_deg - avg_lo) < (avg_hi - avg_deg) else hi
+
+
+def _powerlaw_draw(rng, cum: list[float], max_deg: int) -> int:
+    """getDegree(): max_deg - lower_bound(cum, U)."""
+    import bisect
+
+    return max_deg - bisect.bisect_left(cum, rng.random())
+
+
+def _hh_edges_ignore(degrees: list[int]) -> list[tuple[int, int]]:
+    """Havel-Hakimi with ``ignoreIfNotRealizable=true`` semantics
+    (HavelHakimiGenerator used by EdgeSwitchingMarkovChainGenerator.cpp:14
+    inside LFR): when the sequence is not realizable, connect as many
+    stubs as available instead of raising."""
+    import heapq
+
+    heap = [(-d, v) for v, d in enumerate(degrees) if d > 0]
+    heapq.heapify(heap)
+    edges: list[tuple[int, int]] = []
+    while heap:
+        nd, u = heapq.heappop(heap)
+        d = min(-nd, len(heap))  # ignore-unrealizable: cap at available
+        taken = [heapq.heappop(heap) for _ in range(d)]
+        for nd2, v in taken:
+            edges.append((min(u, v), max(u, v)))
+        for nd2, v in taken:
+            if -nd2 - 1 > 0:
+                heapq.heappush(heap, (nd2 + 1, v))
+    return edges
+
+
+class _SimpleGraph:
+    """Driver-side adjacency for the sequential switch/rewire phases."""
+
+    def __init__(self, n: int, edges):
+        self.nbr: list[list[int]] = [[] for _ in range(n)]
+        self.eset: set[tuple[int, int]] = set()
+        for a, b in edges:
+            self.add(a, b)
+
+    def add(self, a, b):
+        key = (min(a, b), max(a, b))
+        if key in self.eset or a == b:
+            return
+        self.eset.add(key)
+        self.nbr[a].append(b)
+        self.nbr[b].append(a)
+
+    def remove(self, a, b):
+        self.eset.discard((min(a, b), max(a, b)))
+        self.nbr[a].remove(b)
+        self.nbr[b].remove(a)
+
+    def has(self, a, b):
+        return (min(a, b), max(a, b)) in self.eset
+
+    def swap(self, s1, t1, s2, t2):
+        # swapEdge: s1-t1, s2-t2 -> s1-t2, s2-t1
+        self.remove(s1, t1)
+        self.remove(s2, t2)
+        self.add(s1, t2)
+        self.add(s2, t1)
+
+
+def _edge_switch_inplace(g: _SimpleGraph, rng, switches_per_edge: int = 10) -> None:
+    """EdgeSwitching.cpp:10-51 (EdgeSwitchingInPlace::run), seeded python
+    twin: degree-weighted endpoint picks, early rejects, swapEdge."""
+    m = len(g.eset)
+    if m < 2:
+        return
+    weighted = [v for v in range(len(g.nbr)) for _ in range(len(g.nbr[v]))]
+    for _ in range(int(switches_per_edge * m)):
+        s1 = weighted[rng.randrange(len(weighted))]
+        s2 = weighted[rng.randrange(len(weighted))]
+        if not g.nbr[s1] or not g.nbr[s2]:
+            continue
+        t1 = g.nbr[s1][rng.randrange(len(g.nbr[s1]))]
+        if s2 == t1 or g.has(s2, t1):
+            continue
+        t2 = g.nbr[s2][rng.randrange(len(g.nbr[s2]))]
+        if t1 == t2 or s1 == t2 or g.has(s1, t2):
+            continue
+        g.swap(s1, t1, s2, t2)
+
+
+def lfr_exact(
+    spark: SparkSession,
+    n: int,
+    avg_degree: float = 10,
+    max_degree: int = 50,
+    degree_exp: float = -2.0,
+    min_community: int = 10,
+    max_community: int = 50,
+    community_exp: float = -1.0,
+    mu: float = 0.3,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """Exact LFR benchmark generator (``cpp/generators/LFRGenerator.cpp``):
+    constrained degree/community realization with intra/inter split and
+    rewiring — NOT the hash-deterministic ``lfr_like`` sketch.
+
+    Faithful phases (same structure, seeded python RNG in place of the
+    reference's URNG — a seeded twin like the repo's other generators):
+
+    1. power-law degrees with minimum fitted to ``avg_degree``
+       (``PowerlawDegreeSequence::setMinimumFromAverageDegree``);
+    2. power-law community sizes filled to n, remainder added to the
+       smallest (``generatePowerlawCommunitySizeSequence``);
+    3. internal degrees ``(1-mu)*deg`` with the reference's probabilistic
+       rounding (``setMu``, LFRGenerator.cpp:84-104);
+    4. node-to-community assignment with the retry/merge loop
+       (``assignNodesToCommunities``) and the run() realizability checks;
+    5. per-community intra graphs: parity fix + Havel-Hakimi
+       (ignore-unrealizable) + 10-switches-per-edge Markov chain
+       (``generateIntraClusterGraph``);
+    6. global inter graph on external degrees, with the intra-edge
+       rewiring loop and drop-after-10m-attempts fallback
+       (``generateInterClusterGraph``).
+
+    Returns (edges, partition(node, subset)); edges symmetrized with unit
+    weights. Driver-side like the reference (guarded at
+    ``DRIVER_GEN_MAX_N``); the distributed substrate for huge planted
+    graphs remains :func:`lfr_like`.
+    """
+    import math
+    import random
+
+    _guard_driver_n(n, "lfr_exact", "lfr_like")
+    rng = random.Random(seed)
+
+    # -- 1. degrees ---------------------------------------------------------
+    min_deg = _powerlaw_min_from_avg(avg_degree, max_degree, degree_exp)
+    cum = _powerlaw_cumprob(min_deg, max_degree, degree_exp)
+    deg = [_powerlaw_draw(rng, cum, max_degree) for _ in range(n)]
+    if sum(deg) % 2 != 0:
+        deg[deg.index(max(deg))] -= 1
+
+    # -- 2. community sizes -------------------------------------------------
+    ccum = _powerlaw_cumprob(min_community, max_community, community_exp)
+    sizes: list[int] = []
+    tot = 0
+    while True:
+        s = _powerlaw_draw(rng, ccum, max_community)
+        if tot + s <= n:
+            sizes.append(s)
+            tot += s
+        else:
+            sizes[sizes.index(min(sizes))] += n - tot
+            break
+
+    # -- 3. internal degrees (probabilistic rounding, setMu) ----------------
+    int_deg = [0] * n
+    for u in range(n):
+        if deg[u] == 0:
+            continue
+        x = (1.0 - mu) * deg[u]
+        if x < 1:
+            int_deg[u] = 1
+        elif rng.random() >= math.remainder(x, 1.0):
+            int_deg[u] = int(x)
+        else:
+            int_deg[u] = math.ceil(x)
+
+    # -- realizability checks (run(), LFRGenerator.cpp:409-439) -------------
+    if max(int_deg) >= max(sizes):
+        raise RuntimeError(
+            "Graph not realizable, the maximum internal degree is greater "
+            "than the largest possible internal degree."
+        )
+    if min(int_deg) >= min(sizes):
+        raise RuntimeError("Graph not realizable, no node can be placed in the smallest community.")
+    sorted_int = sorted(int_deg)
+    sorted_sizes = sorted(sizes)
+    ci, in_comm = 0, 0
+    for d in sorted_int:
+        if in_comm == sorted_sizes[ci]:
+            ci += 1
+            in_comm = 0
+        if d >= sorted_sizes[ci]:
+            raise RuntimeError(
+                "Graph not realizable, community sizes too small or internal degrees too large"
+            )
+        in_comm += 1
+
+    # -- 4. assignment (assignNodesToCommunities) ---------------------------
+    while True:
+        ok = True
+        comm_nodes: list[list[int]] = [[] for _ in sizes]
+        selection = [c for c, s in enumerate(sizes) for _ in range(s)]
+        rng.shuffle(selection)
+        remaining = list(sizes)
+        to_assign: list[int] = []
+        for u in range(n):
+            c = selection[u]
+            if sizes[c] > int_deg[u]:
+                comm_nodes[c].append(u)
+                remaining[c] -= 1
+            else:
+                to_assign.append(u)
+        attempts = 0
+        while to_assign:
+            c = selection[rng.randrange(len(selection))]
+            i = rng.randrange(len(to_assign))
+            u = to_assign[i]
+            to_assign[i] = to_assign[-1]
+            to_assign.pop()
+            while int_deg[u] >= sizes[c]:
+                c = selection[rng.randrange(len(selection))]
+            comm_nodes[c].append(u)
+            if remaining[c] > 0:
+                remaining[c] -= 1
+                attempts = 0
+            else:
+                r = rng.randrange(len(comm_nodes[c]))
+                to_assign.append(comm_nodes[c][r])
+                comm_nodes[c][r] = comm_nodes[c][-1]
+                comm_nodes[c].pop()
+                attempts += 1
+            if attempts > 3 * n:
+                # merge the two smallest communities and retry
+                mi = sizes.index(min(sizes))
+                mv = sizes.pop(mi)
+                sizes[sizes.index(min(sizes))] += mv
+                ok = False
+                break
+        if ok:
+            break
+
+    zeta = [0] * n
+    for c, members in enumerate(comm_nodes):
+        for u in members:
+            zeta[u] = c
+
+    # -- 5. intra-cluster graphs --------------------------------------------
+    all_edges: set[tuple[int, int]] = set()
+    for members in comm_nodes:
+        if not members:
+            continue
+        intra = [int_deg[u] for u in members]
+        # parity fix (generateIntraClusterGraph, LFRGenerator.cpp:158-181)
+        j = 0
+        while sum(intra) % 2 != 0 and j < len(intra):
+            j += 1
+            i = rng.randrange(len(intra))
+            u = members[i]
+            if rng.random() >= 0.5:
+                if intra[i] < len(intra) - 1 and intra[i] < deg[u]:
+                    intra[i] += 1
+                    int_deg[u] += 1
+            else:
+                if intra[i] > 1:
+                    intra[i] -= 1
+                    int_deg[u] -= 1
+        g = _SimpleGraph(len(members), _hh_edges_ignore(intra))
+        _edge_switch_inplace(g, rng)
+        for a, b in g.eset:
+            all_edges.add((min(members[a], members[b]), max(members[a], members[b])))
+
+    # -- 6. inter-cluster graph ---------------------------------------------
+    ext_deg = [deg[u] - int_deg[u] for u in range(n)]
+    inter = _SimpleGraph(n, _hh_edges_ignore(ext_deg))
+    _edge_switch_inplace(inter, rng)
+    # rewire intra-community edges to inter (generateInterClusterGraph)
+    to_rewire = [e for e in inter.eset if zeta[e[0]] == zeta[e[1]]]
+    if to_rewire:
+        weighted = [v for v in range(n) for _ in range(len(inter.nbr[v]))]
+        attempts, max_attempts = 0, len(inter.eset) * 10
+        while to_rewire:
+            i = rng.randrange(len(to_rewire))
+            s1, t1 = to_rewire[i]
+            if not inter.has(s1, t1):
+                to_rewire[i] = to_rewire[-1]
+                to_rewire.pop()
+                continue
+            attempts += 1
+            s2 = weighted[rng.randrange(len(weighted))]
+            if s2 == s1 or s2 == t1 or not inter.nbr[s2]:
+                if attempts > max_attempts:
+                    break
+                continue
+            t2 = inter.nbr[s2][rng.randrange(len(inter.nbr[s2]))]
+            if t1 == t2 or s1 == t2 or inter.has(s1, t2) or inter.has(s2, t1):
+                if attempts > max_attempts:
+                    break
+                continue
+            inter.swap(s1, t1, s2, t2)
+            to_rewire[i] = to_rewire[-1]
+            to_rewire.pop()
+            if zeta[s1] == zeta[t2]:
+                to_rewire.append((min(s1, t2), max(s1, t2)))
+            if zeta[s2] == zeta[t1]:
+                to_rewire.append((min(s2, t1), max(s2, t1)))
+            if attempts > max_attempts:
+                break
+        for e in to_rewire:  # drop the unrewirable remainder (reference WARN path)
+            if inter.has(*e):
+                inter.remove(*e)
+    for a, b in inter.eset:
+        all_edges.add((min(a, b), max(a, b)))
+
+    edges = _finish(
+        spark.createDataFrame(sorted(all_edges) or [(0, 0)][:0], "src long, dst long")
+    )
+    part = spark.createDataFrame(
+        [(u, zeta[u]) for u in range(n)], "node long, subset long"
+    )
+    return edges, part

@@ -134,6 +134,207 @@ def betweenness_update(
     )
 
 
+# ---------------------------------------------------------------------------
+# Event-granular DynBetweenness (pair-state, single-edge inserts)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class PairBetweennessState:
+    """APSP pair state for per-event betweenness updates — the distributed
+    twin of ``DynBetweenness.cpp``'s n x n ``distances``/``sigma`` matrices
+    (the reference is explicitly O(n^2)-state; so is this, as a DataFrame).
+
+    ``pairs``: (s, t, dist, sigma) for reachable ordered pairs (diagonal
+    rows (s, s, 0, 1) included; missing row = unreachable).
+    ``scores``: raw ordered-pair Brandes betweenness (undirected graphs get
+    the reference's doubled convention automatically because both
+    orientations are present)."""
+
+    pairs: DataFrame
+    scores: DataFrame
+    n: int
+
+
+def _pair_dependencies(m: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Sum of pair dependencies restricted to the pair set ``m``:
+    dep(x) = sum over (s, t) in m of sigma(s,x)*sigma(x,t)/sigma(s,t)
+    where dist(s,x) + dist(x,t) = dist(s,t), x != s, t. One triple join —
+    the cost scales with |m| * paths, NOT with n^2 (the affected-pair
+    filtering of DynBetweenness.cpp:84-117, batched)."""
+    p1 = pairs.select(
+        F.col("s"), F.col("t").alias("x"),
+        F.col("dist").alias("d1"), F.col("sigma").alias("g1"),
+    )
+    p2 = pairs.select(
+        F.col("s").alias("x"), F.col("t"),
+        F.col("dist").alias("d2"), F.col("sigma").alias("g2"),
+    )
+    return (
+        m.join(p1, "s")
+        .join(p2, ["x", "t"])
+        .filter(
+            (F.col("d1") + F.col("d2") == F.col("dist"))
+            & (F.col("x") != F.col("s"))
+            & (F.col("x") != F.col("t"))
+        )
+        .groupBy(F.col("x").alias("node"))
+        .agg(F.sum(F.col("g1") * F.col("g2") / F.col("sigma")).alias("dep"))
+    )
+
+
+def pair_betweenness_init(edges: DataFrame, nodes: DataFrame) -> PairBetweennessState:
+    """Full APSP-with-sigma init (``DynBetweenness::run``,
+    DynBetweenness.cpp:32-81): one batched multi-source Brandes BFS from
+    every node, then scores from the pair table."""
+    from networkit_spark.operators.approx_betweenness import bfs_with_sigma
+
+    dist, _ = bfs_with_sigma(edges.select("src", "dst"), nodes.select("id"))
+    pairs = truncate_lineage(
+        dist.select(
+            F.col("source").alias("s"), F.col("node").alias("t"), "dist", "sigma"
+        )
+    )
+    off_diag = pairs.filter(F.col("s") != F.col("t"))
+    dep = _pair_dependencies(off_diag, pairs)
+    scores = truncate_lineage(
+        nodes.select(F.col("id").alias("node"))
+        .join(dep, "node", "left")
+        .select("node", F.coalesce("dep", F.lit(0.0)).alias("score"))
+    )
+    return PairBetweennessState(pairs=pairs, scores=scores, n=nodes.count())
+
+
+def pair_betweenness_insert(
+    state: PairBetweennessState, u: int, v: int, directed: bool = False,
+    stats: dict | None = None,
+) -> PairBetweennessState:
+    """Apply ONE unweighted edge insertion (u, v) event-granularly
+    (``DynBetweenness::update``, DynBetweenness.cpp:153-280; like the
+    reference, insertions only).
+
+    Closed form instead of the reference's sequential BFS + per-sink
+    priority queues (a new shortest path uses the new edge at most once, so
+    the post-insert state is a pure function of the pre-insert state):
+
+    - affected sources S1 = {s : d(s,u)+1 <= d(s,v) or v unreached} — the
+      reference's phase-1 BFS membership test (:199-207) evaluated as one
+      join of the d(.,u) and d(.,v) columns; affected sinks T1 mirrored.
+    - candidate pairs = S1 x T1 (and the reversed orientation for
+      undirected): d_alt = d(s,u) + 1 + d(v,t), sigma_alt =
+      sigma(s,u)*sigma(v,t) — old values are correct because the
+      prefix/suffix of a path through the new edge cannot themselves use it.
+    - merge with the old pair rows: d' = min, sigma' = sum of branch sigmas
+      achieving d' (phase-2 update rule :236-258, batched).
+    - scores: dep over the OLD state minus dep over the NEW state is
+      nonzero only for modified pairs M (changed dist or sigma), so
+      score += dep_new(M) - dep_old(M) — two |M|-sized triple joins.
+    """
+    P = state.pairs
+    guard = P.filter((F.col("s") == u) & (F.col("t") == v)).select("dist").first()
+    if guard is not None and guard["dist"] <= 1:
+        return state  # re-adding an existing edge: no-op (reference :167)
+
+    def vec(col_fixed, val, dname, sname):
+        other = "t" if col_fixed == "s" else "s"
+        return P.filter(F.col(col_fixed) == val).select(
+            F.col(other).alias("k"),
+            F.col("dist").alias(dname),
+            F.col("sigma").alias(sname),
+        )
+
+    to_u, to_v = vec("t", u, "dsu", "ssu"), vec("t", v, "dsv", "ssv")
+    from_v, from_u = vec("s", v, "dvt", "svt"), vec("s", u, "dut", "sut")
+
+    def affected(reach, block, dr, db):
+        # reach node k with d_r; improvement possible iff d_r + 1 <= d_b
+        # (or k never reached the blocked endpoint)
+        return (
+            reach.join(block.select("k", db), "k", "left")
+            .filter(F.col(db).isNull() | (F.col(dr) + 1 <= F.col(db)))
+            .drop(db)
+        )
+
+    s1 = affected(to_u, to_v, "dsu", "dsv").withColumnRenamed("k", "s")
+    t1 = affected(from_v, from_u, "dvt", "dut").withColumnRenamed("k", "t")
+    alt1 = (
+        s1.crossJoin(t1)
+        .filter(F.col("s") != F.col("t"))
+        .select(
+            "s", "t",
+            (F.col("dsu") + 1 + F.col("dvt")).alias("da1"),
+            (F.col("ssu") * F.col("svt")).alias("ga1"),
+        )
+    )
+    if directed:
+        alt = alt1.withColumn("da2", F.lit(None).cast("long")).withColumn(
+            "ga2", F.lit(None).cast("double")
+        )
+    else:
+        s2 = affected(to_v, to_u, "dsv", "dsu").withColumnRenamed("k", "s")
+        t2 = affected(from_u, from_v, "dut", "dvt").withColumnRenamed("k", "t")
+        alt2 = (
+            s2.crossJoin(t2)
+            .filter(F.col("s") != F.col("t"))
+            .select(
+                "s", "t",
+                (F.col("dsv") + 1 + F.col("dut")).alias("da2"),
+                (F.col("ssv") * F.col("sut")).alias("ga2"),
+            )
+        )
+        alt = alt1.join(alt2, ["s", "t"], "full_outer")
+
+    merged = P.join(alt, ["s", "t"], "full_outer")
+    dprime = F.least(
+        F.coalesce("dist", F.lit(None)), F.coalesce("da1", F.lit(None)),
+        F.coalesce("da2", F.lit(None)),
+    )
+    sprime = (
+        F.when(F.col("dist") == F.col("dp"), F.col("sigma")).otherwise(0.0)
+        + F.when(F.col("da1") == F.col("dp"), F.col("ga1")).otherwise(0.0)
+        + F.when(F.col("da2") == F.col("dp"), F.col("ga2")).otherwise(0.0)
+    )
+    merged = merged.withColumn("dp", dprime).withColumn("gp", sprime)
+    new_pairs = truncate_lineage(
+        merged.select(
+            "s", "t", F.col("dp").alias("dist"), F.col("gp").alias("sigma")
+        )
+    )
+    m = truncate_lineage(
+        merged.filter(
+            F.col("dist").isNull()
+            | (F.col("dp") < F.col("dist"))
+            | (F.col("gp") != F.col("sigma"))
+        ).select("s", "t", "dp", "gp", F.col("dist").alias("d_old"),
+                 F.col("sigma").alias("g_old"))
+    )
+    if stats is not None:
+        stats["affected_pairs"] = m.count()
+    dep_new = _pair_dependencies(
+        m.select("s", "t", F.col("dp").alias("dist"), F.col("gp").alias("sigma")),
+        new_pairs,
+    )
+    dep_old = _pair_dependencies(
+        m.filter(F.col("d_old").isNotNull()).select(
+            "s", "t", F.col("d_old").alias("dist"), F.col("g_old").alias("sigma")
+        ),
+        P,
+    )
+    scores = truncate_lineage(
+        state.scores.join(dep_new.withColumnRenamed("dep", "dn"), "node", "left")
+        .join(dep_old.withColumnRenamed("dep", "do"), "node", "left")
+        .select(
+            "node",
+            (
+                F.col("score")
+                + F.coalesce("dn", F.lit(0.0))
+                - F.coalesce("do", F.lit(0.0))
+            ).alias("score"),
+        )
+    )
+    return PairBetweennessState(pairs=new_pairs, scores=scores, n=state.n)
+
+
 @dataclass
 class KatzState:
     """Raw (pre-normalization) Katz fixed-point state + normalized view."""
