@@ -3227,6 +3227,37 @@ def q_lte_shell_similarity(spark, sf_dir):
     return out.select("node", F.round("int_sim", 7).alias("int_sim"))
 
 
+@register(
+    "local_t_shell_counts",
+    f"""
+WITH {UEDGES_CTE},
+{_SCD_MEM_CTE},
+shell AS (
+  SELECT DISTINCT e.dst AS v FROM uedges e
+  WHERE e.src IN (SELECT m FROM mem) AND e.dst NOT IN (SELECT m FROM mem)),
+tris AS (
+  SELECT s.v, n1.dst AS a, n2.dst AS b
+  FROM shell s
+  JOIN uedges n1 ON n1.src = s.v
+  JOIN uedges n2 ON n2.src = s.v AND n1.dst < n2.dst
+  JOIN uedges e ON e.src = n1.dst AND e.dst = n2.dst)
+SELECT v AS node,
+  sum(CASE WHEN a IN (SELECT m FROM mem) AND b IN (SELECT m FROM mem) THEN 1 ELSE 0 END) AS t_int,
+  sum(CASE WHEN (a IN (SELECT m FROM mem)) <> (b IN (SELECT m FROM mem)) THEN 1 ELSE 0 END) AS t_semi,
+  sum(CASE WHEN a NOT IN (SELECT m FROM mem) AND b NOT IN (SELECT m FROM mem) THEN 1 ELSE 0 END) AS t_ext
+FROM tris GROUP BY v
+""",
+)
+def q_local_t_shell_counts(spark, sf_dir):
+    """LocalT triangle-classification layer (LocalT.cpp) for the fixed
+    community {0,1,2}; the greedy loop is pinned vs a from-scratch replica
+    in tests/test_scd_expansion.py."""
+    from networkit_spark.operators.scd_expansion import local_t_shell_counts_df
+
+    e = doc_edges_undirected(spark, sf_dir)
+    return local_t_shell_counts_df(e, set(_SCD_MEMBERS))
+
+
 @register("scd_ground_truth", _plp_oracle_sql(PLP_ITERS, _SCD_GT_FINAL))
 def q_scd_ground_truth(spark, sf_dir):
     """SCDGroundTruthComparison (SCDGroundTruthComparison.cpp:11-130): the

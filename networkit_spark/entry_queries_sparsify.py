@@ -369,3 +369,34 @@ def q_quadrangle_edge_score(spark, sf_dir):
 
     e = doc_edges_undirected(spark, sf_dir)
     return quadrangle_edge_score(e)
+
+
+@register(
+    "triangle_sparsify_half",
+    f"""
+WITH {TRIEDGE_CTE},
+ranked AS (
+    SELECT src, dst, tc,
+           row_number() OVER (ORDER BY tc DESC, src, dst) AS rn,
+           count(*) OVER () AS m
+    FROM escore
+),
+thr AS (
+    SELECT tc AS t FROM ranked
+    WHERE rn = greatest(1, least(m, CAST(floor(0.5 * m + 0.5) AS BIGINT)))
+)
+SELECT src, dst FROM escore WHERE tc >= (SELECT t FROM thr)
+""",
+)
+def q_triangle_sparsify_half(spark, sf_dir):
+    """One-call Sparsifier pipeline (sparsification.pyx:700-811
+    getSparsifiedGraphOfSize): TriangleSparsifier at edge ratio 0.5 — the
+    threshold is the k-th order statistic of the score column (one sort),
+    replacing the reference's binary-search filter+count loop. Oracle
+    mirrors the same order statistic; ties keep all equal-score edges in
+    both engines."""
+    from networkit_spark.operators.sparsifiers import TriangleSparsifier
+
+    e = doc_edges_undirected(spark, sf_dir)
+    out = TriangleSparsifier().sparsify_to_ratio(e, 0.5)
+    return out.filter("src < dst").select("src", "dst")

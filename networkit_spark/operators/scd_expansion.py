@@ -436,3 +436,297 @@ def local_tightness_expansion(
     degs.unpersist()
     sym.unpersist()
     return com
+
+
+# ---------------------------------------------------------------------------
+# LocalT + CliqueDetect
+# ---------------------------------------------------------------------------
+
+
+def _batch_triangles(sym: DataFrame, batch) -> list:
+    """Triangle triples (u, v, w), v < w, for every u in ``batch`` — the
+    distributed ``forTrianglesOf``: one broadcast semi-join + one wedge
+    join + one edge semi-join, local to the batch's neighborhood."""
+    spark = sym.sparkSession
+    b = F.broadcast(
+        spark.createDataFrame([(int(x),) for x in sorted(set(batch))], "bn long")
+    )
+    e1 = sym.join(b.withColumnRenamed("bn", "src"), "src", "left_semi").select(
+        F.col("src").alias("u"), F.col("dst").alias("x")
+    )
+    pairs = (
+        e1.join(e1.withColumnRenamed("x", "y"), "u")
+        .filter(F.col("x") < F.col("y"))
+        .select("u", F.col("x").alias("v"), F.col("y").alias("w"))
+    )
+    closed = pairs.join(
+        sym.select(F.col("src").alias("v"), F.col("dst").alias("w")), ["v", "w"], "left_semi"
+    )
+    return closed.collect()
+
+
+def local_t(edges: DataFrame, seeds, max_pops: int = 100_000) -> set[int]:
+    """LocalT (``cpp/scd/LocalT.cpp``): greedy expansion maximizing
+    ``max(0, T_in * (T_in - T_ext))`` where T_in counts triangles fully
+    inside the community and T_ext triangles with exactly one community
+    vertex; equal scores prefer fewer external triangles (the reference's
+    none-initialized comparison accepts equal-score candidates). Triangle
+    triples are fetched once per node via the batched wedge join; the
+    greedy loop classifies cached triples driver-side. Deterministic
+    tie-break: smallest node id (the reference iterates an unordered_set)."""
+    sym = _sym(edges).persist()
+    com = set(int(s) for s in seeds)
+    adj: dict[int, list[int]] = {}
+    tri: dict[int, list[tuple[int, int]]] = {}
+    known: set[int] = set()
+
+    def ensure(nodes_):
+        todo = sorted(set(nodes_) - known)
+        if not todo:
+            return
+        known.update(todo)
+        for x in todo:
+            adj[x] = []
+            tri[x] = []
+        spark = sym.sparkSession
+        b = F.broadcast(spark.createDataFrame([(x,) for x in todo], "bn long"))
+        for r in (
+            sym.join(b.withColumnRenamed("bn", "src"), "src", "left_semi")
+            .select("src", "dst")
+            .collect()
+        ):
+            adj[r["src"]].append(r["dst"])
+        for r in _batch_triangles(sym, todo):
+            tri[r["u"]].append((r["v"], r["w"]))
+
+    ensure(com)
+    shell: set[int] = set()
+    for u in com:
+        shell.update(v for v in adj[u] if v not in com)
+    ensure(shell)
+
+    def classify(x):
+        ti = se = ex = 0
+        for a, b2 in tri[x]:
+            ina, inb = a in com, b2 in com
+            if ina and inb:
+                ti += 1
+            elif ina or inb:
+                se += 1
+            else:
+                ex += 1
+        return ti, se, ex
+
+    def score(t_in, t_ext):
+        return max(0, t_in * (t_in - t_ext))
+
+    pops = 0
+    while pops < max_pops:
+        pops += 1
+        cur_int3 = 0
+        cur_ext = 0
+        for u in com:
+            ti, _, ex = classify(u)
+            cur_int3 += ti
+            cur_ext += ex
+        cur_int = cur_int3 // 3
+        best, best_ext = None, None
+        best_score = score(cur_int, cur_ext)
+        for v in sorted(shell):
+            iv, sv, ev = classify(v)
+            ni, ne = cur_int + iv, cur_ext + ev - sv
+            nsc = score(ni, ne)
+            # LocalT.cpp:170-175: bestExternalTriangles starts at none (inf),
+            # so the FIRST equal-score candidate is also accepted
+            if nsc > best_score or (
+                nsc == best_score and (best_ext is None or ne < best_ext)
+            ):
+                best, best_score, best_ext = v, nsc, ne
+        if best is None:
+            break
+        com.add(best)
+        shell.discard(best)
+        new_nbrs = set()
+        ensure([best])
+        new_nbrs.update(v for v in adj[best] if v not in com)
+        ensure(new_nbrs)
+        shell.update(new_nbrs)
+    sym.unpersist()
+    return com
+
+
+def clique_detect(edges: DataFrame, seeds) -> set[int]:
+    """CliqueDetect (``cpp/scd/CliqueDetect.cpp``): community = seeds plus
+    the maximum(-weight) clique among the common neighbors of all seeds.
+    Clique enumeration runs on the induced subgraph via the distributed
+    Bron-Kerbosch operator; ties pick the lexicographically smallest
+    clique (deterministic stand-in for the reference's uniform random
+    selector, documented divergence)."""
+    from networkit_spark.operators.cliques import maximal_cliques
+
+    spark = edges.sparkSession
+    sym = _sym(edges).persist()
+    seeds = sorted(int(s) for s in seeds)
+    com = set(seeds)
+    b = F.broadcast(spark.createDataFrame([(s,) for s in seeds], "bn long"))
+    rows = (
+        sym.join(b.withColumnRenamed("bn", "src"), "src", "left_semi")
+        .select("src", "dst", "weight")
+        .collect()
+    )
+    from collections import defaultdict
+
+    cnt: dict[int, int] = defaultdict(int)
+    wsum: dict[int, float] = defaultdict(float)
+    weighted = False
+    for r in rows:
+        if r["dst"] not in com:
+            cnt[r["dst"]] += 1
+            wsum[r["dst"]] += float(r["weight"])
+        if float(r["weight"]) != 1.0:
+            weighted = True
+    common = sorted(v for v, c in cnt.items() if c == len(seeds))
+    if not common:
+        sym.unpersist()
+        return com
+    cdf = F.broadcast(spark.createDataFrame([(v,) for v in common], "cn long"))
+    induced = (
+        sym.join(cdf.withColumnRenamed("cn", "src"), "src", "left_semi")
+        .join(cdf.withColumnRenamed("cn", "dst"), "dst", "left_semi")
+        .select("src", "dst", "weight")
+    )
+    w_of = {}
+    for r in induced.filter("src < dst").collect():
+        w_of[(r["src"], r["dst"])] = float(r["weight"])
+    cliques = [
+        sorted(r["clique"])
+        for r in maximal_cliques(
+            induced, spark.createDataFrame([(v,) for v in common], "id long")
+        ).collect()
+    ]
+    if not cliques:
+        cliques = [[v] for v in common]
+    if not weighted:
+        best = min(cliques, key=lambda c: (-len(c), c))
+    else:
+        def cw(c):
+            inner = sum(
+                w_of.get((min(a, b2), max(a, b2)), 0.0)
+                for i, a in enumerate(c) for b2 in c[i + 1:]
+            )
+            return inner + sum(wsum[v] for v in c)
+
+        best = min(cliques, key=lambda c: (-cw(c), c))
+    sym.unpersist()
+    return com | set(best)
+
+
+def random_bfs_community(
+    edges: DataFrame,
+    seeds,
+    com_size: int | None = None,
+    cover: DataFrame | None = None,
+    seed: int = 42,
+) -> set[int]:
+    """RandomBFS baseline (``cpp/scd/RandomBFS.cpp``): BFS from the seeds,
+    admitting whole levels until the target size, with a seeded shuffle of
+    the last partial level. The target size is ``com_size``, or — like the
+    reference's Cover constructor — the size of the common ground-truth
+    community of all seeds (``cover`` = (node, subset); the reference picks
+    a random common subset, this twin picks the smallest subset id,
+    documented divergence). One broadcast frontier join per BFS level."""
+    import random as _random
+
+    spark = edges.sparkSession
+    sym = _sym(edges).persist()
+    seeds = sorted(int(s) for s in seeds)
+    size = com_size if com_size is not None else len(seeds)
+    if cover is not None:
+        rows = cover.join(
+            F.broadcast(spark.createDataFrame([(s,) for s in seeds], "node long")),
+            "node",
+            "left_semi",
+        ).collect()
+        by_seed = {}
+        for r in rows:
+            by_seed.setdefault(r["node"], set()).add(r["subset"])
+        common = set.intersection(*(by_seed.get(s, set()) for s in seeds)) if seeds else set()
+        if common:
+            pick = min(common)
+            size = cover.filter(F.col("subset") == pick).count()
+
+    rng = _random.Random(seed)
+    result: set[int] = set()
+    current = list(seeds)
+    visited = set(seeds)
+    while len(result) < size and current:
+        if len(current) + len(result) < size:
+            result.update(current)
+        else:
+            rng.shuffle(current)
+            for u in current:
+                if len(result) >= size:
+                    break
+                result.add(u)
+            break
+        b = F.broadcast(
+            spark.createDataFrame([(u,) for u in sorted(current)], "bn long")
+        )
+        nxt = sorted(
+            r["dst"]
+            for r in sym.join(b.withColumnRenamed("bn", "src"), "src", "left_semi")
+            .select("dst")
+            .distinct()
+            .collect()
+            if r["dst"] not in visited
+        )
+        visited.update(nxt)
+        current = nxt
+    sym.unpersist()
+    return result
+
+
+def combined_scd(edges: DataFrame, seeds, first, second) -> set[int]:
+    """CombinedSCD (``cpp/scd/CombinedSCD.cpp:9-15``): expand with
+    ``first``, feed the result as the seed set of ``second``."""
+    mid = first(edges, seeds)
+    if not mid:
+        return set(int(s) for s in seeds)
+    return second(edges, mid)
+
+
+def local_t_shell_counts_df(edges: DataFrame, members) -> DataFrame:
+    """LocalT's per-shell-node triangle classification (``LocalT.cpp``,
+    the quantities the greedy consumes), fully distributed: for each shell
+    node v, count triangles (v, a, b) with both / exactly one / neither of
+    a, b in the community. Returns (node, t_int, t_semi, t_ext)."""
+    spark = edges.sparkSession
+    sym = _sym(edges)
+    mem_ids = sorted(set(int(x) for x in members))
+    mem = F.broadcast(spark.createDataFrame([(x,) for x in mem_ids], "m long"))
+    shell = (
+        sym.join(mem.withColumnRenamed("m", "src"), "src", "left_semi")
+        .join(mem.withColumnRenamed("m", "dst"), "dst", "left_anti")
+        .select(F.col("dst").alias("v"))
+        .distinct()
+    )
+    nb = sym.select(F.col("src").alias("v"), F.col("dst").alias("x"))
+    n1 = nb.join(shell, "v", "left_semi")
+    pairs = (
+        n1.join(n1.withColumnRenamed("x", "y"), "v")
+        .filter(F.col("x") < F.col("y"))
+        .join(
+            sym.select(F.col("src").alias("x"), F.col("dst").alias("y")),
+            ["x", "y"],
+            "left_semi",
+        )
+    )
+    in_mem = lambda c: F.col(c).isin(mem_ids)
+    return (
+        pairs.groupBy(F.col("v").alias("node"))
+        .agg(
+            F.sum((in_mem("x") & in_mem("y")).cast("long")).alias("t_int"),
+            F.sum((in_mem("x") != in_mem("y")).cast("long")).alias("t_semi"),
+            F.sum((~in_mem("x") & ~in_mem("y")).cast("long")).alias("t_ext"),
+        )
+    )

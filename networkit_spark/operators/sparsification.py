@@ -198,7 +198,10 @@ def multiscale_score(und_edges: DataFrame) -> DataFrame:
             (
                 1.0
                 - F.pow(
-                    1.0 - F.col("weight") / F.col("wsum"),
+                    # wsum = 0 (all-zero weights, e.g. triangle-count input
+                    # on a triangle-free node): normalized weight is 0, not
+                    # a division error (ANSI mode) — score contribution 0
+                    1.0 - F.when(F.col("wsum") > 0, F.col("weight") / F.col("wsum")).otherwise(0.0),
                     F.col("d").cast("double") - 1.0,
                 )
             ).alias("p"),

@@ -1,0 +1,271 @@
+"""One-call Sparsifier pipelines (score -> threshold -> filtered graph).
+
+Reference: the ~15 ``Sparsifier`` wrappers in ``sparsification.pyx:700-1560``
+— each composes an edge score, an optional transform (geometric mean,
+prefix-Jaccard, multiscale), a ``GlobalThresholdFilter``, and a
+parameterization strategy that hits a target edge ratio. Every underlying
+score/filter already exists in :mod:`networkit_spark.operators.sparsification`;
+this module is the composed one-call UX.
+
+Spark-first parameterization: the reference's ``BinarySearchParameterization``
+re-runs filter+count up to 20 times to find the threshold matching an edge
+ratio. On a DataFrame the scored edge table is already materialized, so the
+threshold IS the k-th order statistic of the score column — ONE sort job
+(:func:`threshold_for_ratio`), same output contract (the achieved ratio is
+as close as score ties allow, exactly like the reference's plateau
+behavior). The integer-parameter complete search (Simmelian parametric)
+reduces to the same order statistic on integer scores.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from networkit_spark.operators.sparsification import (
+    _canon,
+    forest_fire_score,
+    geometric_mean_score,
+    global_threshold_filter,
+    jaccard_edge_score,
+    local_degree_score,
+    local_similarity_score,
+    multiscale_score,
+    prefix_jaccard_score,
+    random_edge_score,
+    scan_edge_score,
+    simmelian_overlap_score,
+)
+from networkit_spark.operators.triangles import quadrangle_edge_score, triangle_edge_score
+
+
+def threshold_for_ratio(scores: DataFrame, edge_ratio: float, above: bool = True):
+    """Score threshold whose global filter keeps ~``edge_ratio`` of the
+    edges: the k-th largest (``above``) / smallest score, k =
+    round(ratio * m) — one sort + offset, replacing the reference's
+    20-round binary search of filter+count jobs."""
+    import math
+
+    m = scores.count()
+    if m == 0:
+        return 0.0
+    # floor(x + 0.5): portable half-up rounding (python round() is
+    # banker's; DuckDB round() is half-away — this form matches both
+    # engines' floor() exactly, used by the gate oracle)
+    k = min(max(int(math.floor(edge_ratio * m + 0.5)), 1), m)
+    order = F.desc("score") if above else F.asc("score")
+    row = scores.orderBy(order).offset(k - 1).limit(1).select("score").first()
+    return float(row["score"])
+
+
+def local_filter_score(und_edges: DataFrame, scored: DataFrame) -> DataFrame:
+    """``LocalFilterScore`` (logarithmic, include/networkit/sparsification/
+    LocalFilterScore.hpp:43-100): per node rank incident edges by the input
+    attribute descending (competition rank, ties share); the edge's score is
+    the maximum over both endpoints of ``1 - log(rank)/log(deg)`` (1.0 for
+    degree <= 1) — the minimum sparsification exponent keeping the edge."""
+    inc = scored.select(F.col("src").alias("node"), F.col("dst").alias("nbr"), "score").union(
+        scored.select(F.col("dst").alias("node"), F.col("src").alias("nbr"), "score")
+    )
+    deg = inc.groupBy("node").agg(F.count("*").alias("d"))
+    w = Window.partitionBy("node").orderBy(F.desc("score"))
+    ranked = inc.withColumn("rank", F.rank().over(w)).join(deg, "node")
+    e = F.when(
+        F.col("d") > 1, 1.0 - F.log(F.col("rank").cast("double")) / F.log(F.col("d").cast("double"))
+    ).otherwise(F.lit(1.0))
+    per_dir = ranked.select(
+        F.least("node", "nbr").alias("src"),
+        F.greatest("node", "nbr").alias("dst"),
+        e.alias("e"),
+    )
+    return per_dir.groupBy("src", "dst").agg(F.max("e").alias("score"))
+
+
+def random_node_edge_score(und_edges: DataFrame, seed: int = 42) -> DataFrame:
+    """``RandomNodeEdgeScore``: nodes draw a uniform; an edge's score is the
+    minimum of its endpoints' draws, so filtering ``score <= p`` keeps
+    exactly the edges incident to a p-sample of nodes."""
+    h = lambda c: (F.abs(F.xxhash64(c, F.lit(seed))) % F.lit(1_000_000_007)) / 1_000_000_007.0
+    return _canon(und_edges).select(
+        "src", "dst", F.least(h(F.col("src")), h(F.col("dst"))).alias("score")
+    )
+
+
+class Sparsifier:
+    """Base pipeline: ``scores`` -> ``sparsify(parameter)`` or
+    ``sparsify_to_ratio(edge_ratio)`` (the one-call
+    ``getSparsifiedGraphOfSize`` equivalent). Subclasses set ``above``
+    (filter direction) and implement :meth:`scores`."""
+
+    above: bool = True
+
+    def scores(self, und_edges: DataFrame) -> DataFrame:
+        raise NotImplementedError
+
+    def sparsify(self, und_edges: DataFrame, parameter: float,
+                 scores: DataFrame | None = None) -> DataFrame:
+        s = scores if scores is not None else self.scores(und_edges)
+        return global_threshold_filter(und_edges, s, parameter, above=self.above)
+
+    def sparsify_to_ratio(self, und_edges: DataFrame, edge_ratio: float,
+                          scores: DataFrame | None = None) -> DataFrame:
+        s = scores if scores is not None else self.scores(und_edges)
+        s = s.persist()
+        try:
+            t = threshold_for_ratio(s, edge_ratio, above=self.above)
+            return global_threshold_filter(und_edges, s, t, above=self.above)
+        finally:
+            s.unpersist()
+
+
+class TriangleSparsifier(Sparsifier):
+    """sparsification.pyx:1452: raw per-edge triangle counts."""
+
+    def scores(self, und_edges):
+        return triangle_edge_score(und_edges)
+
+
+class SimmelianSparsifierParametric(Sparsifier):
+    """pyx:1003: Simmelian overlap (triangle-ranked common neighbors)."""
+
+    def __init__(self, max_rank: int = 10):
+        self.max_rank = max_rank
+
+    def scores(self, und_edges):
+        return simmelian_overlap_score(und_edges, max_rank=self.max_rank)
+
+
+class SimmelianSparsifierNonParametric(Sparsifier):
+    """pyx:1039: prefix-Jaccard over triangle counts."""
+
+    def scores(self, und_edges):
+        return prefix_jaccard_score(und_edges)
+
+
+class QuadrilateralSimmelianSparsifier(Sparsifier):
+    """pyx:1071: quadrangles -> geometric mean -> prefix-Jaccard."""
+
+    def scores(self, und_edges):
+        quad = quadrangle_edge_score(und_edges)
+        gm = geometric_mean_score(und_edges, scored=quad)
+        return prefix_jaccard_score(und_edges, scored=gm)
+
+
+class SimmelianMultiscaleSparsifier(Sparsifier):
+    """pyx:1101: multiscale backbone over triangle counts as weights."""
+
+    def scores(self, und_edges):
+        tri = triangle_edge_score(und_edges)
+        weighted = tri.select("src", "dst", F.col("score").alias("weight"))
+        sym = weighted.union(
+            weighted.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+        )
+        return multiscale_score(sym)
+
+
+class JaccardSimilaritySparsifier(Sparsifier):
+    """pyx:1177: neighborhood Jaccard coefficient."""
+
+    def scores(self, und_edges):
+        return jaccard_edge_score(und_edges)
+
+
+class LocalSimilaritySparsifier(Sparsifier):
+    """pyx:1206: Satuluri local-similarity minimum exponent."""
+
+    def scores(self, und_edges):
+        return local_similarity_score(und_edges)
+
+
+class MultiscaleSparsifier(Sparsifier):
+    """pyx:1237: Serrano multiscale backbone over edge weights."""
+
+    def scores(self, und_edges):
+        return multiscale_score(und_edges)
+
+
+class RandomEdgeSparsifier(Sparsifier):
+    """pyx:1274: uniform edge sampling (keep score <= parameter)."""
+
+    above = False
+
+    def __init__(self, seed: int = 42):
+        self.seed = seed
+
+    def scores(self, und_edges):
+        return random_edge_score(und_edges, seed=self.seed)
+
+
+class RandomNodeEdgeSparsifier(Sparsifier):
+    """pyx:1305: keep edges incident to a random node sample."""
+
+    above = False
+
+    def __init__(self, seed: int = 42):
+        self.seed = seed
+
+    def scores(self, und_edges):
+        return random_node_edge_score(und_edges, seed=self.seed)
+
+
+class ForestFireSparsifier(Sparsifier):
+    """pyx:1345: forest-fire burn frequency."""
+
+    def __init__(self, burn_probability: float = 0.4, n_fires: int = 32,
+                 rounds: int = 4):
+        self.burn_probability = burn_probability
+        self.n_fires = n_fires
+        self.rounds = rounds
+
+    def scores(self, und_edges):
+        from networkit_spark.graph import nodes_from_edges
+
+        n = nodes_from_edges(und_edges).count()
+        return forest_fire_score(
+            und_edges, n, n_fires=self.n_fires, pf=self.burn_probability,
+            rounds=self.rounds,
+        )
+
+
+class LocalDegreeSparsifier(Sparsifier):
+    """pyx:1387: local-degree hub-preserving score."""
+
+    def scores(self, und_edges):
+        return local_degree_score(und_edges)
+
+
+class SCANSparsifier(Sparsifier):
+    """pyx:1419: SCAN structural similarity."""
+
+    def scores(self, und_edges):
+        return scan_edge_score(und_edges)
+
+
+class AlgebraicDistanceSparsifier(Sparsifier):
+    """pyx:1481: algebraic distance as the edge score (the reference
+    thresholds the raw distances with above=True — faithful, even though
+    that keeps the algebraically farthest edges)."""
+
+    def __init__(self, num_systems: int = 10, num_iterations: int = 30,
+                 omega: float = 0.5, norm: int = 2, seed: int = 42):
+        self.kw = dict(num_systems=num_systems, num_iterations=num_iterations,
+                       omega=omega, norm=norm, seed=seed)
+
+    def scores(self, und_edges):
+        from networkit_spark.graph import nodes_from_edges
+        from networkit_spark.operators.algebraic import algebraic_distance_edge_scores
+
+        return algebraic_distance_edge_scores(
+            und_edges, nodes_from_edges(und_edges), **self.kw
+        )
+
+
+class LocalSparsifier(Sparsifier):
+    """pyx:1527: wrap any sparsifier's scores in the logarithmic
+    LocalFilterScore so filtering adapts to node degree."""
+
+    def __init__(self, inner: Sparsifier):
+        self.inner = inner
+
+    def scores(self, und_edges):
+        return local_filter_score(und_edges, self.inner.scores(und_edges))

@@ -230,10 +230,45 @@ def pair_betweenness_insert(
       nonzero only for modified pairs M (changed dist or sigma), so
       score += dep_new(M) - dep_old(M) — two |M|-sized triple joins.
     """
-    P = state.pairs
+    upd = _pair_state_insert(state.pairs, u, v, directed)
+    if upd is None:
+        return state  # re-adding an existing edge: no-op (reference :167)
+    new_pairs, m = upd
+    if stats is not None:
+        stats["affected_pairs"] = m.count()
+    dep_new = _pair_dependencies(
+        m.select("s", "t", F.col("dp").alias("dist"), F.col("gp").alias("sigma")),
+        new_pairs,
+    )
+    dep_old = _pair_dependencies(
+        m.filter(F.col("d_old").isNotNull()).select(
+            "s", "t", F.col("d_old").alias("dist"), F.col("g_old").alias("sigma")
+        ),
+        state.pairs,
+    )
+    scores = truncate_lineage(
+        state.scores.join(dep_new.withColumnRenamed("dep", "dn"), "node", "left")
+        .join(dep_old.withColumnRenamed("dep", "do"), "node", "left")
+        .select(
+            "node",
+            (
+                F.col("score")
+                + F.coalesce("dn", F.lit(0.0))
+                - F.coalesce("do", F.lit(0.0))
+            ).alias("score"),
+        )
+    )
+    return PairBetweennessState(pairs=new_pairs, scores=scores, n=state.n)
+
+
+def _pair_state_insert(P: DataFrame, u: int, v: int, directed: bool = False):
+    """Closed-form APSP pair-state update for one unweighted edge insert;
+    returns (new_pairs, modified) or None if the edge already exists.
+    ``modified`` rows carry (s, t, dp, gp, d_old, g_old). Shared by the
+    event-granular DynBetweenness and DynTopHarmonicCloseness."""
     guard = P.filter((F.col("s") == u) & (F.col("t") == v)).select("dist").first()
     if guard is not None and guard["dist"] <= 1:
-        return state  # re-adding an existing edge: no-op (reference :167)
+        return None
 
     def vec(col_fixed, val, dname, sname):
         other = "t" if col_fixed == "s" else "s"
@@ -308,31 +343,86 @@ def pair_betweenness_insert(
         ).select("s", "t", "dp", "gp", F.col("dist").alias("d_old"),
                  F.col("sigma").alias("g_old"))
     )
+    return new_pairs, m
+
+
+# ---------------------------------------------------------------------------
+# DynTopHarmonicCloseness (same pair state, harmonic aggregation)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class HarmonicTopKState:
+    """``DynTopHarmonicCloseness`` (``centrality.pyx:1079``,
+    ``cpp/centrality/DynTopHarmonicCloseness.cpp``) on the APSP pair state:
+    harmonic(x) = sum over reachable t != x of 1/d(x, t), updated per event
+    from the modified-pair delta only (the reference prunes its per-event
+    BFS work with top-k bounds; here the pruning is the affected-pair set
+    itself, and top-k is a cheap order-by on the maintained score table)."""
+
+    pairs: DataFrame
+    harmonic: DataFrame  # (node, score)
+    n: int
+    k: int
+
+
+def harmonic_topk_init(edges: DataFrame, nodes: DataFrame, k: int = 10) -> HarmonicTopKState:
+    from networkit_spark.operators.approx_betweenness import bfs_with_sigma
+
+    dist, _ = bfs_with_sigma(edges.select("src", "dst"), nodes.select("id"))
+    pairs = truncate_lineage(
+        dist.select(F.col("source").alias("s"), F.col("node").alias("t"), "dist", "sigma")
+    )
+    h = (
+        pairs.filter(F.col("s") != F.col("t"))
+        .groupBy(F.col("s").alias("node"))
+        .agg(F.sum(1.0 / F.col("dist")).alias("h"))
+    )
+    harmonic = truncate_lineage(
+        nodes.select(F.col("id").alias("node"))
+        .join(h, "node", "left")
+        .select("node", F.coalesce("h", F.lit(0.0)).alias("score"))
+    )
+    return HarmonicTopKState(pairs=pairs, harmonic=harmonic, n=nodes.count(), k=k)
+
+
+def harmonic_topk_insert(
+    state: HarmonicTopKState, u: int, v: int, directed: bool = False,
+    stats: dict | None = None,
+) -> HarmonicTopKState:
+    """One edge-insertion event: harmonic scores change only on the source
+    side of modified pairs — delta(s) = sum over modified (s, t) of
+    1/d_new - 1/d_old."""
+    upd = _pair_state_insert(state.pairs, u, v, directed)
+    if upd is None:
+        return state
+    new_pairs, m = upd
     if stats is not None:
         stats["affected_pairs"] = m.count()
-    dep_new = _pair_dependencies(
-        m.select("s", "t", F.col("dp").alias("dist"), F.col("gp").alias("sigma")),
-        new_pairs,
-    )
-    dep_old = _pair_dependencies(
-        m.filter(F.col("d_old").isNotNull()).select(
-            "s", "t", F.col("d_old").alias("dist"), F.col("g_old").alias("sigma")
-        ),
-        P,
-    )
-    scores = truncate_lineage(
-        state.scores.join(dep_new.withColumnRenamed("dep", "dn"), "node", "left")
-        .join(dep_old.withColumnRenamed("dep", "do"), "node", "left")
-        .select(
-            "node",
-            (
-                F.col("score")
-                + F.coalesce("dn", F.lit(0.0))
-                - F.coalesce("do", F.lit(0.0))
-            ).alias("score"),
+    delta = (
+        m.filter(F.col("s") != F.col("t"))
+        .groupBy(F.col("s").alias("node"))
+        .agg(
+            F.sum(
+                1.0 / F.col("dp")
+                - F.coalesce(1.0 / F.col("d_old"), F.lit(0.0))
+            ).alias("dh")
         )
     )
-    return PairBetweennessState(pairs=new_pairs, scores=scores, n=state.n)
+    harmonic = truncate_lineage(
+        state.harmonic.join(delta, "node", "left")
+        .select(
+            "node",
+            (F.col("score") + F.coalesce("dh", F.lit(0.0))).alias("score"),
+        )
+    )
+    return HarmonicTopKState(pairs=new_pairs, harmonic=harmonic, n=state.n, k=state.k)
+
+
+def harmonic_topk(state: HarmonicTopKState) -> DataFrame:
+    """Current top-k (node, score), score desc then node asc — the
+    reference's ranking contract with deterministic tie order."""
+    return state.harmonic.orderBy(F.desc("score"), F.asc("node")).limit(state.k)
 
 
 @dataclass

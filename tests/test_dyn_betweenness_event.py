@@ -99,3 +99,38 @@ def test_affected_pairs_localized(spark):
     assert 0 < stats["affected_pairs"] < n * n / 2
     e2 = symmetrize(edges_df(spark, base + [(0, 2)]))
     assert _scores(st.scores) == _scores(betweenness(e2, nodes_range(spark, n)))
+
+
+def test_harmonic_topk_event_updates(spark):
+    """DynTopHarmonicCloseness on the pair state: every insert leaves
+    harmonic scores equal to a from-scratch run; top-k tracks."""
+    from networkit_spark.operators.closeness import closeness
+    from networkit_spark.streaming.dyn_centrality import (
+        harmonic_topk,
+        harmonic_topk_init,
+        harmonic_topk_insert,
+    )
+
+    n = 8
+    base = [(0, 1), (1, 2), (2, 3), (4, 5), (5, 6), (6, 7)]
+    st = harmonic_topk_init(
+        symmetrize(edges_df(spark, base)), nodes_range(spark, n), k=3
+    )
+    cur = list(base)
+    for u, v in [(3, 4), (0, 7), (2, 6)]:
+        st = harmonic_topk_insert(st, u, v)
+        cur.append((u, v))
+        e2 = symmetrize(edges_df(spark, cur))
+        exact = {
+            r["node"]: round(r["score"], 9)
+            for r in closeness(e2, nodes_range(spark, n), harmonic=True).collect()
+        }
+        got = {r["node"]: round(r["score"], 9) for r in st.harmonic.collect()}
+        assert got == exact, (u, v)
+        # top-k contract under float ties: the returned nodes' (rounded)
+        # scores are exactly the 3 best rounded scores (tie ORDER between
+        # equal scores is not pinned — incremental accumulation differs
+        # from scratch recompute in the last ulp)
+        topk = [r["node"] for r in harmonic_topk(st).collect()]
+        best3 = sorted((round(s, 9) for s in exact.values()), reverse=True)[:3]
+        assert sorted((exact[x] for x in topk), reverse=True) == best3

@@ -231,3 +231,136 @@ def test_shell_score_dfs_match_replica_formulas(spark):
             assert abs(got2[v] - exp) < 1e-12, v
         else:
             assert v not in got2
+
+
+def _local_t_replica(pairs, seeds):
+    """LocalT.cpp from-scratch replica: triangle classification by live
+    membership, score = max(0, Tin*(Tin-Text)); first equal-score candidate
+    accepted (bestExt starts at infinity); smallest-id ties."""
+    adj = defaultdict(set)
+    for a, b, _ in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+
+    def tris_of(x):
+        out = []
+        nb = sorted(adj[x])
+        for i, v in enumerate(nb):
+            for w in nb[i + 1:]:
+                if w in adj[v]:
+                    out.append((v, w))
+        return out
+
+    com = set(seeds)
+
+    def counts():
+        int3 = ext = 0
+        for u in com:
+            for v, w in tris_of(u):
+                if v in com and w in com:
+                    int3 += 1
+                elif v not in com and w not in com:
+                    ext += 1
+        return int3 // 3, ext
+
+    def score(ti, te):
+        return max(0, ti * (ti - te))
+
+    while True:
+        shell = {v for u in com for v in adj[u]} - com
+        ti, te = counts()
+        best, best_ext, best_score = None, None, score(ti, te)
+        for v in sorted(shell):
+            iv = sv = ev = 0
+            for a, b in tris_of(v):
+                ina, inb = a in com, b in com
+                if ina and inb:
+                    iv += 1
+                elif ina or inb:
+                    sv += 1
+                else:
+                    ev += 1
+            ni, ne = ti + iv, te + ev - sv
+            nsc = score(ni, ne)
+            if nsc > best_score or (
+                nsc == best_score and (best_ext is None or ne < best_ext)
+            ):
+                best, best_score, best_ext = v, nsc, ne
+        if best is None:
+            return com
+        com.add(best)
+
+
+def test_local_t_matches_replica(spark):
+    from networkit_spark.operators.scd_expansion import local_t
+
+    e = _df(spark, CLIQUE_TAIL)
+    got = local_t(e, {2})
+    assert got == _local_t_replica(CLIQUE_TAIL, {2})
+    assert set(range(6)) <= got  # clique absorbed
+
+    pairs = _toy()
+    e2 = _df(spark, pairs)
+    for seed in (0, 5, 13):
+        assert local_t(e2, {seed}) == _local_t_replica(pairs, {seed}), seed
+
+
+def test_clique_detect_matches_bruteforce(spark):
+    import networkx as nx
+
+    from networkit_spark.operators.scd_expansion import clique_detect
+
+    pairs = _toy()
+    G = nx.Graph()
+    G.add_edges_from((a, b) for a, b, _ in pairs)
+    for seeds in ({0}, {5}, {0, 1}):
+        got = clique_detect(_df(spark, pairs), seeds)
+        common = set.intersection(*(set(G[s]) for s in seeds)) - set(seeds)
+        if not common:
+            assert got == set(seeds)
+            continue
+        H = G.subgraph(common)
+        cliques = [sorted(c) for c in nx.find_cliques(H)] or [[v] for v in common]
+        best = min(cliques, key=lambda c: (-len(c), c))
+        assert got == set(seeds) | set(best), seeds
+
+
+def test_clique_detect_single_seed_clique_tail(spark):
+    from networkit_spark.operators.scd_expansion import clique_detect
+
+    e = _df(spark, CLIQUE_TAIL)
+    # neighbors of 2 = clique {0,1,3,4,5}; their induced graph is K5
+    assert clique_detect(e, {2}) == set(range(6))
+    # seed 7: neighbors {6, 8} not adjacent -> max clique size 1 -> {7} + {6}
+    assert clique_detect(e, {7}) == {6, 7}
+
+
+def test_random_bfs_and_combined(spark):
+    from networkit_spark.operators.scd_expansion import (
+        clique_detect,
+        combined_scd,
+        local_tightness_expansion,
+        random_bfs_community,
+        tce,
+    )
+
+    # path 0-1-2-3-4-5: BFS from 0, size 3 -> {0,1,2} (whole levels)
+    path = [(i, i + 1, 1.0) for i in range(5)]
+    e = _df(spark, path)
+    assert random_bfs_community(e, {0}, com_size=3) == {0, 1, 2}
+    # size from a cover: seed 0's community has 4 members
+    cover = spark.createDataFrame(
+        [(i, 0 if i < 4 else 1) for i in range(6)], "node long, subset long"
+    )
+    assert len(random_bfs_community(e, {0}, cover=cover)) == 4
+    # partial-level admission stays within the BFS frontier
+    star = [(0, i, 1.0) for i in range(1, 6)]
+    got = random_bfs_community(_df(spark, star), {0}, com_size=3, seed=1)
+    assert 0 in got and len(got) == 3 and got - {0} <= {1, 2, 3, 4, 5}
+
+    # CombinedSCD: first expands, second refines from that seed set
+    e2 = _df(spark, CLIQUE_TAIL)
+    mid = tce(e2, {2})
+    assert combined_scd(e2, {2}, tce, local_tightness_expansion) == \
+        local_tightness_expansion(e2, mid)
+    assert combined_scd(e2, {2}, clique_detect, tce) == tce(e2, clique_detect(e2, {2}))
