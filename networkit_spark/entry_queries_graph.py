@@ -3258,6 +3258,52 @@ def q_local_t_shell_counts(spark, sf_dir):
     return local_t_shell_counts_df(e, set(_SCD_MEMBERS))
 
 
+def _complex_path_sql(threshold: int = 2, rounds: int = 3) -> str:
+    """Unrolled synchronous complex-contagion spread (ComplexPaths.cpp
+    :146-168): round influence = degree in the complex graph snapshot."""
+    parts = [
+        f"WITH {UEDGES_CTE},",
+        f"""act0 AS (
+  SELECT 0 AS node, 0 AS round
+  UNION SELECT min(dst) AS node, 0 AS round FROM uedges WHERE src = 0),
+cg0 AS (
+  SELECT DISTINCT least(e.src, e.dst) AS src, greatest(e.src, e.dst) AS dst
+  FROM uedges e JOIN act0 a ON e.src = a.node)""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+inf{r} AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT src AS node FROM cg{r-1} UNION ALL SELECT dst FROM cg{r-1}
+  ) GROUP BY node),
+fresh{r} AS (
+  SELECT node, {r} AS round FROM inf{r}
+  WHERE d >= {threshold} AND node NOT IN (SELECT node FROM act{r-1})),
+act{r} AS (SELECT * FROM act{r-1} UNION SELECT * FROM fresh{r}),
+cg{r} AS (
+  SELECT src, dst FROM cg{r-1}
+  UNION
+  SELECT DISTINCT least(e.src, e.dst), greatest(e.src, e.dst)
+  FROM uedges e JOIN fresh{r} f ON e.src = f.node)"""
+        )
+    parts.append(f"\nSELECT node, round FROM act{rounds}")
+    return "".join(parts)
+
+
+@register("complex_path_adopters", _complex_path_sql(2, 3))
+def q_complex_path_adopters(spark, sf_dir):
+    """ComplexPathAlgorithm single-seed adopters (seed 0, threshold 2,
+    3 spread rounds — fixed-round twin so the SQL unrolls exactly);
+    full semantics pinned by tests/test_complexpaths.py replicas."""
+    from networkit_spark.operators.complexpaths import complex_path_graphs
+
+    e = doc_edges_undirected(spark, sf_dir)
+    seeds = spark.createDataFrame([(0,)], "id long")
+    _, adopters = complex_path_graphs(e, seeds, threshold=2, max_rounds=3)
+    return adopters.select("node", "round")
+
+
 @register("scd_ground_truth", _plp_oracle_sql(PLP_ITERS, _SCD_GT_FINAL))
 def q_scd_ground_truth(spark, sf_dir):
     """SCDGroundTruthComparison (SCDGroundTruthComparison.cpp:11-130): the

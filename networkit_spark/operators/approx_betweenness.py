@@ -171,6 +171,14 @@ def sample_pairs(
     )
 
 
+def path_sample_contribs(edges: DataFrame, samples: DataFrame, seed: int) -> DataFrame:
+    """Per-sample interior nodes of one uniformly-random shortest path per
+    pair (sid, node) — the un-aggregated form of :func:`path_sample_hits`,
+    kept by DynApproxBetweenness so single samples can be replaced per
+    event."""
+    return _path_sample_walk(edges, samples, seed)
+
+
 def path_sample_hits(edges: DataFrame, samples: DataFrame, seed: int) -> DataFrame:
     """One uniformly-random shortest path per sample pair, all samples
     batched: forward multi-source Brandes BFS over the distinct sources,
@@ -179,6 +187,14 @@ def path_sample_hits(edges: DataFrame, samples: DataFrame, seed: int) -> DataFra
     interior-node hit counts (node, hits long) — unreachable pairs
     contribute nothing (but the caller still counts them as samples, like
     the reference's early-return ``randomPath``)."""
+    contribs = _path_sample_walk(edges, samples, seed)
+    if contribs.isEmpty():
+        return samples.sparkSession.createDataFrame([], "node long, hits long")
+    return contribs.groupBy("node").agg(F.count("*").alias("hits"))
+
+
+def _path_sample_walk(edges: DataFrame, samples: DataFrame, seed: int) -> DataFrame:
+    """Shared walk: returns (sid, node) rows, one per interior node."""
     srcs = samples.select(F.col("u").alias("id")).distinct()
     dist, preds = bfs_with_sigma(edges, srcs)
     dist = dist.localCheckpoint(eager=True)
@@ -223,13 +239,13 @@ def path_sample_hits(edges: DataFrame, samples: DataFrame, seed: int) -> DataFra
             .localCheckpoint(eager=True)
         )
         step_contrib = chosen.filter(F.col("t") != F.col("u")).select(
-            F.col("t").alias("node")
+            "sid", F.col("t").alias("node")
         )
         contribs = step_contrib if contribs is None else contribs.union(step_contrib)
         active = chosen
     if contribs is None:
-        return samples.sparkSession.createDataFrame([], "node long, hits long")
-    return contribs.groupBy("node").agg(F.count("*").alias("hits"))
+        return samples.sparkSession.createDataFrame([], "sid long, node long")
+    return contribs.localCheckpoint(eager=True)
 
 
 def approx_betweenness(

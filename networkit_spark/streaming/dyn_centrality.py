@@ -346,6 +346,17 @@ def _pair_state_insert(P: DataFrame, u: int, v: int, directed: bool = False):
     return new_pairs, m
 
 
+def pair_betweenness_of_node(state: PairBetweennessState, x: int) -> float:
+    """``DynBetweennessOneNode`` (``DynBetweennessOneNode.cpp``): the
+    tracked node's betweenness ``bcx = sum sigma_x(s,t)/sigma(s,t)`` is the
+    per-node score the event-granular pair state already maintains — one
+    filter, updated per event by :func:`pair_betweenness_insert`'s
+    modified-pair deltas (the reference runs a dedicated per-event
+    update for the single node; here the node-restricted view is free)."""
+    row = state.scores.filter(F.col("node") == x).first()
+    return float(row["score"]) if row is not None else 0.0
+
+
 # ---------------------------------------------------------------------------
 # DynTopHarmonicCloseness (same pair state, harmonic aggregation)
 # ---------------------------------------------------------------------------
@@ -500,4 +511,170 @@ def katz_warm(
         scores=x.select("node", (F.col("raw") / length).alias("score")),
         raw=x,
         iterations=its,
+    )
+
+
+# ---------------------------------------------------------------------------
+# DynApproxBetweenness (event-granular RK sample maintenance)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class ApproxBetweennessState:
+    """``DynApproxBetweenness.cpp`` twin: the RK sample set with each
+    sample's realized path interior, plus per-sample-source BFS distances
+    for the affected test (the reference stores one SSSP per sample —
+    same O(r * n) state, as DataFrames)."""
+
+    edges: DataFrame  # symmetrized (src, dst)
+    nd: DataFrame  # dense node index (idx, id)
+    n: int
+    samples: DataFrame  # (sid, u, v)
+    contribs: DataFrame  # (sid, node) interior nodes of the sampled path
+    dist: DataFrame  # (source, node, dist) for current sample sources
+    r: int
+    eps: float
+    delta: float
+    c: float
+    seed: int
+    sid_next: int
+    epoch: int
+
+
+def dyn_approx_betweenness_init(
+    edges: DataFrame, nodes: DataFrame | None = None, eps: float = 0.1,
+    delta: float = 0.1, c: float = 1.0, seed: int = 42,
+) -> ApproxBetweennessState:
+    """Same sampler as :func:`approx_betweenness` (identical seed ->
+    identical scores), with the per-sample state retained for events."""
+    from networkit_spark.graph import nodes_from_edges
+    from networkit_spark.operators.approx_betweenness import (
+        bfs_with_sigma,
+        num_samples,
+        path_sample_contribs,
+        sample_pairs,
+        vertex_diameter_pedantic,
+    )
+    from networkit_spark.plans.ids import dense_ids
+
+    nodes = nodes if nodes is not None else nodes_from_edges(edges)
+    e = edges.select("src", "dst")
+    vd = vertex_diameter_pedantic(e, nodes)
+    r = num_samples(vd, eps, delta, c)
+    nd = (
+        dense_ids(nodes.select(F.col("id")), "id", id_col="idx")
+        .select("idx", "id")
+        .localCheckpoint(eager=True)
+    )
+    n = nd.count()
+    samples = sample_pairs(nd, n, 0, r, seed)
+    contribs = path_sample_contribs(e, samples, seed)
+    dist, _ = bfs_with_sigma(e, samples.select(F.col("u").alias("id")).distinct())
+    return ApproxBetweennessState(
+        edges=truncate_lineage(e.distinct()), nd=nd, n=n, samples=samples,
+        contribs=contribs, dist=truncate_lineage(dist.select("source", "node", "dist")),
+        r=r, eps=eps, delta=delta, c=c, seed=seed, sid_next=r, epoch=0,
+    )
+
+
+def dyn_approx_scores(state: ApproxBetweennessState) -> DataFrame:
+    """(node, score): interior-hit counts / r — same estimator and
+    normalization as approx_betweenness."""
+    return (
+        state.contribs.groupBy("node")
+        .agg((F.count("*") / F.lit(float(state.r))).alias("score"))
+    )
+
+
+def dyn_approx_betweenness_update(
+    state: ApproxBetweennessState, new_edges: DataFrame,
+    stats: dict | None = None,
+) -> ApproxBetweennessState:
+    """Apply an edge-insertion batch (pass both directions for undirected,
+    like :func:`betweenness_update`):
+
+    - affected samples = those whose source's BFS DAG can change
+      (``dist_s(a) + 1 <= dist_s(b)`` or b unreached — the reference's
+      per-sample affectedness, batched as one join of the event batch
+      against the stored distance table);
+    - only affected samples are re-walked (fresh epoch-salted randomness;
+      unaffected samples keep their exact paths — their shortest-path sets
+      are unchanged, so they remain uniform draws);
+    - the sample-count bound is re-evaluated against the new vertex
+      diameter and GROWS monotonically (extra samples only tighten the
+      eps-delta guarantee; the reference re-derives r the same way)."""
+    from networkit_spark.operators.approx_betweenness import (
+        bfs_with_sigma,
+        num_samples,
+        path_sample_contribs,
+        sample_pairs,
+        vertex_diameter_pedantic,
+    )
+
+    add = (
+        new_edges.select("src", "dst").distinct()
+        .join(state.edges, ["src", "dst"], "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    if add.isEmpty():
+        return state
+    edges2 = truncate_lineage(state.edges.unionByName(add).distinct())
+
+    da = state.dist.select("source", F.col("node").alias("src"), F.col("dist").alias("du"))
+    db = state.dist.select("source", F.col("node").alias("dst"), F.col("dist").alias("dv"))
+    affected_sources = (
+        add.join(da, "src")
+        .join(db, ["source", "dst"], "left")
+        .filter(F.col("dv").isNull() | (F.col("du") + 1 <= F.col("dv")))
+        .select("source")
+        .distinct()
+    )
+    aff_samples = truncate_lineage(
+        state.samples.join(
+            affected_sources.withColumnRenamed("source", "u"), "u", "left_semi"
+        )
+    )
+    n_aff = aff_samples.count()
+
+    vd2 = vertex_diameter_pedantic(edges2)
+    r2 = max(state.r, num_samples(vd2, state.eps, state.delta, state.c))
+    grow = r2 - state.r
+    new_samples = None
+    sid_next = state.sid_next
+    if grow > 0:
+        new_samples = sample_pairs(state.nd, state.n, sid_next, grow, state.seed)
+        sid_next += grow
+    if stats is not None:
+        stats.update(affected_samples=n_aff, new_samples=grow)
+
+    to_walk = aff_samples if new_samples is None else aff_samples.unionByName(new_samples)
+    epoch = state.epoch + 1
+    if n_aff > 0 or grow > 0:
+        fresh = path_sample_contribs(
+            edges2, to_walk, state.seed + 1_000_003 * epoch
+        )
+        keep = state.contribs.join(
+            to_walk.select("sid"), "sid", "left_anti"
+        )
+        contribs = truncate_lineage(keep.unionByName(fresh))
+        samples = truncate_lineage(
+            state.samples.unionByName(new_samples) if new_samples is not None
+            else state.samples
+        )
+        # refresh distances for re-walked + new sources, keep the rest
+        walk_sources = to_walk.select(F.col("u").alias("id")).distinct()
+        d_new, _ = bfs_with_sigma(edges2, walk_sources)
+        d_keep = state.dist.join(
+            walk_sources.withColumnRenamed("id", "source"), "source", "left_anti"
+        )
+        dist = truncate_lineage(
+            d_keep.unionByName(d_new.select("source", "node", "dist"))
+        )
+    else:
+        contribs, samples, dist = state.contribs, state.samples, state.dist
+
+    return ApproxBetweennessState(
+        edges=edges2, nd=state.nd, n=state.n, samples=samples,
+        contribs=contribs, dist=dist, r=r2, eps=state.eps, delta=state.delta,
+        c=state.c, seed=state.seed, sid_next=sid_next, epoch=epoch,
     )

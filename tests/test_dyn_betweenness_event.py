@@ -134,3 +134,33 @@ def test_harmonic_topk_event_updates(spark):
         topk = [r["node"] for r in harmonic_topk(st).collect()]
         best3 = sorted((round(s, 9) for s in exact.values()), reverse=True)[:3]
         assert sorted((exact[x] for x in topk), reverse=True) == best3
+
+
+def test_one_node_tracking_matches_bruteforce(spark):
+    """DynBetweennessOneNode contract: bcx = sum over pairs (s,t), s,t != x,
+    of sigma_x(s,t)/sigma(s,t) — brute-forced with networkx shortest paths,
+    before and after an insertion event."""
+    import networkx as nx
+
+    from networkit_spark.streaming.dyn_centrality import pair_betweenness_of_node
+
+    base = [(0, 1), (1, 2), (2, 3), (3, 4), (1, 3)]
+    n, x = 5, 2
+
+    def brute(pairs):
+        G = nx.Graph(pairs)
+        bcx = 0.0
+        for s in G:
+            for t in G:
+                if s == t or s == x or t == x or not nx.has_path(G, s, t):
+                    continue
+                paths = list(nx.all_shortest_paths(G, s, t))
+                bcx += sum(1 for p in paths if x in p[1:-1]) / len(paths)
+        return bcx
+
+    st = pair_betweenness_init(
+        symmetrize(edges_df(spark, base)), nodes_range(spark, n)
+    )
+    assert abs(pair_betweenness_of_node(st, x) - brute(base)) < 1e-9
+    st = pair_betweenness_insert(st, 0, 4)
+    assert abs(pair_betweenness_of_node(st, x) - brute(base + [(0, 4)])) < 1e-9
