@@ -269,3 +269,30 @@ class LocalSparsifier(Sparsifier):
 
     def scores(self, und_edges):
         return local_filter_score(und_edges, self.inner.scores(und_edges))
+
+
+class DegreeMultiscaleSparsifier(Sparsifier):
+    """pyx:1133: multiscale backbone over a degree-derived edge attribute;
+    ``degs_to_attr(deg_u, deg_v)`` is a Column expression over the two
+    endpoint degree Columns (e.g. ``F.greatest`` for max-degree)."""
+
+    def __init__(self, degs_to_attr):
+        self.degs_to_attr = degs_to_attr
+
+    def scores(self, und_edges):
+        from networkit_spark.operators.sparsification import _canon, multiscale_score
+
+        canon = _canon(und_edges)
+        sym0 = canon.select("src", "dst").union(
+            canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        deg = sym0.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
+        attributed = (
+            canon.join(deg.select(F.col("node").alias("src"), F.col("d").alias("du")), "src")
+            .join(deg.select(F.col("node").alias("dst"), F.col("d").alias("dv")), "dst")
+            .select("src", "dst", self.degs_to_attr(F.col("du"), F.col("dv")).alias("weight"))
+        )
+        sym = attributed.union(
+            attributed.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+        )
+        return multiscale_score(sym)

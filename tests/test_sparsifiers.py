@@ -150,3 +150,36 @@ def test_random_node_edge_semantics(spark):
         if min(node_h[r["src"]], node_h[r["dst"]]) <= p
     }
     assert kept == expect
+
+
+def test_degree_multiscale_sparsifier(spark):
+    """DegreeMultiscaleSparsifier (pyx:1133): multiscale over a
+    degree-derived attribute — brute-force check of the attribute wiring
+    (max degree) through the multiscale formula."""
+    from collections import defaultdict
+
+    from networkit_spark.operators.sparsifiers import DegreeMultiscaleSparsifier
+
+    e = _toy(spark)
+    sp = DegreeMultiscaleSparsifier(lambda du, dv: F.greatest(du, dv).cast("double"))
+    got = {(r["src"], r["dst"]): r["score"] for r in sp.scores(e).collect()}
+    adjw = defaultdict(dict)
+    deg = defaultdict(int)
+    for r in e.filter("src < dst").collect():
+        a, b = r["src"], r["dst"]
+        deg[a] += 1
+        deg[b] += 1
+    for (a, b) in list(got):
+        adjw[a][b] = float(max(deg[a], deg[b]))
+        adjw[b][a] = float(max(deg[a], deg[b]))
+    for (a, b), s in got.items():
+        exp = 0.0
+        for u, v in ((a, b), (b, a)):
+            wsum = sum(adjw[u].values())
+            d = len(adjw[u])
+            p = adjw[u][v] / wsum if wsum > 0 else 0.0
+            exp = max(exp, 1.0 - (1.0 - p) ** (d - 1))
+        assert abs(s - exp) < 1e-12, (a, b)
+    # one-call ratio form holds the contract too
+    out = sp.sparsify_to_ratio(e, 0.5)
+    assert 0 < out.filter("src < dst").count() <= len(got)
