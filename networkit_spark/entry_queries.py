@@ -202,6 +202,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # late imports so every operator module's registrations are loaded
     from networkit_spark import (  # noqa: F401
         entry_queries_graph,
+        entry_queries_misc,
         entry_queries_sparsify,
         entry_queries_text,
     )
@@ -212,6 +213,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def all_oracles() -> dict[str, str]:
     from networkit_spark import (  # noqa: F401
         entry_queries_graph,
+        entry_queries_misc,
         entry_queries_sparsify,
         entry_queries_text,
     )
