@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from networkit_spark.entry_queries import register
 from networkit_spark.operators.edgeindex import index_edges
+from networkit_spark.plans.pairs import for_node_pairs
 from networkit_spark.operators.sampling import (
     draw_sql,
     seeded_edge_sample,
@@ -76,6 +77,43 @@ def q_seeded_edge_sample(spark, sf_dir):
     return seeded_edge_sample(
         doc_edges(spark, sf_dir), fraction=0.2, seed=42
     ).select("src", "dst")
+
+
+@register(
+    "node_pairs_degree_product",
+    f"""
+WITH {EDGES_CTE},
+sub AS (SELECT doc_id AS node FROM documents WHERE doc_id < 40),
+deg AS (SELECT src AS node, count(*) AS d FROM edges GROUP BY src)
+SELECT a.node AS u, b.node AS v,
+       CAST(coalesce(da.d, 0) * coalesce(db.d, 0) AS BIGINT) AS deg_product
+FROM sub a
+CROSS JOIN sub b
+LEFT JOIN deg da ON da.node = a.node
+LEFT JOIN deg db ON db.node = b.node
+WHERE a.node < b.node
+""",
+)
+def q_node_pairs_degree_product(spark, sf_dir):
+    """forNodePairs (graph.pyx:1729) over a filtered node subset: all u<v
+    pairs with out-degree product (broadcast NL join; guarded quadratic)."""
+    e = doc_edges(spark, sf_dir)
+    sub = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.col("doc_id").cast("long").alias("node"))
+        .filter(F.col("node") < 40)
+    )
+    deg = e.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
+    pairs = for_node_pairs(sub, "node")
+    return (
+        pairs.join(deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"), "u", "left")
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"), "v", "left")
+        .select(
+            "u", "v",
+            (F.coalesce("du", F.lit(0)) * F.coalesce("dv", F.lit(0)))
+            .cast("long").alias("deg_product"),
+        )
+    )
 
 
 @register(

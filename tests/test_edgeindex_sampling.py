@@ -76,6 +76,17 @@ def test_seeded_edge_sample_deterministic_and_subset(edges):
     assert s1 != s3  # seed actually matters
 
 
+def test_for_node_pairs_semantics_and_guard(spark):
+    from networkit_spark.plans.pairs import for_node_pairs
+
+    nodes = spark.range(12).select(F.col("id").alias("node"))
+    pairs = set(map(tuple, for_node_pairs(nodes, "node").collect()))
+    assert pairs == {(u, v) for u in range(12) for v in range(12) if u < v}
+    with pytest.raises(ValueError, match="quadratic"):
+        for_node_pairs(spark.range(30).select(F.col("id").alias("node")),
+                       "node", max_nodes=10)
+
+
 def test_seeded_node_sample_fraction(spark):
     nodes = spark.range(5000).select(F.col("id").alias("node"))
     got = seeded_node_sample(nodes, 0.2, seed=3).count()
