@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
@@ -33,6 +34,20 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_HUBS = 1000
+
+# Hard wall-clock budget (round-3 post-mortem: the driver's bench run was
+# killed at its own timeout — rc 124, nothing parsed — because the noisy-box
+# retry loops in the scaling stage were time-unbounded, worst case ~11 pinned
+# worker pairs). Every stage now checks the remaining budget before starting
+# optional work, and a SIGTERM/SIGALRM handler prints the best-effort compact
+# JSON line from whatever has been measured so far, so even a kill produces a
+# parseable record.
+BENCH_BUDGET = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "2400"))
+T0 = time.monotonic()
+
+
+def remaining() -> float:
+    return BENCH_BUDGET - (time.monotonic() - T0)
 
 # Throughput-batch GC: iterative superstep jobs churn short-lived shuffle/agg
 # rows; the JVM's default G1 showed 40-240 core-sec GC per superstep stage at
@@ -193,7 +208,7 @@ def spawn_worker(cores: int, n_pages: int, iters: int, kernel: str = "shuffle") 
         cmd,
         capture_output=True,
         text=True,
-        timeout=1800,
+        timeout=max(300.0, min(1800.0, remaining())),
     )
     for line in proc.stdout.splitlines():
         if line.startswith("BENCHWORKER "):
@@ -201,18 +216,106 @@ def spawn_worker(cores: int, n_pages: int, iters: int, kernel: str = "shuffle") 
     raise RuntimeError(f"worker {cores} failed: {proc.stdout[-2000:]} {proc.stderr[-2000:]}")
 
 
+# Incrementally-filled result record; the emergency handler emits whatever is
+# here when the process is killed, so a driver-side timeout still yields a
+# parseable line (BENCH_r03.json post-mortem).
+RESULT: dict = {
+    "metric": "edges_per_sec_per_pagerank_superstep",
+    "value": None,
+    "unit": "edges/sec",
+    "queries": {},
+    "sf": None,
+}
+_EMITTED = False
+
+
+def write_full_and_print_compact(result: dict) -> None:
+    """Write the verbose record to BENCH/bench_full.json and print ONE compact
+    JSON line (<2KB) LAST — the driver's tail capture truncated the round-1/2
+    giant single line (BENCH_r02.json: parsed null)."""
+    global _EMITTED
+    if _EMITTED:
+        return
+    _EMITTED = True
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    try:
+        os.makedirs(bench_dir, exist_ok=True)
+        with open(os.path.join(bench_dir, "bench_full.json"), "w") as f:
+            json.dump(result, f, indent=1)
+    except OSError:
+        pass
+    compact = {
+        k: result.get(k)
+        for k in ("metric", "value", "unit", "queries", "sf", "edges")
+    }
+    pr = result.get("pagerank")
+    if pr:
+        compact["pagerank"] = {
+            k: pr[k]
+            for k in (
+                "iterations", "converged", "wall_sec",
+                "mean_superstep_sec", "edges_per_sec_per_superstep",
+            )
+            if k in pr
+        }
+    for k in ("connected_components", "plp", "triangles", "pagerank_csr_kernel"):
+        if k in result:
+            compact[k] = result[k]
+    sc = result.get("scaling")
+    if sc:
+        compact["scaling"] = {
+            k: sc[k]
+            for k in (
+                "cores_lo", "cores_hi", "pages", "edges", "throughput_lo",
+                "throughput_hi", "scaling_efficiency",
+                "pair_efficiencies_median_superstep",
+            )
+            if k in sc
+        }
+        if "secondary_same_box_pair" in sc:
+            compact["scaling"]["secondary_same_box_pair"] = {
+                k: sc["secondary_same_box_pair"][k]
+                for k in ("cores_lo", "cores_hi", "throughput_lo",
+                          "throughput_hi", "scaling_efficiency")
+                if k in sc["secondary_same_box_pair"]
+            }
+        compact["scaling"]["protocol_and_trials"] = "BENCH/bench_full.json"
+    if result.get("partial"):
+        compact["partial"] = result["partial"]
+    compact["full_record"] = "BENCH/bench_full.json"
+    print(json.dumps(compact), flush=True)
+
+
+def _emergency_emit(signum, frame):
+    RESULT.setdefault("partial", []).append(
+        f"killed_by_signal_{signum}_at_{round(time.monotonic() - T0, 1)}s"
+    )
+    write_full_and_print_compact(RESULT)
+    os._exit(0)
+
+
 def main():
+    signal.signal(signal.SIGTERM, _emergency_emit)
+    signal.signal(signal.SIGALRM, _emergency_emit)
+    # backstop if one Spark action hangs past the budget (stage-level checks
+    # can't interrupt a running job)
+    signal.alarm(int(BENCH_BUDGET) + 180)
+
     sf = sf_from_dir(SF_DIR)
     n_pages = max(1000, int(1_000_000 * sf))
-    queries = {}
+    queries = RESULT["queries"]
+    RESULT["sf"] = sf
 
     # -- headline: PageRank to convergence at 1e-6 (the BASELINE metric) ----
     # best-of-2 (noise can only slow a run down); keep the faster run's info
     pr = run_pagerank(CPUS, n_pages, max_iterations=100, tol=1e-6)
-    pr2 = run_pagerank(CPUS, n_pages, max_iterations=100, tol=1e-6)
-    if pr2["wall_sec"] < pr["wall_sec"]:
-        pr = pr2
+    if remaining() > 0.80 * BENCH_BUDGET:
+        pr2 = run_pagerank(CPUS, n_pages, max_iterations=100, tol=1e-6)
+        if pr2["wall_sec"] < pr["wall_sec"]:
+            pr = pr2
     queries["pagerank_conv_1e6"] = pr["wall_sec"]
+    RESULT["pagerank"] = pr
+    RESULT["value"] = pr["edges_per_sec_per_superstep"]
 
     # -- secondary kernels at full parallelism ------------------------------
     from pyspark.sql import functions as F
@@ -238,10 +341,13 @@ def main():
 
     # best-of-2 per kernel: host noisy-neighbor bursts can only slow a run
     # down, never speed it up, so min-of-two is the unbiased capability
-    # estimate (same rationale as the scaling protocol's min-superstep)
+    # estimate (same rationale as the scaling protocol's min-superstep).
+    # The second run is optional under budget pressure.
     def best_of(fn, runs=2):
         best, out = float("inf"), None
-        for _ in range(runs):
+        for i in range(runs):
+            if i > 0 and remaining() < 0.60 * BENCH_BUDGET:
+                break
             t = time.monotonic()
             r = fn()
             w = time.monotonic() - t
@@ -252,14 +358,14 @@ def main():
     queries["connected_components"], cc = best_of(
         lambda: ConnectedComponents().run(edges, nodes)
     )
-    cc_info = {"iterations": cc.iterations, "converged": cc.converged}
+    RESULT["connected_components"] = {"iterations": cc.iterations, "converged": cc.converged}
 
     queries["plp"], plp = best_of(lambda: PLP(max_iterations=10).run(und, nodes))
-    plp_info = {"iterations": plp.iterations}
+    RESULT["plp"] = {"iterations": plp.iterations}
 
     queries["triangle_count"], n_tri = best_of(lambda: total_triangles(und))
     tri_wall = queries["triangle_count"]
-    tri_info = {"triangles": n_tri, "edges_per_sec": round(und.count() / 2 / tri_wall, 1)}
+    RESULT["triangles"] = {"triangles": n_tri, "edges_per_sec": round(und.count() / 2 / tri_wall, 1)}
 
     # CSR-block pandas kernel (north-star architecture variant) — same graph,
     # 5 fixed supersteps, for comparison against the DataFrame kernel
@@ -270,10 +376,11 @@ def main():
     )
     csr_walls = [x["wall_sec"] for x in rcsr.metrics][2:]
     csr_mean = sum(csr_walls) / len(csr_walls)
-    csr_info = {
+    RESULT["pagerank_csr_kernel"] = {
         "mean_superstep_sec": round(csr_mean, 4),
         "edges_per_sec_per_superstep": round(m / csr_mean, 1),
     }
+    RESULT["edges"] = m
     spark.stop()
 
     # -- scaling evidence: N vs 4N cores, fixed supersteps ------------------
@@ -302,9 +409,9 @@ def main():
     scale_pages = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "8000000"))
     lo_cores = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "2"))
     hi_cores = lo_cores * 4
-    scale_iters = 6  # 2 warmup + 4 timed
-    trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "3"))
-    max_trials = int(os.environ.get("SPARK_GRAFT_SCALE_MAX_TRIALS", "8"))
+    scale_iters = 5  # 2 warmup + 3 timed
+    trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "2"))
+    max_trials = int(os.environ.get("SPARK_GRAFT_SCALE_MAX_TRIALS", "5"))
     # pre-materialize the shared input once (tmpfs parquet) so worker wall
     # time is dominated by the measured supersteps, maximizing the number of
     # noise-window samples per unit of bench time
@@ -315,14 +422,21 @@ def main():
          "s = get_spark(cores=%d, shuffle_partitions=%d, app_name='gen'); "
          "bench.bench_graph_cached(s, %d).count(); s.stop()"
          % (os.path.dirname(os.path.abspath(__file__)), CPUS, CPUS, scale_pages)],
-        capture_output=True, text=True, timeout=1200,
+        capture_output=True, text=True,
+        timeout=max(120.0, min(1200.0, remaining() - 600.0)),
     )
     if pre.returncode != 0:
         print(pre.stderr[-1000:], file=sys.stderr)
+    # time-bounded retry loop (round-3 post-mortem: unbounded retries under
+    # sustained host noise blew the driver's timeout). Reserve ~2 hi-level
+    # worker runs' worth of budget for the secondary pair below.
     pairs = []
+    pair_cost = 0.0
     while True:
+        t_pair = time.monotonic()
         lo_r = spawn_worker(lo_cores, scale_pages, scale_iters)
         hi_r = spawn_worker(hi_cores, scale_pages, scale_iters)
+        pair_cost = max(pair_cost, time.monotonic() - t_pair)
         e_med = hi_r["edges_per_sec_per_superstep"] / (4.0 * lo_r["edges_per_sec_per_superstep"])
         pairs.append((e_med, lo_r, hi_r))
         cap_lo = max(p[1]["edges_per_sec_capability"] for p in pairs)
@@ -330,27 +444,51 @@ def main():
         eff = cap_hi / (4.0 * cap_lo)
         # a noise burst covering EVERY trial at one level biases the
         # capability max down; take up to max_trials pairs to find a quiet
-        # window at each level (all pairs recorded either way)
-        if len(pairs) >= trials and (eff >= 0.8 or len(pairs) >= max_trials):
+        # window at each level (all pairs recorded either way) — but never
+        # past the wall-clock budget
+        if eff >= 0.8 and len(pairs) >= trials:
+            break
+        if len(pairs) >= max_trials:
+            break
+        if remaining() < pair_cost + 300.0:
+            RESULT.setdefault("partial", []).append(
+                f"scaling_retries_stopped_at_{len(pairs)}_pairs_budget"
+            )
             break
     # secondary same-box pair at (CPUS/4 -> CPUS): records the saturated-
-    # box view (shared memory controller). Same multi-trial capability
-    # protocol as the primary pair (max over trials of edges/min-superstep;
-    # noise only ever slows a superstep) so the recorded artifact carries the
-    # same estimator the primary uses — up to 3 trials, early exit at >=0.8.
-    sec_pairs = []
+    # box view (shared memory controller). Same capability protocol (max
+    # over trials of edges/min-superstep; noise only ever slows a
+    # superstep). When CPUS/4 equals the primary pair's hi core count —
+    # the default 32-CPU config — the primary's hi runs ARE this pair's lo
+    # level (identical job, cores, input), so only the CPUS-core runs are
+    # executed fresh; this halves the stage and removes the redundancy that
+    # helped blow the round-3 budget.
+    sec_lo_cores = max(1, CPUS // 4)
+    sec_lo_runs = [p[2] for p in pairs] if sec_lo_cores == hi_cores else []
+    sec_hi_runs = []
+    sec_trials = []
     while True:
-        s_lo = spawn_worker(max(1, CPUS // 4), scale_pages, scale_iters)
-        s_hi = spawn_worker(CPUS, scale_pages, scale_iters)
-        sec_pairs.append((s_lo, s_hi))
-        sec_cap_lo = max(p[0]["edges_per_sec_capability"] for p in sec_pairs)
-        sec_cap_hi = max(p[1]["edges_per_sec_capability"] for p in sec_pairs)
-        sec_eff = sec_cap_hi / (4.0 * sec_cap_lo)
-        if sec_eff >= 0.8 or len(sec_pairs) >= 3:
+        if sec_hi_runs and (not sec_lo_runs or remaining() < 240.0):
             break
-    sec_lo = {"edges_per_sec_capability": sec_cap_lo}
-    sec_hi = {"edges_per_sec_capability": sec_cap_hi}
-    scaling = {
+        if not sec_lo_runs:
+            if remaining() < pair_cost + 120.0:
+                RESULT.setdefault("partial", []).append("scaling_secondary_skipped_budget")
+                break
+            s_lo = spawn_worker(sec_lo_cores, scale_pages, scale_iters)
+            sec_lo_runs.append(s_lo)
+        else:
+            s_lo = None
+        s_hi = spawn_worker(CPUS, scale_pages, scale_iters)
+        sec_hi_runs.append(s_hi)
+        sec_trials.append({"lo": s_lo, "hi": s_hi})
+        sec_cap_lo = max(r["edges_per_sec_capability"] for r in sec_lo_runs)
+        sec_cap_hi = max(r["edges_per_sec_capability"] for r in sec_hi_runs)
+        sec_eff = sec_cap_hi / (4.0 * sec_cap_lo)
+        if sec_eff >= 0.8 or len(sec_hi_runs) >= 3:
+            break
+    if not sec_hi_runs:
+        sec_cap_lo = sec_cap_hi = sec_eff = None
+    RESULT["scaling"] = scaling = {
         "cores_lo": lo_cores,
         "cores_hi": hi_cores,
         "pages": scale_pages,
@@ -377,85 +515,37 @@ def main():
             }
             for p in pairs
         ],
-        "secondary_same_box_pair": {
-            "cores_lo": max(1, CPUS // 4),
+    }
+    if sec_hi_runs:
+        scaling["secondary_same_box_pair"] = {
+            "cores_lo": sec_lo_cores,
             "cores_hi": CPUS,
-            "throughput_lo": sec_lo["edges_per_sec_capability"],
-            "throughput_hi": sec_hi["edges_per_sec_capability"],
+            "throughput_lo": sec_cap_lo,
+            "throughput_hi": sec_cap_hi,
             "scaling_efficiency": round(sec_eff, 3),
+            "lo_reused_from_primary_hi": sec_lo_cores == hi_cores,
             "trials": [
                 {
-                    "lo": {k: p[0][k] for k in ("superstep_walls", "min_superstep_sec", "mean_superstep_sec")},
-                    "hi": {k: p[1][k] for k in ("superstep_walls", "min_superstep_sec", "mean_superstep_sec")},
+                    "lo": None if t["lo"] is None else {
+                        k: t["lo"][k]
+                        for k in ("superstep_walls", "min_superstep_sec", "mean_superstep_sec")
+                    },
+                    "hi": {
+                        k: t["hi"][k]
+                        for k in ("superstep_walls", "min_superstep_sec", "mean_superstep_sec")
+                    },
                 }
-                for p in sec_pairs
+                for t in sec_trials
             ],
-            "note": "single shared memory controller saturates past ~8 threads; a 4x-executor cluster scales bandwidth with executors",
-        },
-    }
+            "note": (
+                "single shared memory controller saturates past ~8 threads; a "
+                "4x-executor cluster scales bandwidth with executors. lo-level "
+                "capability is the max over the primary pair's hi-level runs "
+                "when the core counts coincide (identical job/input/cores)"
+            ),
+        }
 
-    result = {
-        "metric": "edges_per_sec_per_pagerank_superstep",
-        "value": pr["edges_per_sec_per_superstep"],
-        "unit": "edges/sec",
-        "queries": queries,
-        "sf": sf,
-        "pagerank": pr,
-        "connected_components": cc_info,
-        "plp": plp_info,
-        "triangles": tri_info,
-        "pagerank_csr_kernel": csr_info,
-        "scaling": scaling,
-        "edges": m,
-    }
-
-    # Record hygiene (round-2 verdict): the driver's tail capture truncated
-    # the single giant JSON line (BENCH_r02.json: parsed null). Write the FULL
-    # record — per-superstep walls, all trials, protocol prose — to a file,
-    # and print a COMPACT JSON line LAST so the driver's capture always
-    # parses. The compact line keeps every headline number (per-query walls,
-    # both scaling pairs) and points at the full record on disk.
-    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
-    os.makedirs(bench_dir, exist_ok=True)
-    full_path = os.path.join(bench_dir, "bench_full.json")
-    with open(full_path, "w") as f:
-        json.dump(result, f, indent=1)
-    compact = {
-        "metric": result["metric"],
-        "value": result["value"],
-        "unit": result["unit"],
-        "queries": queries,
-        "sf": sf,
-        "edges": m,
-        "pagerank": {
-            k: pr[k]
-            for k in (
-                "iterations", "converged", "wall_sec",
-                "mean_superstep_sec", "edges_per_sec_per_superstep",
-            )
-        },
-        "connected_components": cc_info,
-        "plp": plp_info,
-        "triangles": tri_info,
-        "pagerank_csr_kernel": csr_info,
-        "scaling": {
-            "cores_lo": scaling["cores_lo"],
-            "cores_hi": scaling["cores_hi"],
-            "pages": scaling["pages"],
-            "edges": scaling["edges"],
-            "throughput_lo": scaling["throughput_lo"],
-            "throughput_hi": scaling["throughput_hi"],
-            "scaling_efficiency": scaling["scaling_efficiency"],
-            "pair_efficiencies_median_superstep": scaling["pair_efficiencies_median_superstep"],
-            "secondary_same_box_pair": {
-                k: scaling["secondary_same_box_pair"][k]
-                for k in ("cores_lo", "cores_hi", "throughput_lo", "throughput_hi", "scaling_efficiency")
-            },
-            "protocol_and_trials": "BENCH/bench_full.json",
-        },
-        "full_record": "BENCH/bench_full.json",
-    }
-    print(json.dumps(compact))
+    write_full_and_print_compact(RESULT)
 
 
 if __name__ == "__main__":

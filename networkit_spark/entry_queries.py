@@ -203,6 +203,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from networkit_spark import (  # noqa: F401
         entry_queries_graph,
         entry_queries_misc,
+        entry_queries_profile,
         entry_queries_sparsify,
         entry_queries_text,
     )
@@ -214,6 +215,7 @@ def all_oracles() -> dict[str, str]:
     from networkit_spark import (  # noqa: F401
         entry_queries_graph,
         entry_queries_misc,
+        entry_queries_profile,
         entry_queries_sparsify,
         entry_queries_text,
     )
