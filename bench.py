@@ -434,8 +434,16 @@ def main():
     pair_cost = 0.0
     while True:
         t_pair = time.monotonic()
-        lo_r = spawn_worker(lo_cores, scale_pages, scale_iters)
-        hi_r = spawn_worker(hi_cores, scale_pages, scale_iters)
+        try:
+            lo_r = spawn_worker(lo_cores, scale_pages, scale_iters)
+            hi_r = spawn_worker(hi_cores, scale_pages, scale_iters)
+        except (RuntimeError, subprocess.TimeoutExpired) as e:
+            RESULT.setdefault("partial", []).append(
+                f"scaling_worker_failed_pair{len(pairs) + 1}: {str(e)[:120]}"
+            )
+            if pairs or remaining() < 300.0:
+                break
+            continue
         pair_cost = max(pair_cost, time.monotonic() - t_pair)
         e_med = hi_r["edges_per_sec_per_superstep"] / (4.0 * lo_r["edges_per_sec_per_superstep"])
         pairs.append((e_med, lo_r, hi_r))
@@ -470,15 +478,24 @@ def main():
     while True:
         if sec_hi_runs and (not sec_lo_runs or remaining() < 240.0):
             break
-        if not sec_lo_runs:
-            if remaining() < pair_cost + 120.0:
-                RESULT.setdefault("partial", []).append("scaling_secondary_skipped_budget")
-                break
-            s_lo = spawn_worker(sec_lo_cores, scale_pages, scale_iters)
-            sec_lo_runs.append(s_lo)
-        else:
-            s_lo = None
-        s_hi = spawn_worker(CPUS, scale_pages, scale_iters)
+        if not sec_hi_runs and remaining() < 150.0:
+            RESULT.setdefault("partial", []).append("scaling_secondary_skipped_budget")
+            break
+        try:
+            if not sec_lo_runs:
+                if remaining() < pair_cost + 120.0:
+                    RESULT.setdefault("partial", []).append("scaling_secondary_skipped_budget")
+                    break
+                s_lo = spawn_worker(sec_lo_cores, scale_pages, scale_iters)
+                sec_lo_runs.append(s_lo)
+            else:
+                s_lo = None
+            s_hi = spawn_worker(CPUS, scale_pages, scale_iters)
+        except (RuntimeError, subprocess.TimeoutExpired) as e:
+            RESULT.setdefault("partial", []).append(
+                f"scaling_secondary_worker_failed: {str(e)[:120]}"
+            )
+            break
         sec_hi_runs.append(s_hi)
         sec_trials.append({"lo": s_lo, "hi": s_hi})
         sec_cap_lo = max(r["edges_per_sec_capability"] for r in sec_lo_runs)
@@ -488,6 +505,9 @@ def main():
             break
     if not sec_hi_runs:
         sec_cap_lo = sec_cap_hi = sec_eff = None
+    if not pairs:
+        write_full_and_print_compact(RESULT)
+        return
     RESULT["scaling"] = scaling = {
         "cores_lo": lo_cores,
         "cores_hi": hi_cores,
@@ -552,4 +572,12 @@ if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
         worker_main()
     else:
-        main()
+        try:
+            main()
+        except BaseException as e:  # last-resort record (driver parses the tail)
+            if not isinstance(e, SystemExit):
+                RESULT.setdefault("partial", []).append(
+                    f"exception: {type(e).__name__}: {str(e)[:200]}"
+                )
+                write_full_and_print_compact(RESULT)
+            raise

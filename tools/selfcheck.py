@@ -52,8 +52,11 @@ def table_hash(rows, cols):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--json"]
+    json_out = "--json" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    record: dict = {}
 
     import duckdb
 
@@ -80,10 +83,12 @@ def main():
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL  {name}: spark error: {str(e)[:300]}")
+            record[name] = {"status": "fail", "err": f"spark: {str(e)[:200]}"}
             bad += 1
             continue
         if name not in oracles:
             print(f"weak  {name}: rows={len(srows)} (no oracle) [{time.monotonic()-t0:.1f}s]")
+            record[name] = {"status": "rows_only", "spark_rows": len(srows)}
             weak += 1
             continue
         try:
@@ -92,6 +97,7 @@ def main():
             orows = rel.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
+            record[name] = {"status": "fail", "err": f"duckdb: {str(e)[:200]}"}
             bad += 1
             continue
         problems = []
@@ -110,11 +116,27 @@ def main():
                 o_set = {tuple(norm_cell(v) for v in r) for r in orows}
                 print(f"      spark-only: {list(s_set - o_set)[:3]}")
                 print(f"      oracle-only: {list(o_set - s_set)[:3]}")
+            record[name] = {"status": "fail", "detail": "; ".join(problems)}
             bad += 1
         else:
             print(f"ok    {name}: rows={len(srows)} [{time.monotonic()-t0:.1f}s]")
+            record[name] = {
+                "status": "ok", "rows_match": True, "schema_match": True,
+                "hash_match": True, "spark_rows": len(srows),
+                "oracle_rows": len(orows),
+            }
             ok += 1
     print(f"\n{ok} ok, {weak} weak (rows-only), {bad} fail")
+    if json_out:
+        import json as _json
+        out_path = "/root/repo/BENCH/selfcheck_full.json"
+        with open(out_path, "w") as f:
+            _json.dump(
+                {"sf_dir": sf_dir, "summary": {"ok": ok, "rows_only": weak, "fail": bad},
+                 "queries": record},
+                f, indent=1,
+            )
+        print(f"wrote {out_path}")
     spark.stop()
     return 1 if bad else 0
 
