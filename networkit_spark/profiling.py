@@ -24,10 +24,7 @@ from pyspark.sql import functions as F
 
 from networkit_spark.operators.kcore import coreness
 from networkit_spark.operators.pagerank import pagerank_fixed
-from networkit_spark.operators.triangles import (
-    local_clustering_coefficient,
-    triangle_counts,
-)
+from networkit_spark.operators.triangles import triangle_counts
 
 
 def node_measures(
@@ -43,13 +40,26 @@ def node_measures(
     """
     out = nodes.select(F.col("id").alias("node"))
     deg = und_edges.groupBy("src").agg(F.count("*").alias("degree")).withColumnRenamed("src", "node")
-    if "degree" in measures:
+    need_tri = "lcc" in measures or "triangles" in measures
+    if "degree" in measures or "lcc" in measures:
         out = out.join(deg, "node", "left").fillna({"degree": 0})
-    if "lcc" in measures:
-        out = out.join(local_clustering_coefficient(und_edges, nodes), "node", "left").fillna({"lcc": 0.0})
-    if "triangles" in measures:
-        tri = triangle_counts(und_edges, nodes).withColumnRenamed("triangles", "triangles")
+    if need_tri:
+        # ONE triangle enumeration serves both the count column and lcc —
+        # lcc is the closed form 2*tri/(d(d-1)) over columns already here,
+        # not a second wedge join (at crawl scale the wedge join dominates
+        # the whole profile; never run it twice)
+        tri = triangle_counts(und_edges, nodes)
         out = out.join(tri, "node", "left").fillna({"triangles": 0})
+    if "lcc" in measures:
+        d = F.col("degree")
+        out = out.withColumn(
+            "lcc",
+            F.when(d >= 2, 2.0 * F.col("triangles") / (d * (d - 1))).otherwise(F.lit(0.0)),
+        )
+        if "degree" not in measures:
+            out = out.drop("degree")
+        if "triangles" not in measures:
+            out = out.drop("triangles")
     if "coreness" in measures:
         out = out.join(coreness(und_edges, nodes), "node", "left").fillna({"core": 0}).withColumnRenamed("core", "coreness")
     if "pagerank" in measures:
@@ -67,26 +77,33 @@ def measure_stats(mt: DataFrame, measures: tuple[str, ...]) -> DataFrame:
     quantile_cont twin matches bit-for-bit for the linear-interpolation
     definition both engines share).
     """
-    pieces = []
+    # ONE aggregate pass computes every measure's battery (a per-measure
+    # agg + union would scan the measure table len(measures) times at crawl
+    # scale); the single stat row then explodes to long format driver-free
+    aggs = []
     for m in measures:
         c = F.col(m).cast("double")
-        agg = (
-            mt.agg(
-                F.count(c).alias("n"),
-                F.round(F.min(c), 7).alias("min"),
-                F.round(F.max(c), 7).alias("max"),
-                F.round(F.avg(c), 7).alias("mean"),
-                F.round(F.stddev_samp(c), 7).alias("stddev"),
-                F.round(F.expr(f"percentile(CAST({m} AS DOUBLE), 0.5)"), 7).alias("median"),
-                F.round(F.expr(f"percentile(CAST({m} AS DOUBLE), 0.25)"), 7).alias("q1"),
-                F.round(F.expr(f"percentile(CAST({m} AS DOUBLE), 0.75)"), 7).alias("q3"),
-            )
+        aggs.extend([
+            F.count(c).alias(f"{m}__n"),
+            F.round(F.min(c), 7).alias(f"{m}__min"),
+            F.round(F.max(c), 7).alias(f"{m}__max"),
+            F.round(F.avg(c), 7).alias(f"{m}__mean"),
+            F.round(F.stddev_samp(c), 7).alias(f"{m}__stddev"),
+            F.round(F.expr(f"percentile(CAST({m} AS DOUBLE), 0.5)"), 7).alias(f"{m}__median"),
+            F.round(F.expr(f"percentile(CAST({m} AS DOUBLE), 0.25)"), 7).alias(f"{m}__q1"),
+            F.round(F.expr(f"percentile(CAST({m} AS DOUBLE), 0.75)"), 7).alias(f"{m}__q3"),
+        ])
+    row = mt.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(m).alias("measure"),
+            F.col(f"{m}__n").alias("n"),
+            *[F.col(f"{m}__{s}").alias(s)
+              for s in ("min", "max", "mean", "stddev", "median", "q1", "q3")],
         )
-        pieces.append(agg.select(F.lit(m).alias("measure"), "*"))
-    out = pieces[0]
-    for p in pieces[1:]:
-        out = out.unionByName(p)
-    return out
+        for m in measures
+    ]
+    return row.select(F.explode(F.array(*structs)).alias("x")).select("x.*")
 
 
 def _avg_rank_col(mt: DataFrame, m: str) -> DataFrame:
@@ -124,18 +141,15 @@ def measure_correlations(
         aggs.append(F.round(F.corr(F.col(a).cast("double"), F.col(b).cast("double")), 7).alias(f"p_{a}__{b}"))
         aggs.append(F.round(F.corr(f"{a}_rank", f"{b}_rank"), 7).alias(f"s_{a}__{b}"))
     row = ranked.agg(*aggs)
-    # long format: one row per pair
-    selects = []
-    for a, b in pairs:
-        selects.append(
-            row.select(
-                F.lit(a).alias("m1"),
-                F.lit(b).alias("m2"),
-                F.col(f"p_{a}__{b}").alias("pearson"),
-                F.col(f"s_{a}__{b}").alias("spearman"),
-            )
+    # long format via explode — per-pair selects + union would re-plan the
+    # ranked lineage once per pair
+    structs = [
+        F.struct(
+            F.lit(a).alias("m1"),
+            F.lit(b).alias("m2"),
+            F.col(f"p_{a}__{b}").alias("pearson"),
+            F.col(f"s_{a}__{b}").alias("spearman"),
         )
-    out = selects[0]
-    for s in selects[1:]:
-        out = out.unionByName(s)
-    return out
+        for a, b in pairs
+    ]
+    return row.select(F.explode(F.array(*structs)).alias("x")).select("x.*")
