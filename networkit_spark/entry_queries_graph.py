@@ -3331,3 +3331,63 @@ def q_scd_ground_truth(spark, sf_dir):
         F.round("prec", 7).alias("prec"),
         F.round("rec", 7).alias("rec"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ForestCentrality (SURVEY §2.7 electrical family): fixed-sweep Jacobi twin
+# of the shifted-system block-CG solve — x -> column u of the forest matrix
+# (I + L)^(-1). Full forest_centrality (diag + closeness scores) is pinned
+# against numpy inv(I+L) oracles in tests/test_forest.py.
+# ---------------------------------------------------------------------------
+
+FC_ITERS = 10
+FC_OMEGA = 0.5
+FC_SOURCES = [0, 1, 2]
+
+
+def _forest_oracle_sql() -> str:
+    parts = [
+        f"WITH {UEDGES_CTE}",
+        f""", degs AS MATERIALIZED (
+  SELECT src AS node, sum(weight) AS deg FROM uedges GROUP BY src
+), srcs AS (
+  SELECT CAST(t.u AS BIGINT) AS u FROM (VALUES (0), (1), (2)) t(u)
+), f0 AS MATERIALIZED (
+  SELECT s.u, d.doc_id AS node, coalesce(g.deg, CAST(0.0 AS DOUBLE)) AS deg,
+         CASE WHEN d.doc_id = s.u THEN CAST(1.0 AS DOUBLE)
+              ELSE CAST(0.0 AS DOUBLE) END AS b,
+         CAST(0.0 AS DOUBLE) AS x
+  FROM documents d CROSS JOIN srcs s LEFT JOIN degs g ON d.doc_id = g.node
+)""",
+    ]
+    for t in range(1, FC_ITERS + 1):
+        prev = f"f{t - 1}"
+        parts.append(
+            f""", f{t} AS MATERIALIZED (
+  SELECT s.u, s.node, s.deg, s.b,
+         {1.0 - FC_OMEGA} * s.x + {FC_OMEGA} * (s.b + coalesce(m.m, 0.0)) / (s.deg + 1.0) AS x
+  FROM {prev} s LEFT JOIN (
+    SELECT e.dst AS node, p.u, sum(e.weight * p.x) AS m
+    FROM uedges e JOIN {prev} p ON e.src = p.node GROUP BY e.dst, p.u
+  ) m ON s.node = m.node AND s.u = m.u
+)"""
+        )
+    parts.append(f"SELECT u, node, round(x, 7) AS x FROM f{FC_ITERS}")
+    return "\n".join(parts)
+
+
+@register("forest_column_jacobi10", _forest_oracle_sql())
+def q_forest_column_jacobi10(spark, sf_dir):
+    """Forest matrix columns (ForestCentrality.cpp semantics: the diagonal/
+    columns of (I+L)^(-1), the shifted nonsingular system) for 3 fixed
+    source nodes — deterministic 10-sweep damped-Jacobi twin of the
+    converged shifted block-CG (operators/electrical.py:forest_centrality,
+    numpy-pinned in tests/test_forest.py)."""
+    from networkit_spark.operators.electrical import forest_matrix_columns_jacobi
+
+    n = _n_docs(spark, sf_dir)
+    e = doc_edges_undirected(spark, sf_dir)
+    out = forest_matrix_columns_jacobi(
+        e, nodes_range(spark, n), FC_SOURCES, iterations=FC_ITERS, omega=FC_OMEGA
+    )
+    return out.select("u", "node", F.round("x", 7).alias("x"))

@@ -86,11 +86,14 @@ def laplacian_cg(
     k: int,
     tol: float = 1e-10,
     max_iterations: int = 300,
+    shift: float = 0.0,
 ) -> DataFrame:
-    """Solve ``L x_i = b_i`` for k right-hand sides at once.
+    """Solve ``(L + shift*I) x_i = b_i`` for k right-hand sides at once.
 
     ``edges``: undirected rows (will be symmetrized); ``b``: (node, b:
-    array<double> length k), each b_i summing to zero per component.
+    array<double> length k), each b_i summing to zero per component when
+    ``shift == 0`` (singular L); any b when ``shift > 0`` (the shifted
+    system is SPD nonsingular — used by the forest matrix, shift=1).
     Returns (node, x: array<double>). Block CG: per iteration one edge-join
     matvec shuffle + two one-row aggregations.
     """
@@ -141,7 +144,7 @@ def laplacian_cg(
                 "node", "deg", "x", "r", "p",
                 F.transform(
                     F.arrays_zip(F.col("p").alias("p"), F.col("m").alias("m")),
-                    lambda z: F.col("deg") * z["p"] - z["m"],
+                    lambda z: (F.col("deg") + F.lit(float(shift))) * z["p"] - z["m"],
                 ).alias("ap"),
             )
             .localCheckpoint(eager=True)
@@ -445,3 +448,147 @@ def effective_resistance_jacobi(
     )
     sym.unpersist()
     return out
+
+
+def create_augmented_graph(und_edges: DataFrame, nodes: DataFrame) -> tuple[DataFrame, int]:
+    """``GraphTools::createAugmentedGraph`` — a universal root node (id = n)
+    connected to every existing node with unit weight; returns the
+    symmetrized augmented edge table and the root id. The reference's
+    ForestCentrality requires its input in this form
+    (ForestCentrality.cpp:31-34); forest distances in G equal effective
+    resistances in the augmented graph (public identity, Angriman et al.)."""
+    n = nodes.count()
+    spokes = nodes.select(
+        F.col("id").alias("src"),
+        F.lit(n).cast("long").alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+    aug = (
+        und_edges.select("src", "dst", F.col("weight").cast("double").alias("weight"))
+        .unionByName(spokes)
+        .unionByName(spokes.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"))
+    )
+    return aug, n
+
+
+def forest_centrality(
+    und_edges: DataFrame,
+    nodes: DataFrame | None = None,
+    k: int = 128,
+    seed: int = 42,
+    exact_diag: bool = False,
+    tol: float = 1e-9,
+    max_iterations: int = 300,
+) -> DataFrame:
+    """Forest closeness centrality (ForestCentrality.cpp:109-147).
+
+    The forest matrix is ``Omega = (I + L)^(-1)`` (Chebotarev-Shamis);
+    forest distance ``rho(u,v) = Omega_uu + Omega_vv - 2 Omega_uv``, and
+    because ``Omega 1 = 1`` the farness collapses to the reference's closed
+    form ``n * diag[u] + trace(Omega) - 2`` (computeScores,
+    ForestCentrality.cpp:139-147); score = n / farness.
+
+    The reference estimates diag(Omega) by sampling uniform spanning trees
+    of the augmented graph with a sequential PRNG plus one CG solve
+    (sampleUSTs/solveLinearSystem). Spark-first replacement: the SAME
+    block-CG kernel as the rest of this module on the SHIFTED system
+    ``(L + I) x = b`` — nonsingular SPD, so no probe centering or nullspace
+    care is needed. ``exact_diag=True`` solves e_i per node (test mode);
+    otherwise diag ~= mean_i q_i * x_i over k Rademacher probes (public
+    Hutchinson estimator). Returns (node, score, diag). Works per connected
+    component (the shifted system never couples components, matching the
+    augmented-graph construction applied per component)."""
+    nodes = nodes if nodes is not None else nodes_from_edges(und_edges)
+    n = nodes.count()
+    if exact_diag:
+        k = n
+        b = nodes.select(
+            F.col("id").alias("node"),
+            F.array(
+                *[
+                    F.when(F.col("id") == i, F.lit(1.0)).otherwise(F.lit(0.0))
+                    for i in range(n)
+                ]
+            ).alias("b"),
+        )
+        x = laplacian_cg(und_edges, b, k, tol=tol, max_iterations=max_iterations, shift=1.0)
+        diag = x.select("node", F.element_at("x", F.col("node").cast("int") + 1).alias("diag"))
+    else:
+        q_arr = F.array(*[_rademacher(F.col("id"), F.lit(seed), F.lit(i)) for i in range(k)])
+        b = nodes.select(F.col("id").alias("node"), q_arr.alias("b"))
+        x = laplacian_cg(und_edges, b, k, tol=tol, max_iterations=max_iterations, shift=1.0)
+        qv = F.array(*[_rademacher(F.col("node"), F.lit(seed), F.lit(i)) for i in range(k)])
+        diag = x.select(
+            "node",
+            (
+                F.aggregate(
+                    F.zip_with(qv, F.col("x"), lambda a_, b_: a_ * b_),
+                    F.lit(0.0),
+                    lambda acc, d: acc + d,
+                )
+                / F.lit(float(k))
+            ).alias("diag"),
+        )
+    trace = diag.agg(F.sum("diag")).first()[0] or 0.0
+    return diag.select(
+        "node",
+        (
+            F.lit(float(n))
+            / (F.lit(float(n)) * F.col("diag") + F.lit(float(trace)) - F.lit(2.0))
+        ).alias("score"),
+        "diag",
+    )
+
+
+def forest_matrix_columns_jacobi(
+    edges: DataFrame,
+    nodes: DataFrame,
+    sources: list[int],
+    iterations: int = 10,
+    omega: float = 0.5,
+) -> DataFrame:
+    """Deterministic fixed-iteration oracle twin for the forest kernel:
+    ``iterations`` damped-Jacobi sweeps of the shifted system
+    ``(I + L) x = e_u`` per source u — x converges to column u of the
+    forest matrix ``(I + L)^(-1)``. Same unrolled join+agg recurrence as
+    :func:`effective_resistance_jacobi` with denominator ``deg + 1``
+    (strictly diagonally dominant, so plain Jacobi converges); isolated
+    nodes are included (their row is just ``x = b``). Long format
+    (u, node, x)."""
+    spark = edges.sparkSession
+    sym = _und_sym(edges).select("src", "dst", "weight").persist()
+    deg = sym.groupBy(F.col("src").alias("node")).agg(F.sum("weight").alias("deg"))
+    src_df = spark.createDataFrame([(int(u),) for u in sources], "u long")
+    st = (
+        nodes.select(F.col("id").alias("node"))
+        .join(deg, "node", "left")
+        .select("node", F.coalesce("deg", F.lit(0.0)).alias("deg"))
+        .crossJoin(F.broadcast(src_df))
+        .select(
+            "u", "node", "deg",
+            F.when(F.col("node") == F.col("u"), F.lit(1.0)).otherwise(F.lit(0.0)).alias("b"),
+            F.lit(0.0).alias("x"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iterations):
+        msgs = (
+            sym.join(st.select(F.col("node").alias("src"), "u", "x"), "src")
+            .groupBy(F.col("dst").alias("node"), "u")
+            .agg(F.sum(F.col("weight") * F.col("x")).alias("m"))
+        )
+        st = (
+            st.join(msgs, ["node", "u"], "left")
+            .select(
+                "u", "node", "deg", "b",
+                (
+                    F.lit(1.0 - omega) * F.col("x")
+                    + F.lit(omega)
+                    * (F.col("b") + F.coalesce(F.col("m"), F.lit(0.0)))
+                    / (F.col("deg") + F.lit(1.0))
+                ).alias("x"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    sym.unpersist()
+    return st.select("u", "node", "x")
