@@ -3391,3 +3391,65 @@ def q_forest_column_jacobi10(spark, sf_dir):
         e, nodes_range(spark, n), FC_SOURCES, iterations=FC_ITERS, omega=FC_OMEGA
     )
     return out.select("u", "node", F.round("x", 7).alias("x"))
+
+
+# ---------------------------------------------------------------------------
+# LPDegreeOrdered (SURVEY §2.7, LPDegreeOrdered.cpp:18-90): degree-staged
+# label propagation — 2 sweeps x 3 ascending degree buckets, unweighted
+# neighbor counts, ties -> smallest label (reference tie-break is
+# hash-map-order-unspecified; pinned deterministic here).
+# ---------------------------------------------------------------------------
+
+LPDO_SWEEPS = 2
+
+
+def _lpdo_oracle_sql() -> str:
+    parts = [
+        f"WITH {UEDGES_CTE}",
+        """, lpdeg AS MATERIALIZED (
+  SELECT src AS node, count(*) AS deg FROM uedges GROUP BY src
+), d0 AS MATERIALIZED (
+  SELECT d.doc_id AS node, d.doc_id AS label,
+         coalesce(g.deg, 0) AS deg,
+         CASE WHEN coalesce(g.deg, 0) <= 1 THEN 0
+              WHEN coalesce(g.deg, 0) <= 3 THEN 1
+              ELSE 2 END AS bkt
+  FROM documents d LEFT JOIN lpdeg g ON d.doc_id = g.node
+)""",
+    ]
+    k = 0
+    for _s in range(LPDO_SWEEPS):
+        for b in range(3):
+            prev = f"d{k}"
+            k += 1
+            parts.append(
+                f""", d{k} AS MATERIALIZED (
+  SELECT s.node,
+         CASE WHEN s.bkt = {b} AND s.deg > 0 AND t.lab IS NOT NULL
+              THEN t.lab ELSE s.label END AS label,
+         s.deg, s.bkt
+  FROM {prev} s LEFT JOIN (
+    SELECT node, lab FROM (
+      SELECT e.dst AS node, p.label AS lab,
+             row_number() OVER (
+               PARTITION BY e.dst ORDER BY count(*) DESC, p.label ASC
+             ) AS rn
+      FROM uedges e JOIN {prev} p ON e.src = p.node
+      GROUP BY e.dst, p.label
+    ) WHERE rn = 1
+  ) t ON s.node = t.node
+)"""
+            )
+    parts.append(f"SELECT node, label FROM d{k}")
+    return "\n".join(parts)
+
+
+@register("lp_degree_ordered", _lpdo_oracle_sql())
+def q_lp_degree_ordered(spark, sf_dir):
+    """Degree-staged label propagation, 2 fixed sweeps (LPDegreeOrdered
+    analog; buckets = degree classes <=1 / <=3 / rest so no global sort)."""
+    from networkit_spark.operators.plp import lp_degree_ordered_fixed
+
+    n = _n_docs(spark, sf_dir)
+    e = doc_edges_undirected(spark, sf_dir)
+    return lp_degree_ordered_fixed(e, nodes_range(spark, n), sweeps=LPDO_SWEEPS)

@@ -183,3 +183,148 @@ def plp_fixed(edges: DataFrame, nodes: DataFrame, iterations: int) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+# ---------------------------------------------------------------------------
+# LPDegreeOrdered (LPDegreeOrdered.cpp:18-90): label propagation sweeping
+# nodes in increasing degree order, each node seeing labels already updated
+# earlier in the same sweep. The literal order is a sequential chain; the
+# scale-honest parallel analog stages each sweep into ascending DEGREE-CLASS
+# buckets — all nodes of a bucket update synchronously, seeing the current
+# labels (which already include this sweep's lower-degree buckets). Bucket
+# boundaries are degree-value thresholds (no global sort / single-task
+# window). Counts are UNWEIGHTED (+1 per neighbor) like the reference
+# (labelCounts[lw] += 1); reference tie-break is hash-map order
+# (unspecified) — here pinned deterministic: highest count, then smallest
+# label.
+# ---------------------------------------------------------------------------
+
+LP_DEG_THRESHOLDS = (1, 3)  # buckets: deg<=1 | deg<=3 | rest
+
+
+def _degree_bucket(deg_col, thresholds=LP_DEG_THRESHOLDS):
+    b = F.lit(len(thresholds))
+    for i, t in reversed(list(enumerate(thresholds))):
+        b = F.when(deg_col <= t, F.lit(i)).otherwise(b)
+    return b
+
+
+def lp_degree_ordered_fixed(
+    edges: DataFrame,
+    nodes: DataFrame,
+    sweeps: int,
+    thresholds=LP_DEG_THRESHOLDS,
+) -> DataFrame:
+    """Fixed-sweep degree-ordered LP (deterministic, oracle-expressible):
+    ``sweeps`` passes, each staged over len(thresholds)+1 ascending degree
+    buckets. Returns (node, label). ``edges`` symmetrized undirected."""
+    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))
+    labels = (
+        nodes.select(F.col("id").alias("node"), F.col("id").alias("label"))
+        .join(deg, "node", "left")
+        .select(
+            "node", "label",
+            F.coalesce("deg", F.lit(0)).alias("deg"),
+        )
+        .withColumn("bkt", _degree_bucket(F.col("deg"), thresholds))
+        .localCheckpoint(eager=True)
+    )
+    n_buckets = len(thresholds) + 1
+    for _ in range(sweeps):
+        for b in range(n_buckets):
+            # only bucket-b nodes update this stage: semi-join prunes the
+            # gather to their in-edges before the count shuffle
+            targets = labels.filter(
+                (F.col("bkt") == b) & (F.col("deg") > 0)
+            ).select(F.col("node").alias("dst"))
+            cand = (
+                edges.join(targets, "dst", "leftsemi")
+                .join(labels.select(F.col("node").alias("src"), "label"), "src")
+                .groupBy(F.col("dst").alias("node"), "label")
+                .agg(F.count("*").cast("double").alias("w"))
+            )
+            best = _argmax_labels(cand)
+            labels = (
+                labels.join(best, "node", "left")
+                .select(
+                    "node",
+                    F.when(
+                        (F.col("bkt") == b) & (F.col("deg") > 0) & F.col("nlabel").isNotNull(),
+                        F.col("nlabel"),
+                    )
+                    .otherwise(F.col("label"))
+                    .alias("label"),
+                    "deg", "bkt",
+                )
+                .localCheckpoint(eager=True)
+            )
+    return labels.select("node", "label")
+
+
+class LPDegreeOrdered:
+    """Convergence-driven wrapper: sweeps until updated labels <= n/1e5
+    (the reference's theta) or ``max_sweeps``."""
+
+    def __init__(self, max_sweeps: int = 100, thresholds=LP_DEG_THRESHOLDS):
+        self.max_sweeps = max_sweeps
+        self.thresholds = thresholds
+
+    def run(self, edges: DataFrame, nodes: DataFrame | None = None) -> PLPResult:
+        nodes = nodes if nodes is not None else nodes_from_edges(edges)
+        n = nodes.count()
+        theta = max(0, int(n / 1e5))
+        cur = lp_degree_ordered_fixed(edges, nodes, 1, self.thresholds)
+        sweeps = 1
+        converged = False
+        while sweeps < self.max_sweeps:
+            nxt = _lp_degree_sweep_from(edges, cur, self.thresholds)
+            sweeps += 1
+            changed = (
+                nxt.alias("a")
+                .join(cur.alias("b"), "node")
+                .filter(F.col("a.label") != F.col("b.label"))
+                .count()
+            )
+            cur = nxt
+            if changed <= theta:
+                converged = True
+                break
+        return PLPResult(labels_df=cur, iterations=sweeps, converged=converged, metrics=[])
+
+
+def _lp_degree_sweep_from(edges: DataFrame, labels: DataFrame, thresholds=LP_DEG_THRESHOLDS) -> DataFrame:
+    """One degree-staged sweep starting from an existing (node, label)."""
+    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))
+    st = (
+        labels.select("node", "label")
+        .join(deg, "node", "left")
+        .select("node", "label", F.coalesce("deg", F.lit(0)).alias("deg"))
+        .withColumn("bkt", _degree_bucket(F.col("deg"), thresholds))
+        .localCheckpoint(eager=True)
+    )
+    for b in range(len(thresholds) + 1):
+        targets = st.filter(
+            (F.col("bkt") == b) & (F.col("deg") > 0)
+        ).select(F.col("node").alias("dst"))
+        cand = (
+            edges.join(targets, "dst", "leftsemi")
+            .join(st.select(F.col("node").alias("src"), "label"), "src")
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count("*").cast("double").alias("w"))
+        )
+        best = _argmax_labels(cand)
+        st = (
+            st.join(best, "node", "left")
+            .select(
+                "node",
+                F.when(
+                    (F.col("bkt") == b) & (F.col("deg") > 0) & F.col("nlabel").isNotNull(),
+                    F.col("nlabel"),
+                )
+                .otherwise(F.col("label"))
+                .alias("label"),
+                "deg", "bkt",
+            )
+            .localCheckpoint(eager=True)
+        )
+    return st.select("node", "label")
