@@ -153,3 +153,56 @@ def measure_correlations(
         for a, b in pairs
     ]
     return row.select(F.explode(F.array(*structs)).alias("x")).select("x.*")
+
+
+def measure_histogram(mt: DataFrame, measure: str, bins: int = 10) -> DataFrame:
+    """Equal-width histogram of one measure (Profile's per-measure histogram
+    panel). Two passes: one min/max agg, one binned count; bin edges are
+    [min + i*w, min + (i+1)*w), last bin closed. Returns
+    (measure, bin, lo, hi, count)."""
+    c = F.col(measure).cast("double")
+    row = mt.agg(F.min(c).alias("lo"), F.max(c).alias("hi")).first()
+    lo, hi = float(row["lo"] or 0.0), float(row["hi"] or 0.0)
+    if hi <= lo:
+        return mt.agg(F.count(c).alias("count")).select(
+            F.lit(measure).alias("measure"), F.lit(0).alias("bin"),
+            F.lit(lo).alias("lo"), F.lit(hi).alias("hi"), "count",
+        )
+    w = (hi - lo) / bins
+    b = F.least(F.lit(bins - 1), F.floor((c - F.lit(lo)) / F.lit(w))).cast("int")
+    return (
+        mt.select(b.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("count"))
+        .select(
+            F.lit(measure).alias("measure"),
+            "bin",
+            (F.lit(lo) + F.col("bin") * F.lit(w)).alias("lo"),
+            (F.lit(lo) + (F.col("bin") + 1) * F.lit(w)).alias("hi"),
+            "count",
+        )
+    )
+
+
+def profile(
+    und_edges: DataFrame,
+    nodes: DataFrame,
+    measures: tuple[str, ...] = ("degree", "lcc", "triangles"),
+    histogram_bins: int = 10,
+) -> dict:
+    """One-call Profile.create analog: returns the numbers the reference's
+    HTML report renders — {'measures': wide per-node table, 'stats': long
+    stat battery, 'correlations': Pearson/Spearman pairs, 'histograms':
+    binned counts per measure} — all as DataFrames (mt is persisted; caller
+    unpersists)."""
+    mt = node_measures(und_edges, nodes, measures).persist()
+    mt.count()
+    hists = measure_histogram(mt, measures[0], histogram_bins)
+    for m in measures[1:]:
+        hists = hists.unionByName(measure_histogram(mt, m, histogram_bins))
+    return {
+        "measures": mt,
+        "stats": measure_stats(mt, measures),
+        "correlations": measure_correlations(mt, measures),
+        "histograms": hists,
+    }

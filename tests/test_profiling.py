@@ -90,3 +90,30 @@ def test_measure_correlations(mt):
         spearman = np.corrcoef(_avg_rank(vals[a]), _avg_rank(vals[b]))[0, 1]
         assert r["pearson"] == pytest.approx(pearson, abs=1e-6)
         assert r["spearman"] == pytest.approx(spearman, abs=1e-6)
+
+
+def test_measure_histogram(mt):
+    from networkit_spark.profiling import measure_histogram
+
+    out = measure_histogram(mt, "degree", bins=3).collect()
+    # degrees [2,2,3,2,1,0]: lo=0, hi=3, w=1 -> bins 0:[0,1) 1:[1,2) 2:[2,3]
+    got = {r["bin"]: r["count"] for r in out}
+    assert got == {0: 1, 1: 1, 2: 4}
+    assert sum(got.values()) == N
+
+
+def test_profile_one_call(mt, spark):
+    from pyspark.sql import functions as F
+
+    from networkit_spark.profiling import profile
+
+    und = spark.createDataFrame(
+        [(a, b) for a, b in EDGES] + [(b, a) for a, b in EDGES],
+        "src bigint, dst bigint",
+    ).withColumn("weight", F.lit(1.0))
+    p = profile(und, spark.range(N), ("degree", "lcc"))
+    assert p["measures"].count() == N
+    assert p["stats"].count() == 2
+    assert p["correlations"].count() == 1
+    assert {r["measure"] for r in p["histograms"].collect()} == {"degree", "lcc"}
+    p["measures"].unpersist()
