@@ -134,15 +134,18 @@ def test_random_node_edge_semantics(spark):
     p = 0.4
     s = random_node_edge_score(e, seed=9)
     kept = {(r["src"], r["dst"]) for r in s.filter(F.col("score") <= p).collect()}
-    hashes = {}
-    for r in s.collect():
-        pass
-    # recompute node hashes exactly as the score does
+    # recompute node hashes with the score's exact expression (seed literal
+    # type matters to xxhash64, so build it with F like the implementation)
+    h = (F.abs(F.xxhash64(F.col("id"), F.lit(9))) % F.lit(1_000_000_007)) / 1_000_000_007.0
     node_h = {
         r["id"]: r["h"]
-        for r in e.selectExpr("src AS id").distinct().selectExpr(
-            "id", f"(abs(xxhash64(id, 9L)) % 1000000007) / 1000000007.0 AS h"
-        ).collect()
+        for r in (
+            e.selectExpr("src AS id")
+            .union(e.selectExpr("dst AS id"))
+            .distinct()
+            .select("id", h.alias("h"))
+            .collect()
+        )
     }
     expect = {
         (r["src"], r["dst"])
