@@ -204,6 +204,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         entry_queries_graph,
         entry_queries_misc,
         entry_queries_profile,
+        entry_queries_round4,
         entry_queries_sparsify,
         entry_queries_text,
     )
@@ -216,6 +217,7 @@ def all_oracles() -> dict[str, str]:
         entry_queries_graph,
         entry_queries_misc,
         entry_queries_profile,
+        entry_queries_round4,
         entry_queries_sparsify,
         entry_queries_text,
     )

@@ -1,0 +1,558 @@
+"""Round-4 gate queries: NodeDistance family (Jaccard / Adamic-Adar edge
+distances, sampled r-ball Volume, bounded + bidirectional Dijkstra,
+ReverseBFS), the remaining community comparison measures
+(NodeStructuralRand + sampled twins, Conductance, DynamicNMIDistance,
+LocalCoverEvaluation), LocalPartitionCoverage, and HashingOverlapper.
+
+Every query pairs the Spark operator with an independently-derived DuckDB
+oracle over the shared deterministic documents graph (``testgraph.py``);
+seeded estimators use the portable md5 draw so both engines replay the
+identical sample.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from networkit_spark.entry_queries import register
+from networkit_spark.graph import nodes_range
+from networkit_spark.operators.sampling import draw_sql
+from networkit_spark.operators.overlap import djb2_sql
+from networkit_spark.testgraph import (
+    EDGES_CTE,
+    UEDGES_CTE,
+    doc_edges,
+    doc_edges_undirected,
+)
+
+
+def _n_docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+
+def _mod_labels(spark, sf_dir, k):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.col("doc_id").cast("long").alias("node"),
+        (F.col("doc_id") % k).cast("long").alias("label"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LocalPartitionCoverage (centrality) — mod-10 partition
+# ---------------------------------------------------------------------------
+
+@register(
+    "local_partition_coverage",
+    f"""
+WITH {UEDGES_CTE}
+SELECT d.doc_id AS node,
+       round(coalesce(
+           sum(CASE WHEN e.src % 10 = e.dst % 10 THEN e.weight END)
+           / sum(e.weight), 0.0), 7) AS score
+FROM documents d LEFT JOIN uedges e ON e.src = d.doc_id
+GROUP BY d.doc_id
+""",
+)
+def q_local_partition_coverage(spark, sf_dir):
+    """Same-cluster incident weight fraction per node
+    (``LocalPartitionCoverage.cpp:12-30``) under the mod-10 partition."""
+    from networkit_spark.operators.centrality import local_partition_coverage
+
+    e = doc_edges_undirected(spark, sf_dir)
+    labels = _mod_labels(spark, sf_dir, 10)
+    return local_partition_coverage(e, labels).select(
+        "node", F.round("score", 7).alias("score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Node-structural Rand dissimilarity (exact + sampled twins)
+# ---------------------------------------------------------------------------
+
+@register(
+    "node_structural_rand",
+    """
+WITH ct AS (SELECT doc_id % 6 AS la, doc_id % 10 AS lb, count(*) AS c
+            FROM documents GROUP BY 1, 2),
+tot AS (SELECT count(*) AS n FROM documents),
+s AS (SELECT sum(c * (c - 1) / 2.0) AS v FROM ct),
+sa AS (SELECT sum(m * (m - 1) / 2.0) AS v FROM (SELECT sum(c) AS m FROM ct GROUP BY la)),
+sb AS (SELECT sum(m * (m - 1) / 2.0) AS v FROM (SELECT sum(c) AS m FROM ct GROUP BY lb))
+SELECT round(1.0 - (n * (n - 1) / 2.0 + 2 * s.v - (sa.v + sb.v))
+             / (n * (n - 1) / 2.0), 7) AS dissimilarity
+FROM tot, s, sa, sb
+""",
+)
+def q_node_structural_rand(spark, sf_dir):
+    """Rand dissimilarity over ALL node pairs between the mod-6 and mod-10
+    partitions (``NodeStructuralRandMeasure.cpp:13-60``)."""
+    from networkit_spark.operators.community import node_structural_rand
+
+    a = _mod_labels(spark, sf_dir, 6)
+    b = _mod_labels(spark, sf_dir, 10)
+    d = node_structural_rand(a, b)
+    return spark.createDataFrame([(round(d, 7),)], "dissimilarity double")
+
+
+@register(
+    "sampled_node_structural_rand",
+    f"""
+WITH tot AS (SELECT count(*) AS n FROM documents),
+draws AS (
+    SELECT {draw_sql('snsr_u', 42, 'i')} % n AS u,
+           {draw_sql('snsr_v', 42, 'i')} % n AS v
+    FROM range(64) t(i), tot
+),
+kept AS (SELECT u, v FROM draws WHERE u <> v)
+SELECT round(1.0 - avg(CASE WHEN (u % 6 = v % 6 AND u % 10 = v % 10)
+                              OR (u % 6 <> v % 6 AND u % 10 <> v % 10)
+                       THEN 1.0 ELSE 0.0 END), 7) AS dissimilarity
+FROM kept
+""",
+)
+def q_sampled_node_structural_rand(spark, sf_dir):
+    """Sampled twin (``SampledNodeStructuralRandMeasure.cpp:17-48``) with
+    the portable md5 pair draws, 64 samples."""
+    from networkit_spark.operators.community import sampled_node_structural_rand
+
+    a = _mod_labels(spark, sf_dir, 6)
+    b = _mod_labels(spark, sf_dir, 10)
+    n = _n_docs(spark, sf_dir)
+    d = sampled_node_structural_rand(a, b, n, samples=64, seed=42)
+    return spark.createDataFrame([(round(d, 7),)], "dissimilarity double")
+
+
+@register(
+    "sampled_graph_structural_rand",
+    f"""
+WITH {UEDGES_CTE},
+adj AS (SELECT src, dst,
+               row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
+        FROM uedges),
+deg AS (SELECT src AS u, count(*) AS d FROM uedges GROUP BY src),
+draws AS (
+    SELECT {draw_sql('sgsr_u', 42, 'i')} % n AS u,
+           {draw_sql('sgsr_i', 42, 'i')} AS ri
+    FROM range(64) t(i), nn
+),
+picked AS (
+    SELECT w.u, a.dst AS v
+    FROM draws w
+    JOIN deg dg ON dg.u = w.u
+    JOIN adj a ON a.src = w.u AND a.idx = w.ri % dg.d
+)
+SELECT round(1.0 - avg(CASE WHEN (u % 6 = v % 6 AND u % 10 = v % 10)
+                              OR (u % 6 <> v % 6 AND u % 10 <> v % 10)
+                       THEN 1.0 ELSE 0.0 END), 7) AS dissimilarity
+FROM picked
+""",
+)
+def q_sampled_graph_structural_rand(spark, sf_dir):
+    """Sampled graph-structural Rand
+    (``SampledGraphStructuralRandMeasure.cpp:17-50``): portable node draw,
+    neighbor picked by rank in dst-ascending adjacency order."""
+    from networkit_spark.operators.community import sampled_graph_structural_rand
+
+    e = doc_edges_undirected(spark, sf_dir)
+    a = _mod_labels(spark, sf_dir, 6)
+    b = _mod_labels(spark, sf_dir, 10)
+    n = _n_docs(spark, sf_dir)
+    d = sampled_graph_structural_rand(e, a, b, n, samples=64, seed=42)
+    return spark.createDataFrame([(round(d, 7),)], "dissimilarity double")
+
+
+# ---------------------------------------------------------------------------
+# Conductance (2-partition) + DynamicNMIDistance
+# ---------------------------------------------------------------------------
+
+@register(
+    "conductance_halves",
+    f"""
+WITH {UEDGES_CTE},
+lab AS (SELECT e.weight,
+               CASE WHEN e.src * 2 < n THEN 0 ELSE 1 END AS ls,
+               CASE WHEN e.dst * 2 < n THEN 0 ELSE 1 END AS ld
+        FROM uedges e, nn),
+per AS (SELECT ls, sum(weight) AS vol,
+               sum(CASE WHEN ls <> ld THEN weight ELSE 0 END) AS cut
+        FROM lab GROUP BY ls)
+SELECT round((SELECT max(cut) FROM per) / (SELECT min(vol) FROM per), 7)
+       AS conductance
+""",
+)
+def q_conductance_halves(spark, sf_dir):
+    """Conductance of the lower/upper-half 2-partition
+    (``Conductance.cpp:12-47``: cut / min volume)."""
+    from networkit_spark.operators.community import conductance_2partition
+
+    e = doc_edges_undirected(spark, sf_dir)
+    n = _n_docs(spark, sf_dir)
+    labels = _mod_labels(spark, sf_dir, 1).select(
+        "node", F.when(F.col("node") * 2 < n, 0).otherwise(1).cast("long").alias("label")
+    )
+    c = conductance_2partition(e, labels)
+    return spark.createDataFrame([(round(c, 7),)], "conductance double")
+
+
+@register(
+    "dynamic_nmi",
+    """
+WITH tot0 AS (SELECT count(*) AS n FROM documents),
+ct AS (SELECT doc_id % 6 AS la, doc_id % 10 AS lb, count(*) AS c
+       FROM documents, tot0 WHERE doc_id * 5 < 4 * n GROUP BY 1, 2),
+tot AS (SELECT sum(c) AS s FROM ct),
+ma AS (SELECT la, sum(c) AS ca FROM ct GROUP BY la),
+mb AS (SELECT lb, sum(c) AS cb FROM ct GROUP BY lb),
+mi AS (SELECT sum((c * 1.0 / s) * log2(c * 1.0 * s / (ca * cb))) AS v
+       FROM ct JOIN ma USING (la) JOIN mb USING (lb), tot),
+ha AS (SELECT -sum((ca * 1.0 / s) * log2(ca * 1.0 / s)) AS v FROM ma, tot),
+hb AS (SELECT -sum((cb * 1.0 / s) * log2(cb * 1.0 / s)) AS v FROM mb, tot)
+SELECT round(CASE WHEN ha.v + hb.v = 0 THEN 0.0
+             ELSE least(1.0, greatest(0.0, 1.0 - 2 * mi.v / (ha.v + hb.v)))
+             END, 7) AS nmid
+FROM mi, ha, hb
+""",
+)
+def q_dynamic_nmi(spark, sf_dir):
+    """``DynamicNMIDistance.cpp:26-126``: NMID between an 'old' clustering
+    (mod 6, defined on the first 80% of nodes — the pre-growth graph) and
+    the 'new' one (mod 10, all nodes), restricted to common nodes."""
+    from networkit_spark.operators.community import dynamic_nmi
+
+    n = _n_docs(spark, sf_dir)
+    old = _mod_labels(spark, sf_dir, 6).filter(F.col("node") * 5 < 4 * n)
+    new = _mod_labels(spark, sf_dir, 10)
+    d = dynamic_nmi(old, new)
+    return spark.createDataFrame([(round(d, 7),)], "nmid double")
+
+
+# ---------------------------------------------------------------------------
+# HashingOverlapper
+# ---------------------------------------------------------------------------
+
+_HKEY = "(xor(la, 65535) * 65536 + xor(lb, 65535))"
+
+@register(
+    "hashing_overlap",
+    f"""
+WITH pairs AS (SELECT doc_id AS node, doc_id % 6 AS la, doc_id % 10 AS lb
+               FROM documents),
+keyed AS (SELECT node, {_HKEY} AS k FROM pairs),
+hashed AS (SELECT node, {djb2_sql('k', width=4)} AS h FROM keyed),
+ranks AS (SELECT h, CAST(dense_rank() OVER (ORDER BY h) - 1 AS BIGINT) AS label
+          FROM (SELECT DISTINCT h FROM hashed))
+SELECT x.node, r.label FROM hashed x JOIN ranks r USING (h)
+""",
+)
+def q_hashing_overlap(spark, sf_dir):
+    """Core partition combining mod-6 and mod-10 via the reference's exact
+    djb2-of-key recipe incl. the zero-byte early stop and ascending-hash
+    compaction (``HashingOverlapper.cpp:14-77``)."""
+    from networkit_spark.operators.overlap import hashing_overlapper
+
+    a = _mod_labels(spark, sf_dir, 6)
+    b = _mod_labels(spark, sf_dir, 10)
+    return hashing_overlapper([a, b]).select("node", "label")
+
+
+# ---------------------------------------------------------------------------
+# Jaccard / Adamic-Adar edge distances (distance module attributizers)
+# ---------------------------------------------------------------------------
+
+_CANON_TRI = f"""
+WITH {UEDGES_CTE},
+deg AS (SELECT src AS node, count(*) AS d FROM uedges GROUP BY src),
+canon AS (SELECT src AS u, dst AS v FROM uedges WHERE src < dst),
+cn AS (SELECT c.u, c.v, e1.dst AS w
+       FROM canon c
+       JOIN uedges e1 ON e1.src = c.u
+       JOIN uedges e2 ON e2.src = c.v AND e2.dst = e1.dst)
+"""
+
+@register(
+    "jaccard_distance_edges",
+    _CANON_TRI
+    + """,
+tri AS (SELECT u, v, count(*) AS t FROM cn GROUP BY u, v)
+SELECT c.u AS src, c.v AS dst,
+       round(coalesce(t.t, 0) * 1.0 / (du.d + dv.d - coalesce(t.t, 0)), 7) AS score,
+       round(1.0 - coalesce(t.t, 0) * 1.0 / (du.d + dv.d - coalesce(t.t, 0)), 7) AS distance
+FROM canon c
+LEFT JOIN tri t ON t.u = c.u AND t.v = c.v
+JOIN deg du ON du.node = c.u
+JOIN deg dv ON dv.node = c.v
+""",
+)
+def q_jaccard_distance_edges(spark, sf_dir):
+    """Per-edge Jaccard distance 1 - t/(du+dv-t)
+    (``JaccardDistance.cpp:40-42``)."""
+    from networkit_spark.operators.node_distance import jaccard_distance
+
+    e = doc_edges_undirected(spark, sf_dir)
+    return jaccard_distance(e).select(
+        "src", "dst",
+        F.round("score", 7).alias("score"),
+        F.round("distance", 7).alias("distance"),
+    )
+
+
+@register(
+    "adamic_adar_edges",
+    _CANON_TRI
+    + """,
+aa AS (SELECT cn.u, cn.v, sum(1.0 / ln(dw.d)) AS aa
+       FROM cn JOIN deg dw ON dw.node = cn.w GROUP BY cn.u, cn.v)
+SELECT c.u AS src, c.v AS dst,
+       round(coalesce(a.aa, 0.0), 7) AS aa,
+       round(1.0 / a.aa, 7) AS distance
+FROM canon c LEFT JOIN aa a ON a.u = c.u AND a.v = c.v
+""",
+)
+def q_adamic_adar_edges(spark, sf_dir):
+    """Per-edge Adamic-Adar sum over common neighbors and its reciprocal
+    distance (``AdamicAdarDistance.cpp:29-54``); triangle-free edges have
+    aa = 0 and NULL distance (the reference's inf)."""
+    from networkit_spark.operators.node_distance import adamic_adar_distance
+
+    e = doc_edges_undirected(spark, sf_dir)
+    return adamic_adar_distance(e).select(
+        "src", "dst",
+        F.round("aa", 7).alias("aa"),
+        F.round("distance", 7).alias("distance"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Volume (sampled r-ball), bounded SSSP, bidirectional Dijkstra, ReverseBFS
+# ---------------------------------------------------------------------------
+
+@register(
+    "volume_r2",
+    f"""
+WITH {UEDGES_CTE},
+draws AS (SELECT i AS sample_id, {draw_sql('vol', 42, 'i')} % n AS source
+          FROM range(8) t(i), nn),
+b0 AS (SELECT sample_id, source AS node FROM draws),
+l1 AS (SELECT DISTINCT b.sample_id, e.dst AS node
+       FROM b0 b JOIN uedges e ON e.src = b.node),
+a1 AS (SELECT sample_id, node FROM b0 UNION SELECT sample_id, node FROM l1),
+l2 AS (SELECT DISTINCT b.sample_id, e.dst AS node
+       FROM a1 b JOIN uedges e ON e.src = b.node),
+a2 AS (SELECT sample_id, node FROM a1 UNION SELECT sample_id, node FROM l2)
+SELECT d.sample_id, d.source, CAST(count(*) AS BIGINT) AS ball
+FROM draws d JOIN a2 USING (sample_id)
+GROUP BY d.sample_id, d.source
+""",
+)
+def q_volume_r2(spark, sf_dir):
+    """Sampled 2-ball sizes, 8 portable seeded sources
+    (``Volume.cpp:14-45``; unit weights make the ball a 2-hop BFS)."""
+    from networkit_spark.operators.node_distance import ball_sizes
+
+    e = doc_edges_undirected(spark, sf_dir)
+    n = _n_docs(spark, sf_dir)
+    return ball_sizes(e, r=2.0, samples=8, seed=42, n=n).select(
+        "sample_id", "source", "ball"
+    )
+
+
+def _weighted_sssp_oracle(source: int, limit: float | None, rounds: int,
+                          final: str) -> str:
+    """Unrolled min-plus rounds over the (1 + (src+dst)%3)-weighted directed
+    graph; optional per-prefix distance horizon."""
+    guard = f"WHERE p.dist + e.w <= {limit}" if limit is not None else ""
+    parts = [
+        f"WITH {EDGES_CTE}",
+        ", wedges AS (SELECT src, dst, 1.0 + (src + dst) % 3 AS w FROM edges)",
+        f", s0 AS (SELECT CAST({source} AS BIGINT) AS node, 0.0 AS dist)",
+    ]
+    for k in range(1, rounds + 1):
+        prev = f"s{k - 1}"
+        parts.append(
+            f", s{k} AS MATERIALIZED (SELECT node, min(dist) AS dist FROM ("
+            f" SELECT node, dist FROM {prev}"
+            f" UNION ALL"
+            f" SELECT e.dst AS node, p.dist + e.w AS dist"
+            f" FROM wedges e JOIN {prev} p ON e.src = p.node {guard}"
+            f") GROUP BY node)"
+        )
+    parts.append(final.format(last=f"s{rounds}"))
+    return "\n".join(parts)
+
+
+@register(
+    "bounded_sssp_limit4",
+    _weighted_sssp_oracle(
+        0, 4.0, 4, "SELECT node, round(dist, 7) AS dist FROM {last}"
+    ),
+)
+def q_bounded_sssp_limit4(spark, sf_dir):
+    """IncompleteDijkstra analog: weighted distances from node 0 pruned to
+    the 4.0 horizon (weights 1 + (src+dst)%3 on the directed graph). Four
+    min-plus rounds are exact: every admissible path has <= 4 unit-or-more
+    edges and every prefix also fits the horizon."""
+    from networkit_spark.operators.node_distance import bounded_sssp
+
+    e = doc_edges(spark, sf_dir).withColumn(
+        "weight", 1.0 + (F.col("src") + F.col("dst")) % 3
+    )
+    return bounded_sssp(e, 0, 4.0).select("node", F.round("dist", 7).alias("dist"))
+
+
+@register(
+    "bidir_dijkstra_0_97",
+    _weighted_sssp_oracle(
+        0, None, 12,
+        "SELECT round(dist, 7) AS dist FROM {last} WHERE node = 97",
+    ),
+)
+def q_bidir_dijkstra_0_97(spark, sf_dir):
+    """BidirectionalDijkstra s-t distance (0 -> 97) on the weighted directed
+    graph; the oracle runs 12 full min-plus rounds from the source (enough
+    to converge on this graph's hop diameter)."""
+    from networkit_spark.operators.node_distance import bidirectional_dijkstra
+
+    e = doc_edges(spark, sf_dir).withColumn(
+        "weight", 1.0 + (F.col("src") + F.col("dst")) % 3
+    )
+    d = bidirectional_dijkstra(e, 0, 97)
+    return spark.createDataFrame([(round(d, 7),)], "dist double")
+
+
+def _reverse_bfs_oracle_sql(source: int, rounds: int) -> str:
+    big = 1 << 40
+    parts = [
+        f"WITH {EDGES_CTE}",
+        f", d0 AS (SELECT doc_id AS node, CASE WHEN doc_id = {source} THEN 0 ELSE {big} END AS dist FROM documents)",
+    ]
+    for k in range(1, rounds + 1):
+        prev = f"d{k - 1}"
+        parts.append(
+            f", d{k} AS MATERIALIZED ("
+            f" SELECT n.node, least(n.dist, coalesce(t.nd, n.dist)) AS dist"
+            f" FROM {prev} n LEFT JOIN ("
+            f"   SELECT e.src AS node, min(p.dist + 1) AS nd"
+            f"   FROM edges e JOIN {prev} p ON e.dst = p.node GROUP BY e.src"
+            f" ) t ON n.node = t.node)"
+        )
+    parts.append(
+        f"SELECT node, CAST(CASE WHEN dist >= {big} THEN -1 ELSE dist END AS BIGINT) AS dist"
+        f" FROM d{rounds}"
+    )
+    return "\n".join(parts)
+
+
+@register("reverse_bfs_from0", _reverse_bfs_oracle_sql(0, 10))
+def q_reverse_bfs_from0(spark, sf_dir):
+    """ReverseBFS.cpp: hop distances from node 0 following IN-edges
+    (-1 = unreached within 10 rounds, mirroring bfs_from0_fixed10)."""
+    from networkit_spark.operators.node_distance import reverse_bfs
+
+    e = doc_edges(spark, sf_dir)
+    n = _n_docs(spark, sf_dir)
+    d = reverse_bfs(e, 0)
+    return (
+        nodes_range(spark, n).select(F.col("id").alias("node"))
+        .join(d, "node", "left")
+        .select("node", F.coalesce(F.col("dist"), F.lit(-1)).cast("long").alias("dist"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# LocalCoverEvaluation — two-membership synthetic cover
+# ---------------------------------------------------------------------------
+
+@register(
+    "local_cover_eval",
+    f"""
+WITH {UEDGES_CTE},
+cov AS (SELECT doc_id AS node, doc_id % 6 AS label FROM documents
+        UNION ALL
+        SELECT doc_id, 6 + doc_id % 10 FROM documents),
+lab AS (SELECT e.weight, m.label, md.node AS in_c
+        FROM uedges e
+        JOIN cov m ON m.node = e.src
+        LEFT JOIN cov md ON md.node = e.dst AND md.label = m.label),
+per AS (SELECT label, sum(weight) AS vol,
+               sum(CASE WHEN in_c IS NULL THEN weight ELSE 0 END) AS cut,
+               sum(CASE WHEN in_c IS NOT NULL THEN 1 ELSE 0 END) / 2.0 AS intra
+        FROM lab GROUP BY label),
+sz AS (SELECT label, count(*) AS size FROM cov GROUP BY label),
+tv AS (SELECT sum(weight) AS tv FROM uedges),
+n2 AS (SELECT count(DISTINCT node) AS n2 FROM cov)
+SELECT s.label, CAST(s.size AS BIGINT) AS size,
+       round(CASE WHEN s.size > 1
+             THEN coalesce(p.intra, 0) / (s.size * (s.size - 1) / 2.0)
+             ELSE 1.0 END, 7) AS intra_density,
+       round(CASE WHEN least(coalesce(p.vol, 0), tv - coalesce(p.vol, 0)) > 0
+             THEN coalesce(p.cut, 0) / least(coalesce(p.vol, 0), tv - coalesce(p.vol, 0))
+             ELSE 0.0 END, 7) AS iso_conductance,
+       round(CASE WHEN least(s.size, n2 - s.size) > 0
+             THEN coalesce(p.cut, 0) / least(s.size, n2 - s.size)
+             ELSE 0.0 END, 7) AS iso_expansion
+FROM sz s LEFT JOIN per p USING (label), tv, n2
+""",
+)
+def q_local_cover_eval(spark, sf_dir):
+    """Cover-based local evaluation (``LocalCoverEvaluation.cpp`` routing of
+    the IntrapartitionDensity / IsolatedInterpartition* metrics): every node
+    belongs to clusters (node%6) and 6+(node%10)."""
+    from networkit_spark.operators.community import local_cover_evaluation
+
+    e = doc_edges_undirected(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("node")
+    )
+    cover = docs.select("node", (F.col("node") % 6).alias("label")).union(
+        docs.select("node", (F.col("node") % 10 + 6).alias("label"))
+    )
+    r = local_cover_evaluation(e, cover)
+    return r.select(
+        "label",
+        F.col("size").cast("long").alias("size"),
+        F.round("intra_density", 7).alias("intra_density"),
+        F.round("iso_conductance", 7).alias("iso_conductance"),
+        F.round("iso_expansion", 7).alias("iso_expansion"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TopHarmonicCloseness (exact top-10)
+# ---------------------------------------------------------------------------
+
+def _allpairs_harmonic_oracle(rounds: int, k: int) -> str:
+    parts = [
+        f"WITH {UEDGES_CTE}",
+        ", a0 AS (SELECT doc_id AS source, doc_id AS node, 0 AS dist FROM documents)",
+    ]
+    for i in range(1, rounds + 1):
+        prev = f"a{i - 1}"
+        parts.append(
+            f", a{i} AS MATERIALIZED (SELECT source, node, min(dist) AS dist FROM ("
+            f" SELECT source, node, dist FROM {prev}"
+            f" UNION ALL"
+            f" SELECT p.source, e.dst AS node, p.dist + 1 AS dist"
+            f" FROM uedges e JOIN {prev} p ON e.src = p.node"
+            f") GROUP BY source, node)"
+        )
+    parts.append(
+        f"SELECT node, round(sum(1.0 / dist), 7) AS score"
+        f" FROM a{rounds} WHERE dist > 0 GROUP BY node"
+        f" ORDER BY sum(1.0 / dist) DESC, node ASC LIMIT {k}"
+    )
+    return "\n".join(parts)
+
+
+@register("top_harmonic_k10", _allpairs_harmonic_oracle(10, 10))
+def q_top_harmonic_k10(spark, sf_dir):
+    """Exact top-10 harmonic closeness (``TopHarmonicCloseness.cpp``; the
+    all-source multi-wave is the distributed strategy, ranking is one
+    top-k)."""
+    from networkit_spark.operators.closeness import top_harmonic_closeness
+
+    e = doc_edges_undirected(spark, sf_dir)
+    n = _n_docs(spark, sf_dir)
+    return top_harmonic_closeness(e, nodes_range(spark, n), k=10).select(
+        "node", F.round("score", 7).alias("score")
+    )

@@ -155,3 +155,28 @@ def betweenness(
         .join(out, "node", "left")
         .fillna({"score": 0.0})
     )
+
+
+def estimate_betweenness(
+    edges: DataFrame,
+    n_samples: int,
+    nodes: DataFrame | None = None,
+    normalized: bool = False,
+    seed: int = 42,
+) -> DataFrame:
+    """``EstimateBetweenness.cpp``: Brandes over ``n_samples`` sampled
+    source pivots, scores scaled by n/#samples — a named front door over
+    :func:`betweenness`'s sampled path. Pivot choice is the portable seeded
+    draw (sample s -> node md5-draw(s) % n), so reruns and engines agree."""
+    from networkit_spark.graph import nodes_from_edges
+    from networkit_spark.operators.sampling import _draw
+
+    nodes = nodes if nodes is not None else nodes_from_edges(edges)
+    n = nodes.count()
+    spark = edges.sparkSession
+    src = (
+        spark.range(n_samples)
+        .select((_draw("estbc", seed, F.col("id")) % n).alias("id"))
+        .distinct()
+    )
+    return betweenness(edges, nodes, sources=src, normalized=normalized)

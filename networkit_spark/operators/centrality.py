@@ -319,3 +319,27 @@ def permanence(und_edges: DataFrame, labels: DataFrame) -> DataFrame:
             ).alias("permanence"),
         )
     )
+
+
+def local_partition_coverage(und_edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """(node, score): fraction of a node's incident edge weight that stays
+    inside its own cluster (``cpp/centrality/LocalPartitionCoverage.cpp:12-30``:
+    same-cluster neighbor weight / weightedDegree; isolated nodes score 0).
+    One labeled-edge pass + one groupBy(node)."""
+    la = labels.select(F.col("node").alias("src"), F.col("label").alias("ls"))
+    lb = labels.select(F.col("node").alias("dst"), F.col("label").alias("ld"))
+    per_node = (
+        und_edges.join(la, "src").join(lb, "dst")
+        .groupBy(F.col("src").alias("node"))
+        .agg(
+            (
+                F.sum(F.when(F.col("ls") == F.col("ld"), F.col("weight")).otherwise(0.0))
+                / F.sum("weight")
+            ).alias("score")
+        )
+    )
+    return (
+        labels.select("node")
+        .join(per_node, "node", "left")
+        .fillna({"score": 0.0})
+    )

@@ -76,3 +76,13 @@ def top_closeness(
         .orderBy(F.desc("score"), F.asc("node"))
         .limit(k)
     )
+
+
+def top_harmonic_closeness(
+    edges: DataFrame, nodes: DataFrame | None = None, k: int = 10
+) -> DataFrame:
+    """``TopHarmonicCloseness.cpp`` front door: exact top-k harmonic
+    closeness (the reference prunes per-node BFS with bounds; the batched
+    multi-source wave is the distributed strategy — every source advances
+    in one job, and the ranking is a single top-k)."""
+    return top_closeness(edges, nodes, k=k, harmonic=True)

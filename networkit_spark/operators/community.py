@@ -129,6 +129,138 @@ def jaccard_partition_similarity(a: DataFrame, b: DataFrame) -> float:
     return (s / denom) if denom else 1.0
 
 
+def node_structural_rand(a: DataFrame, b: DataFrame) -> float:
+    """Node-structural Rand *dissimilarity* over all node pairs
+    (``NodeStructuralRandMeasure.cpp:13-60``): with contingency cells s,
+    marginals sa/sb and total pairs T, agreement A = T + 2s - (sa+sb) and
+    the measure is 1 - A/T — exactly ``1 - rand_index``."""
+    return 1.0 - rand_index(a, b)
+
+
+def sampled_node_structural_rand(
+    a: DataFrame, b: DataFrame, n: int, samples: int, seed: int = 42
+) -> float:
+    """Sampled twin (``SampledNodeStructuralRandMeasure.cpp:17-48``):
+    dis = 1 - (n11 + n00)/kept over sampled node pairs.
+
+    The reference redraws until ``maxSamples`` valid pairs; we draw a fixed
+    portable sequence (pair s = (md5-draw(s) % n, md5-draw'(s) % n)) and keep
+    the u != v ones, so any engine replays the identical sample — same
+    estimator, deterministic across partitionings. Assumes dense ids 0..n-1.
+    """
+    from networkit_spark.operators.sampling import _draw
+
+    spark = a.sparkSession
+    pairs = spark.range(samples).select(
+        (_draw("snsr_u", seed, F.col("id")) % n).alias("u"),
+        (_draw("snsr_v", seed, F.col("id")) % n).alias("v"),
+    ).filter(F.col("u") != F.col("v"))
+    la = a.select(F.col("node").alias("u"), F.col("label").alias("au"))
+    lb = a.select(F.col("node").alias("v"), F.col("label").alias("av"))
+    lc = b.select(F.col("node").alias("u"), F.col("label").alias("bu"))
+    ld = b.select(F.col("node").alias("v"), F.col("label").alias("bv"))
+    j = pairs.join(la, "u").join(lb, "v").join(lc, "u").join(ld, "v")
+    agree = (
+        ((F.col("au") == F.col("av")) & (F.col("bu") == F.col("bv")))
+        | ((F.col("au") != F.col("av")) & (F.col("bu") != F.col("bv")))
+    ).cast("double")
+    row = j.agg(F.count("*").alias("k"), F.sum(agree).alias("s")).first()
+    return 1.0 - (row["s"] or 0.0) / row["k"] if row["k"] else 0.0
+
+
+def sampled_graph_structural_rand(
+    und_edges: DataFrame, a: DataFrame, b: DataFrame, n: int,
+    samples: int, seed: int = 42,
+) -> float:
+    """Sampled graph-structural Rand
+    (``SampledGraphStructuralRandMeasure.cpp:17-50``): sample a node u, then
+    a uniform neighbor v, score agreement of the two partitions on the edge.
+
+    Portable determinization: u_s = md5-draw(s) % n (samples landing on
+    isolated nodes are dropped instead of redrawn), v = the neighbor at
+    index md5-draw'(s) % deg(u) in (u's dst-ascending adjacency order) —
+    replayable in SQL via a row_number window.
+    """
+    from networkit_spark.operators.sampling import _draw
+
+    spark = und_edges.sparkSession
+    from pyspark.sql import Window
+
+    adj = und_edges.select("src", "dst").withColumn(
+        "idx",
+        F.row_number().over(Window.partitionBy("src").orderBy("dst")) - 1,
+    )
+    deg = und_edges.groupBy(F.col("src").alias("u")).agg(F.count("*").alias("d"))
+    draws = spark.range(samples).select(
+        F.col("id").alias("s"),
+        (_draw("sgsr_u", seed, F.col("id")) % n).alias("u"),
+        _draw("sgsr_i", seed, F.col("id")).alias("ri"),
+    )
+    picked = (
+        draws.join(deg, "u")
+        .select("s", "u", (F.col("ri") % F.col("d")).alias("idx"))
+        .join(adj.withColumnRenamed("src", "u"), ["u", "idx"])
+        .select("u", F.col("dst").alias("v"))
+    )
+    la = a.select(F.col("node").alias("u"), F.col("label").alias("au"))
+    lb = a.select(F.col("node").alias("v"), F.col("label").alias("av"))
+    lc = b.select(F.col("node").alias("u"), F.col("label").alias("bu"))
+    ld = b.select(F.col("node").alias("v"), F.col("label").alias("bv"))
+    j = picked.join(la, "u").join(lb, "v").join(lc, "u").join(ld, "v")
+    agree = (
+        ((F.col("au") == F.col("av")) & (F.col("bu") == F.col("bv")))
+        | ((F.col("au") != F.col("av")) & (F.col("bu") != F.col("bv")))
+    ).cast("double")
+    row = j.agg(F.count("*").alias("k"), F.sum(agree).alias("s")).first()
+    return 1.0 - (row["s"] or 0.0) / row["k"] if row["k"] else 0.0
+
+
+def conductance_2partition(und_edges: DataFrame, labels: DataFrame) -> float:
+    """Conductance of a 2-partition (``Conductance.cpp:12-47``):
+    cut / min(vol(C0), vol(C1)), volumes = summed weighted degrees. One
+    labeled-edge pass over the symmetrized table (each undirected edge
+    contributes to both sides' volume via its two directed rows, and each
+    cut edge contributes its weight once per side — matching EdgeCut's
+    single count after the /2)."""
+    lab = _labeled_edges(und_edges, labels)
+    per = lab.groupBy("ls").agg(
+        F.sum("weight").alias("vol"),
+        F.sum(F.when(F.col("ls") != F.col("ld"), F.col("weight")).otherwise(0.0)).alias("cut"),
+    ).collect()
+    if len(per) != 2:
+        raise ValueError("conductance needs exactly 2 non-empty clusters")
+    cut = per[0]["cut"]  # symmetric: each side counts the same cut edges
+    denom = min(p["vol"] for p in per)
+    return (cut / denom) if denom > 0 else 0.0
+
+
+def dynamic_nmi(old_labels: DataFrame, new_labels: DataFrame) -> float:
+    """``DynamicNMIDistance.cpp:26-126``: NMI dissimilarity between an old
+    and a new clustering of a changed graph — restricted to nodes present
+    in BOTH labelings (isInBoth), log base 2, arithmetic-mean normalization
+    NMID = 1 - 2·MI/(H_old + H_new) (0 when both entropies vanish), clamped
+    to [0, 1]."""
+    ct = _contingency(old_labels, new_labels).collect()
+    n = sum(r["c"] for r in ct)
+    if n == 0:
+        return 0.0
+    pa, pb = {}, {}
+    for r in ct:
+        pa[r["la"]] = pa.get(r["la"], 0) + r["c"]
+        pb[r["lb"]] = pb.get(r["lb"], 0) + r["c"]
+    mi = sum(
+        (r["c"] / n) * math.log2(r["c"] * n / (pa[r["la"]] * pb[r["lb"]]))
+        for r in ct
+    )
+    h_old = -sum((c / n) * math.log2(c / n) for c in pa.values())
+    h_new = -sum((c / n) * math.log2(c / n) for c in pb.values())
+    h_sum = h_old + h_new
+    if abs(h_sum) < 1e-12:
+        return 0.0
+    nmid = 1.0 - (2.0 * mi) / h_sum
+    return min(1.0, max(0.0, nmid))
+
+
 def nmi(a: DataFrame, b: DataFrame) -> float:
     """Normalized mutual information (max-normalized).
     Ref: ``NMIDistance`` (``community.pyx:1102``) returns 1 - NMI."""
@@ -335,6 +467,54 @@ def graph_structural_rand(und_edges: DataFrame, a: DataFrame, b: DataFrame) -> f
     if row["m"] == 0:
         raise ValueError("graph-structural rand measure undefined without edges")
     return 1.0 - row["e"] / row["m"]
+
+
+def local_cover_evaluation(und_edges: DataFrame, cover: DataFrame) -> DataFrame:
+    """Per-cluster local evaluation for a COVER (multi-membership
+    ``(node, label)`` rows) — the cover twin of
+    :func:`local_partition_evaluation` (``LocalCoverEvaluation.cpp`` routes
+    the same IntrapartitionDensity / IsolatedInterpartitionConductance /
+    Expansion metrics through Cover memberships).
+
+    Per cluster C: intra edges have BOTH endpoints in C; vol(C) = summed
+    weighted degree of members; cut(C) = weight from a member to a
+    non-member *of C* (an endpoint in another shared cluster still counts
+    as cut unless it is also in C — membership, not label equality, decides).
+
+    Plan: explode memberships, join edges to the src membership, left-join
+    the (dst, label) membership pairs to classify intra vs cut — two hash
+    joins + one groupBy(label), no per-cluster work.
+    """
+    mem_src = cover.select(F.col("node").alias("src"), "label")
+    mem_dst = cover.select(
+        F.col("node").alias("dst"), F.col("label").alias("label"), F.lit(1).alias("in_c")
+    )
+    lab = und_edges.join(mem_src, "src").join(mem_dst, ["dst", "label"], "left")
+    per_label = lab.groupBy("label").agg(
+        F.sum("weight").alias("vol"),
+        F.sum(F.when(F.col("in_c").isNull(), F.col("weight")).otherwise(0.0)).alias("cut"),
+        (F.sum(F.when(F.col("in_c").isNotNull(), F.lit(1)).otherwise(0)) / 2).alias("intra_cnt"),
+    )
+    sizes = cover.groupBy("label").agg(F.count("*").alias("size"))
+    total_volume = und_edges.agg(F.sum("weight")).first()[0] or 0.0
+    n = cover.select("node").distinct().count()
+    j = sizes.join(per_label, "label", "left").select(
+        "label",
+        "size",
+        F.coalesce(F.col("vol"), F.lit(0.0)).alias("vol"),
+        F.coalesce(F.col("cut"), F.lit(0.0)).alias("cut"),
+        F.coalesce(F.col("intra_cnt"), F.lit(0.0)).alias("intra_cnt"),
+    )
+    possible = (F.col("size") * (F.col("size") - 1) / 2.0)
+    cond_den = F.least(F.col("vol"), F.lit(float(total_volume)) - F.col("vol"))
+    exp_den = F.least(F.col("size"), F.lit(n) - F.col("size"))
+    return j.select(
+        "label",
+        "size",
+        F.when(possible > 0, F.col("intra_cnt") / possible).otherwise(1.0).alias("intra_density"),
+        F.when(cond_den > 0, F.col("cut") / cond_den).otherwise(0.0).alias("iso_conductance"),
+        F.when(exp_den > 0, F.col("cut") / exp_den).otherwise(0.0).alias("iso_expansion"),
+    )
 
 
 def cover_f1_similarity(cover: DataFrame, reference: DataFrame) -> DataFrame:
