@@ -852,14 +852,17 @@ def q_harmonic_fixed8(spark, sf_dir):
     return out.select("node", F.round("score", 7).alias("score"))
 
 
-def _betweenness_oracle_sql(rounds: int = 8) -> str:
+def _betweenness_oracle_sql(rounds: int = 8, srcs_sql: str | None = None) -> str:
     """Brandes unrolled: level-synchronous forward BFS with path counts
-    sigma from the 10 fixed sources, then backward dependency accumulation
-    level by level (``delta(u@l) = sum_{w@l+1 adj} sigma_u/sigma_w *
-    (1+delta_w)``), scale n/k (EstimateBetweenness semantics)."""
+    sigma from the fixed source set (default: the 10 doc_id%50==0 pivots;
+    ``srcs_sql`` overrides with any SELECT yielding one column ``s``), then
+    backward dependency accumulation level by level (``delta(u@l) =
+    sum_{w@l+1 adj} sigma_u/sigma_w * (1+delta_w)``), scale n/k
+    (EstimateBetweenness semantics)."""
+    srcs = srcs_sql or "SELECT doc_id AS s FROM documents WHERE doc_id % 50 = 0"
     parts = [
         f"WITH {UEDGES_CTE}",
-        """, srcs AS (SELECT doc_id AS s FROM documents WHERE doc_id % 50 = 0),
+        f""", srcs AS ({srcs}),
 b0 AS (SELECT s AS source, s AS node, 0 AS dist, CAST(1.0 AS DOUBLE) AS sigma FROM srcs)""",
     ]
     for k in range(1, rounds + 1):

@@ -556,3 +556,202 @@ def q_top_harmonic_k10(spark, sf_dir):
     return top_harmonic_closeness(e, nodes_range(spark, n), k=10).select(
         "node", F.round("score", 7).alias("score")
     )
+
+
+# ---------------------------------------------------------------------------
+# EstimateBetweenness (portable sampled pivots)
+# ---------------------------------------------------------------------------
+
+def _estimate_bc_srcs_sql() -> str:
+    return (
+        "SELECT DISTINCT " + draw_sql("estbc", 42, "i") + " % n AS s "
+        "FROM range(8) t(i), nn"
+    )
+
+
+def _estimate_bc_oracle() -> str:
+    from networkit_spark.entry_queries_graph import _betweenness_oracle_sql
+
+    return _betweenness_oracle_sql(8, srcs_sql=_estimate_bc_srcs_sql())
+
+
+@register("estimate_betweenness_s8", _estimate_bc_oracle())
+def q_estimate_betweenness_s8(spark, sf_dir):
+    """``EstimateBetweenness.cpp`` front door: Brandes from 8 portable
+    seeded pivots, scores scaled n/#pivots; oracle = the unrolled
+    level-synchronous Brandes with the same md5 pivot draw."""
+    from networkit_spark.operators.betweenness import estimate_betweenness
+
+    e = doc_edges_undirected(spark, sf_dir)
+    n = _n_docs(spark, sf_dir)
+    out = estimate_betweenness(e, n_samples=8, nodes=nodes_range(spark, n), seed=42)
+    return out.select("node", F.round("score", 6).alias("score"))
+
+
+# ---------------------------------------------------------------------------
+# ClusteringProjector — two-level coarsen + projectBackToFinest
+# ---------------------------------------------------------------------------
+
+@register(
+    "project_back_two_levels",
+    """
+SELECT doc_id AS node, CAST((doc_id % 10) % 4 AS BIGINT) AS label
+FROM documents
+""",
+)
+def q_project_back_two_levels(spark, sf_dir):
+    """Coarsen by mod-10, re-coarsen the coarse graph by mod-4, then
+    ``projectBackToFinest`` through the two-map hierarchy
+    (``ClusteringProjector.cpp:29-57``). The closed-form oracle follows
+    because every label is used at both levels, so each compaction is the
+    identity."""
+    from networkit_spark.operators.coarsening import (
+        coarsen_by_partition,
+        project_back_to_finest,
+    )
+
+    e = doc_edges_undirected(spark, sf_dir)
+    canon = e.filter(F.col("src") < F.col("dst"))
+    n = _n_docs(spark, sf_dir)
+    l1 = nodes_range(spark, n).select(
+        F.col("id").alias("node"), (F.col("id") % 10).alias("label")
+    )
+    c1, m1 = coarsen_by_partition(canon, l1)
+    l2 = m1.select("coarse").distinct().select(
+        F.col("coarse").alias("node"), (F.col("coarse") % 4).alias("label")
+    )
+    c2, m2 = coarsen_by_partition(c1, l2)
+    coarsest = m2.select("coarse").distinct().select(
+        F.col("coarse").alias("node"), F.col("coarse").alias("label")
+    )
+    out = project_back_to_finest(
+        [m1.withColumnRenamed("coarse", "coarse"), m2], coarsest
+    )
+    return out.select("node", F.col("label").cast("long").alias("label"))
+
+
+# ---------------------------------------------------------------------------
+# OverlappingNMIDistance (MAX normalization, reference default)
+# ---------------------------------------------------------------------------
+
+def _h(expr: str) -> str:
+    return (
+        f"(CASE WHEN ({expr}) > 0 THEN -({expr}) * log2(({expr}) * 1.0 / n) "
+        f"ELSE 0.0 END)"
+    )
+
+
+def _ent(expr: str) -> str:
+    return f"({_h(expr)} + {_h(f'n - ({expr})')})"
+
+
+def _onmi_oracle() -> str:
+    ha, hb = _h("n + d - sxs - sys"), _h("sys - d")
+    hc, hd = _h("sxs - d"), _h("d")
+    return f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+covx AS (SELECT doc_id AS node, doc_id % 6 AS i FROM documents
+         UNION ALL SELECT doc_id, 6 + doc_id % 4 FROM documents),
+covy AS (SELECT doc_id AS node, doc_id % 10 AS j FROM documents),
+sx AS (SELECT i, count(*) AS s FROM covx GROUP BY i),
+sy AS (SELECT j, count(*) AS s FROM covy GROUP BY j),
+inter AS (SELECT x.i, y.j, count(*) AS d
+          FROM covx x JOIN covy y USING (node) GROUP BY x.i, y.j),
+cand AS (SELECT t.i, t.j, sx.s AS sxs, sy.s AS sys, t.d,
+                {ha} + {hb} + {hc} + {hd} AS hxy,
+                ({ha} + {hd} >= {hb} + {hc}) AS adm
+         FROM inter t JOIN sx ON sx.i = t.i JOIN sy ON sy.j = t.j, nn),
+perx AS (SELECT i, min(hxy - {_ent('sys')}) AS hstar
+         FROM cand, nn WHERE adm GROUP BY i),
+pery AS (SELECT j, min(hxy - {_ent('sxs')}) AS hstar
+         FROM cand, nn WHERE adm GROUP BY j),
+condx AS (SELECT sum(least({_ent('sx.s')}, coalesce(px.hstar, {_ent('sx.s')}))) AS v
+          FROM sx LEFT JOIN perx px USING (i), nn),
+condy AS (SELECT sum(least({_ent('sy.s')}, coalesce(py.hstar, {_ent('sy.s')}))) AS v
+          FROM sy LEFT JOIN pery py USING (j), nn),
+hx AS (SELECT sum({_ent('s')}) AS v FROM sx, nn),
+hy AS (SELECT sum({_ent('s')}) AS v FROM sy, nn)
+SELECT round(1.0 - least(1.0, greatest(0.0,
+         0.5 * (hx.v - condx.v + hy.v - condy.v) / greatest(hx.v, hy.v))), 7)
+       AS distance
+FROM hx, hy, condx, condy
+"""
+
+
+@register("overlapping_nmi", _onmi_oracle())
+def q_overlapping_nmi(spark, sf_dir):
+    """Overlapping-NMI distance (MAX normalization) between cover X =
+    {node%6} u {6+node%4} (every node in two clusters) and partition Y =
+    node%10 (``OverlappingNMIDistance.cpp:205-266``)."""
+    from networkit_spark.operators.community import overlapping_nmi_distance
+
+    n = _n_docs(spark, sf_dir)
+    docs = nodes_range(spark, n).select(F.col("id").alias("node"))
+    covx = docs.select("node", (F.col("node") % 6).alias("label")).union(
+        docs.select("node", (F.col("node") % 4 + 6).alias("label"))
+    )
+    covy = docs.select("node", (F.col("node") % 10).alias("label"))
+    d = overlapping_nmi_distance(covx, covy, n)
+    return spark.createDataFrame([(round(d, 7),)], "distance double")
+
+
+# ---------------------------------------------------------------------------
+# ParallelAgglomerativeClusterer — one oracle-checked level
+# ---------------------------------------------------------------------------
+
+def _agglomerative_level1_oracle(rounds: int = 16) -> str:
+    parts = [
+        f"WITH {UEDGES_CTE}",
+        """, canon AS (SELECT src, dst, weight FROM uedges WHERE src < dst),
+om AS (SELECT sum(weight) AS o FROM canon),
+wdeg AS (SELECT src AS node, sum(weight) AS wd FROM uedges GROUP BY src),
+scored AS (SELECT c.src, c.dst,
+       c.weight / o - (du.wd / (2 * o)) * (dv.wd / (2 * o)) AS score
+   FROM canon c JOIN wdeg du ON du.node = c.src
+                JOIN wdeg dv ON dv.node = c.dst, om),
+live0 AS (SELECT src, dst, score FROM scored
+          UNION ALL SELECT dst, src, score FROM scored)""",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f""", pref{r} AS MATERIALIZED (
+  SELECT src AS node, dst AS partner FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src ORDER BY score DESC, dst ASC) AS rk
+    FROM live{r}) WHERE rk = 1),
+pairs{r} AS MATERIALIZED (
+  SELECT p.node AS u, p.partner AS v
+  FROM pref{r} p JOIN pref{r} q ON p.node = q.partner AND p.partner = q.node
+  WHERE p.node < p.partner),
+hit{r} AS (SELECT u AS node FROM pairs{r} UNION SELECT v FROM pairs{r}),
+live{r + 1} AS MATERIALIZED (
+  SELECT e.src, e.dst, e.score FROM live{r} e
+  WHERE e.src NOT IN (SELECT node FROM hit{r})
+    AND e.dst NOT IN (SELECT node FROM hit{r}))"""
+        )
+    union = " UNION ALL ".join(f"SELECT u, v FROM pairs{r}" for r in range(rounds))
+    parts.append(
+        f""", matched AS ({union}),
+rep AS (SELECT u AS node, u AS r FROM matched UNION ALL SELECT v, u FROM matched),
+lab AS (SELECT g.node, coalesce(rep.r, g.node) AS r
+        FROM (SELECT DISTINCT src AS node FROM uedges) g
+        LEFT JOIN rep ON rep.node = g.node),
+ranks AS (SELECT r, CAST(dense_rank() OVER (ORDER BY r) - 1 AS BIGINT) AS coarse
+          FROM (SELECT DISTINCT r FROM lab))
+SELECT l.node, k.coarse FROM lab l JOIN ranks k USING (r)"""
+    )
+    return "\n".join(parts)
+
+
+@register("agglomerative_level1", _agglomerative_level1_oracle(16))
+def q_agglomerative_level1(spark, sf_dir):
+    """One ParallelAgglomerativeClusterer level: modularity edge scores ->
+    16-round local-max handshake matching -> MatchingCoarsening node map
+    (``ParallelAgglomerativeClusterer.cpp:40-70``; matcher substitution
+    documented in operators/agglomerative.py). Output = (node, coarse)."""
+    from networkit_spark.operators.agglomerative import agglomerate_one_level
+
+    e = doc_edges_undirected(spark, sf_dir)
+    canon = e.filter(F.col("src") < F.col("dst"))
+    _, mapping = agglomerate_one_level(canon, matching_rounds=16)
+    return mapping.select("node", F.col("coarse").cast("long").alias("coarse"))

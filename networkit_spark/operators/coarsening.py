@@ -103,3 +103,45 @@ def coarsen_by_matching(
     if no_self_loops:
         coarse = coarse.filter(F.col("src") != F.col("dst"))
     return coarse, mapping
+
+
+def project_back(mapping: DataFrame, coarse_labels: DataFrame) -> DataFrame:
+    """ClusteringProjector::projectBack (``ClusteringProjector.cpp:13-27``):
+    each fine node inherits the cluster of its coarse node.
+
+    ``mapping``: (node, coarse) fine -> coarse; ``coarse_labels``:
+    (node, label) on the coarse graph. One hash join, no per-node work —
+    broadcastable whenever the coarse side is small.
+    """
+    return (
+        mapping.join(
+            coarse_labels.withColumnRenamed("node", "coarse"), "coarse"
+        ).select("node", "label")
+    )
+
+
+def project_back_to_finest(
+    maps: list[DataFrame], coarse_labels: DataFrame
+) -> DataFrame:
+    """ClusteringProjector::projectBackToFinest
+    (``ClusteringProjector.cpp:29-57``): compose the fine->coarse maps of a
+    coarsening hierarchy (finest first), then assign the coarsest cluster.
+
+    Each composition step is one join on the intermediate id; the chain is
+    #levels joins — each level's map is usually far smaller than the finest
+    graph, so later joins shrink geometrically.
+    """
+    if not maps:
+        return coarse_labels
+    cur = maps[0]
+    for m in maps[1:]:
+        cur = (
+            cur.join(
+                m.select(
+                    F.col("node").alias("coarse"), F.col("coarse").alias("next")
+                ),
+                "coarse",
+            )
+            .select("node", F.col("next").alias("coarse"))
+        )
+    return project_back(cur, coarse_labels)

@@ -553,3 +553,120 @@ def cover_f1_similarity(cover: DataFrame, reference: DataFrame) -> DataFrame:
             F.coalesce(F.col("best_f1"), F.lit(0.0)).alias("f1"),
         )
     )
+
+
+def overlapping_nmi_distance(
+    cover_x: DataFrame,
+    cover_y: DataFrame,
+    n: int,
+    normalization: str = "max",
+) -> float:
+    """Overlapping-NMI dissimilarity between two covers (McDaid/LFK style;
+    ``OverlappingNMIDistance.cpp:205-266``). Inputs are membership tables
+    (node, label); a node may appear under several labels. ``n`` = number
+    of graph nodes (the Bernoulli universe size).
+
+    Per cluster pair (i, j) with sizes sx, sy and intersection d the
+    adjusted conditional entropy (``:61-78``) uses the 2x2 contingency
+    (a = n + d - sx - sy, b = sy - d, c = sx - d, d); the min-over-j is
+    taken only where h(a)+h(d) >= h(b)+h(c), else it falls back to H(X_i).
+    MI = 0.5 * (H(X) - H(X|Y) + H(Y) - H(Y|X)); nmi normalized by
+    ``normalization`` in {min, geometric_mean, arithmetic_mean, max,
+    joint_entropy} (reference default MAX); distance = 1 - nmi.
+
+    Distributed shape: cluster sizes are two groupBys, intersections one
+    node join + groupBy — all cluster-count-sized; only scalars reach the
+    driver.
+    """
+    import math
+
+    def h_col(w):
+        return F.when(w > 0, -w.cast("double") * F.log2(w.cast("double") / n)).otherwise(0.0)
+
+    def ent_col(size):
+        return h_col(size) + h_col(F.lit(n) - size)
+
+    sx = cover_x.groupBy(F.col("label").alias("i")).agg(F.count("*").alias("sx"))
+    sy = cover_y.groupBy(F.col("label").alias("j")).agg(F.count("*").alias("sy"))
+    empty_x = sx.isEmpty()
+    empty_y = sy.isEmpty()
+    if empty_x != empty_y:
+        return 1.0
+    if empty_x and empty_y:
+        return 0.0
+    inter = (
+        cover_x.withColumnRenamed("label", "i")
+        .join(cover_y.withColumnRenamed("label", "j"), "node")
+        .groupBy("i", "j")
+        .agg(F.count("*").alias("d"))
+        .join(sx, "i")
+        .join(sy, "j")
+    )
+    a = F.lit(n) + F.col("d") - F.col("sx") - F.col("sy")
+    b = F.col("sy") - F.col("d")
+    c = F.col("sx") - F.col("d")
+    d = F.col("d")
+    star = (h_col(a) + h_col(b) + h_col(c) + h_col(d)).alias("hxy")
+    cand = inter.select(
+        "i",
+        "j",
+        "sx",
+        "sy",
+        star,
+        (h_col(a) + h_col(d) >= h_col(b) + h_col(c)).alias("adm"),
+    )
+
+    def cond_entropy(cand_df, sizes, key, other_key, size_col, other_size_col):
+        """sum_i min(H(X_i), min_admissible_j H*(X_i|Y_j))."""
+        per = (
+            cand_df.filter(F.col("adm"))
+            .select(
+                key,
+                (F.col("hxy") - ent_col(F.col(other_size_col))).alias("hstar"),
+            )
+            .groupBy(key)
+            .agg(F.min("hstar").alias("hstar"))
+        )
+        joined = sizes.join(per, key, "left").select(
+            F.least(
+                ent_col(F.col(size_col)),
+                F.coalesce(F.col("hstar"), F.lit(float("inf"))),
+            ).alias("hc")
+        )
+        return joined.agg(F.sum("hc")).first()[0] or 0.0
+
+    hx_given_y = cond_entropy(cand, sx, "i", "j", "sx", "sy")
+    hy_given_x = cond_entropy(
+        cand.select(F.col("j").alias("i2"), F.col("i").alias("j2"), "sx", "sy", "hxy", "adm")
+        .withColumnRenamed("i2", "i")
+        .withColumnRenamed("j2", "j"),
+        sy.withColumnRenamed("j", "i"),
+        "i",
+        "j",
+        "sy",
+        "sx",
+    )
+    hx = sx.select(ent_col(F.col("sx")).alias("e")).agg(F.sum("e")).first()[0] or 0.0
+    hy = sy.select(ent_col(F.col("sy")).alias("e")).agg(F.sum("e")).first()[0] or 0.0
+    mi = 0.5 * (hx - hx_given_y + hy - hy_given_x)
+
+    hx, hy = max(hx, 0.0), max(hy, 0.0)
+    if hx == 0.0 and hy == 0.0:
+        return 0.0  # nmi = 1 -> distance 0 (identical all-node covers)
+    if (hx == 0.0 or hy == 0.0) and normalization in ("min", "geometric_mean"):
+        return 1.0  # nmi = 0
+    if normalization == "min":
+        nmi = mi / min(hx, hy)
+    elif normalization == "geometric_mean":
+        nmi = mi / math.sqrt(hx * hy)
+    elif normalization == "arithmetic_mean":
+        nmi = 2 * mi / (hx + hy)
+    elif normalization == "max":
+        nmi = mi / max(hx, hy)
+    elif normalization == "joint_entropy":
+        nmi = mi / (hx + hy - mi)
+    else:
+        raise ValueError(f"unknown normalization {normalization!r}")
+    if math.isnan(nmi):
+        nmi = 0.0
+    return 1.0 - min(1.0, max(0.0, nmi))

@@ -302,3 +302,14 @@ def bidirectional_dijkstra(
             best = min(best, float(meet))
     ef.unpersist(), eb.unpersist()
     return None if best == float("inf") else best
+
+
+def graph_distance(
+    edges: DataFrame, u: int, v: int, weighted: bool = False
+) -> float | None:
+    """``distance/GraphDistance.cpp`` front door: the (weighted) distance
+    between two nodes — BFS when unweighted, Dijkstra otherwise; the
+    bidirectional pruned search is the distributed strategy for both.
+    Returns None when unreachable."""
+    e = edges if weighted else edges.withColumn("weight", F.lit(1.0))
+    return bidirectional_dijkstra(e, u, v)

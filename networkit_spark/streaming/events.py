@@ -302,3 +302,15 @@ def run_incremental_pipeline(
         q.awaitTermination()
         return q
     return writer.start()
+
+
+def update_weakly_components(
+    labels: DataFrame, edges_after: DataFrame, events: DataFrame
+) -> DataFrame:
+    """DynWeaklyConnectedComponents (``DynWeaklyConnectedComponents.cpp``):
+    weakly-connected components of a DIRECTED graph under an event batch.
+    Weak connectivity ignores direction, and both the addition merge path
+    and the removal recompute path here already symmetrize internally, so
+    the directed edge table feeds :func:`update_components` unchanged —
+    one front door, same incremental cost profile as the undirected twin."""
+    return update_components(labels, edges_after, events)
