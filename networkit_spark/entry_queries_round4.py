@@ -15,7 +15,9 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from networkit_spark.entry_queries import register
+from networkit_spark.entry_queries_graph import CC_ITERS, _cc_oracle_sql
 from networkit_spark.graph import nodes_range
+from networkit_spark.operators.components import components_fixed
 from networkit_spark.operators.sampling import draw_sql
 from networkit_spark.operators.overlap import djb2_sql
 from networkit_spark.testgraph import (
@@ -755,3 +757,159 @@ def q_agglomerative_level1(spark, sf_dir):
     canon = e.filter(F.col("src") < F.col("dst"))
     _, mapping = agglomerate_one_level(canon, matching_rounds=16)
     return mapping.select("node", F.col("coarse").cast("long").alias("coarse"))
+
+
+# ---------------------------------------------------------------------------
+# Round-4c: TwoPhaseL, RandomSpanningForest, DynAPSP, AffectedNodes
+# ---------------------------------------------------------------------------
+
+@register("two_phase_l_hubs")  # greedy add + removal sweep -> rows-only
+def q_two_phase_l_hubs(spark, sf_dir):
+    """TwoPhaseL SCD (``cpp/scd/TwoPhaseL.cpp``) batched over hub seeds
+    0..3; rows-only (phase-1 greedy argmax is not SQL-expressible) — the
+    sequential-replica parity lives in tests/test_round4c.py."""
+    from networkit_spark.operators.scd import two_phase_l
+
+    e = doc_edges_undirected(spark, sf_dir)
+    return two_phase_l(e, [0, 1, 2, 3]).orderBy("seed", "node")
+
+
+@register(
+    "random_spanning_forest_sizes",
+    _cc_oracle_sql(
+        CC_ITERS,
+        "SELECT label, CAST(count(*) - 1 AS BIGINT) AS tree_edges"
+        " FROM {last} GROUP BY label HAVING count(*) > 1",
+    ),
+)
+def q_random_spanning_forest_sizes(spark, sf_dir):
+    """Aldous-Broder uniform random spanning forest
+    (``components/RandomSpanningForest.cpp``): the sampled forest must put
+    exactly size-1 tree edges in every component — the oracle derives
+    component sizes independently by hash-min CC, so the cross-engine hash
+    pins the spanning invariant (edge-level determinism is pytest-pinned)."""
+    from networkit_spark.operators.spanning import random_spanning_forest
+
+    n = _n_docs(spark, sf_dir)
+    e = doc_edges_undirected(spark, sf_dir)
+    forest = random_spanning_forest(e, seed=42)
+    labels = components_fixed(e, nodes_range(spark, n), iterations=CC_ITERS)
+    return (
+        forest.join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy("label")
+        .agg(F.count("*").alias("tree_edges"))
+    )
+
+
+@register(
+    "dyn_apsp_insert_mid",
+    f"""
+WITH RECURSIVE {UEDGES_CTE},
+ev AS (SELECT CAST(0 AS BIGINT) AS u, CAST(n // 2 + 1 AS BIGINT) AS v FROM nn),
+post AS (
+  SELECT src, dst FROM uedges
+  UNION SELECT u, v FROM ev
+  UNION SELECT v, u FROM ev
+),
+walk(s, node, dist) AS (
+  SELECT doc_id, doc_id, CAST(0 AS BIGINT) FROM documents
+  UNION
+  SELECT w.s, e.dst, w.dist + 1
+  FROM walk w JOIN post e ON w.node = e.src WHERE w.dist < 12
+)
+SELECT s, node AS t, CAST(min(dist) AS BIGINT) AS dist
+FROM walk GROUP BY s, node
+""",
+)
+def q_dyn_apsp_insert_mid(spark, sf_dir):
+    """DynAPSP (``distance/DynAPSP.cpp:45-106``): init the (s, t, dist)
+    pair table on the graph WITHOUT edge (0, n/2+1), apply that insertion
+    event-granularly (closed-form affected-pair update), and return the
+    distances; the oracle recomputes APSP from scratch on the post-insert
+    graph by recursive BFS."""
+    from networkit_spark.streaming.dyn_centrality import (
+        dyn_apsp_distances,
+        dyn_apsp_init,
+        dyn_apsp_insert,
+    )
+
+    n = _n_docs(spark, sf_dir)
+    u, v = 0, n // 2 + 1
+    pre = doc_edges_undirected(spark, sf_dir).filter(
+        ~(
+            ((F.col("src") == u) & (F.col("dst") == v))
+            | ((F.col("src") == v) & (F.col("dst") == u))
+        )
+    )
+    P = dyn_apsp_init(pre.select("src", "dst"), nodes_range(spark, n))
+    P = dyn_apsp_insert(P, u, v, directed=False)
+    return dyn_apsp_distances(P).select(
+        "s", "t", F.col("dist").cast("long").alias("dist")
+    )
+
+
+@register(
+    "affected_nodes_add_mid",
+    f"""
+WITH RECURSIVE {UEDGES_CTE},
+ev AS (SELECT CAST(1 AS BIGINT) AS u, CAST(n // 2 AS BIGINT) AS v FROM nn),
+newe AS (
+  SELECT src, dst FROM uedges
+  UNION SELECT u, v FROM ev
+  UNION SELECT v, u FROM ev
+),
+olde AS (
+  SELECT e.src, e.dst FROM newe e, ev
+  WHERE NOT ((e.src = ev.u AND e.dst = ev.v) OR (e.src = ev.v AND e.dst = ev.u))
+),
+wou(node, dist) AS (
+  SELECT u, CAST(0 AS BIGINT) FROM ev
+  UNION
+  SELECT e.dst, w.dist + 1 FROM wou w JOIN olde e ON w.node = e.src WHERE w.dist < 30
+),
+wov(node, dist) AS (
+  SELECT v, CAST(0 AS BIGINT) FROM ev
+  UNION
+  SELECT e.dst, w.dist + 1 FROM wov w JOIN olde e ON w.node = e.src WHERE w.dist < 30
+),
+wnu(node, dist) AS (
+  SELECT u, CAST(0 AS BIGINT) FROM ev
+  UNION
+  SELECT e.dst, w.dist + 1 FROM wnu w JOIN newe e ON w.node = e.src WHERE w.dist < 30
+),
+wnv(node, dist) AS (
+  SELECT v, CAST(0 AS BIGINT) FROM ev
+  UNION
+  SELECT e.dst, w.dist + 1 FROM wnv w JOIN newe e ON w.node = e.src WHERE w.dist < 30
+),
+dou AS (SELECT node, min(dist) AS d FROM wou GROUP BY node),
+dov AS (SELECT node, min(dist) AS d FROM wov GROUP BY node),
+dnu AS (SELECT node, min(dist) AS d FROM wnu GROUP BY node),
+dnv AS (SELECT node, min(dist) AS d FROM wnv GROUP BY node),
+big AS (SELECT CAST('infinity' AS DOUBLE) AS inf)
+SELECT d.doc_id AS node,
+       least(coalesce(dou.d, (SELECT inf FROM big)),
+             coalesce(dov.d, (SELECT inf FROM big))) AS dist
+FROM documents d
+LEFT JOIN dou ON dou.node = d.doc_id
+LEFT JOIN dov ON dov.node = d.doc_id
+LEFT JOIN dnu ON dnu.node = d.doc_id
+LEFT JOIN dnv ON dnv.node = d.doc_id
+WHERE coalesce(dnu.d, (SELECT inf FROM big)) < coalesce(dou.d, (SELECT inf FROM big))
+   OR coalesce(dnv.d, (SELECT inf FROM big)) < coalesce(dov.d, (SELECT inf FROM big))
+""",
+)
+def q_affected_nodes_add_mid(spark, sf_dir):
+    """AffectedNodes for the undirected addition (1, n/2)
+    (``distance/AffectedNodes.cpp:31-174``): nodes whose hop distance from
+    u or v improved, reported at their PRE-event distance min(d_old_u,
+    d_old_v); the oracle re-derives both BFS frontiers by recursive CTE."""
+    from networkit_spark.operators.affected import affected_nodes
+
+    n = _n_docs(spark, sf_dir)
+    u, v = 1, n // 2
+    base = doc_edges_undirected(spark, sf_dir).select("src", "dst")
+    ev = spark.createDataFrame([(u, v), (v, u)], "src long, dst long")
+    post = base.union(ev).distinct()
+    nodes_df, _imp = affected_nodes(post, "EDGE_ADDITION", u, v, directed=False)
+    return nodes_df.select("node", F.col("dist").cast("double").alias("dist"))

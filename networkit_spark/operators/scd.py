@@ -486,3 +486,186 @@ def scd_ground_truth_comparison(
         .join(sc, "seed", "left")
         .fillna({"jaccard": 0.0, "f1": 0.0, "prec": 0.0, "rec": 0.0})
     )
+
+
+def two_phase_l(
+    und_edges: DataFrame,
+    seeds: list[int],
+    max_rounds: int = 100,
+) -> DataFrame:
+    """TwoPhaseL local community detection, batched over seeds.
+
+    Reference: ``cpp/scd/TwoPhaseL.cpp:13-114`` — quality
+    ``L = Lin / Lex`` with ``Lin = 2 W_int / |C|`` and ``Lex = cut /
+    boundarySize``.  Phase 1 greedily adds the shell node with the highest
+    new L among those that raise Lin (reference ties are random; here the
+    smallest node id — pinned).  Phase 2 sweeps the members (ascending id)
+    and removes any node unless removing it would BOTH lower Lin and raise
+    Lex (``:90-105``).  A community that lost one of its seeds returns
+    empty (``:107-112``).
+
+    Distributed shape: phase 1 is the batched-greedy SCD skeleton — every
+    seed advances per superstep; shell gains, boundary sizes and the
+    boundary-change correction (#members whose only external neighbor is
+    the candidate) are one member-edge join + two groupBys.  Phase 2 is
+    driver-side on the collected community subgraphs (community-sized,
+    the same profile as the reference's sequential sweep).
+
+    ``und_edges``: symmetric rows. Returns (seed, node) memberships.
+    """
+    spark = und_edges.sparkSession
+    e = und_edges.select("src", "dst", "weight").persist()
+    e.count()
+    wdeg_df = e.groupBy(F.col("src").alias("node")).agg(
+        F.sum("weight").alias("wdeg")
+    )
+
+    members = spark.createDataFrame(
+        [(s, s) for s in seeds], "seed long, node long"
+    ).localCheckpoint(eager=True)
+    active = set(seeds)
+    for _ in range(max_rounds):
+        if not active:
+            break
+        mem_src = members.select("seed", F.col("node").alias("src"))
+        mem_dst = members.select("seed", F.col("node").alias("dst"))
+        # member contributions: intdeg/extdeg per member
+        mcontrib = (
+            e.join(mem_src, "src")
+            .join(mem_dst.withColumn("in_c", F.lit(1)), ["seed", "dst"], "left")
+            .groupBy("seed", F.col("src").alias("node"))
+            .agg(
+                F.sum(F.when(F.col("in_c").isNotNull(), F.col("weight")).otherwise(0.0)).alias("intdeg"),
+                F.sum(F.when(F.col("in_c").isNull(), F.col("weight")).otherwise(0.0)).alias("extdeg"),
+            )
+        )
+        per_seed = mcontrib.groupBy("seed").agg(
+            (F.sum("intdeg") / 2).alias("W"),
+            F.sum("extdeg").alias("C"),
+            F.sum(F.when(F.col("extdeg") > 0, 1).otherwise(0)).alias("B"),
+            F.count("*").alias("size"),
+        )
+        stats = {
+            r["seed"]: (r["W"], r["C"], int(r["B"]), int(r["size"]))
+            for r in per_seed.collect()
+        }
+        # members whose ONLY external neighbor is x -> uniq_cnt(seed, x)
+        ext_pairs = (
+            e.join(mem_src, "src")
+            .join(mem_dst, ["seed", "dst"], "left_anti")
+            .select("seed", F.col("src").alias("member"), F.col("dst").alias("x"))
+        )
+        uniq = (
+            ext_pairs.groupBy("seed", "member")
+            .agg(F.count_distinct("x").alias("k"), F.max("x").alias("only"))
+            .filter(F.col("k") == 1)
+            .groupBy("seed", F.col("only").alias("node"))
+            .agg(F.count("*").alias("uniq_cnt"))
+        )
+        # shell infos
+        shell = (
+            e.join(mem_src, "src")
+            .join(mem_dst, ["seed", "dst"], "left_anti")
+            .groupBy("seed", F.col("dst").alias("node"))
+            .agg(F.sum("weight").alias("intdeg"))
+            .join(wdeg_df, "node")
+            .select(
+                "seed", "node", "intdeg",
+                (F.col("wdeg") - F.col("intdeg")).alias("extdeg"),
+            )
+            .join(uniq, ["seed", "node"], "left")
+            .fillna({"uniq_cnt": 0})
+        )
+        sdf = spark.createDataFrame(
+            [(s, *stats[s]) for s in active if s in stats],
+            "seed long, W double, C double, B int, size int",
+        )
+        bc = (
+            F.when(F.col("extdeg") > 0, 1).otherwise(0) - F.col("uniq_cnt")
+        )
+        n_lin = 2.0 * (F.col("W") + F.col("intdeg")) / (F.col("size") + 1)
+        lex_den = (F.col("B") + bc).cast("double")
+        n_lex = (F.col("C") - F.col("intdeg") + F.col("extdeg")) / lex_den
+        cur_lin = 2.0 * F.col("W") / F.col("size")
+        cur_lex = F.when(F.col("B") > 0, F.col("C") / F.col("B")).otherwise(F.lit(0.0))
+        cur_l = F.when(cur_lex > 0, cur_lin / cur_lex).otherwise(F.lit(float("inf")))
+        n_l = F.when(n_lex > 0, n_lin / n_lex).otherwise(
+            F.when(lex_den <= 0, F.lit(float("-inf"))).otherwise(F.lit(float("inf")))
+        )
+        cands = (
+            shell.join(F.broadcast(sdf), "seed")
+            .filter((n_lin > cur_lin) & (n_l > cur_l))
+            .select("seed", "node", n_l.alias("nl"))
+        )
+        picks = (
+            cands.groupBy("seed")
+            .agg(
+                F.max_by(
+                    "node", F.struct(F.col("nl"), (-F.col("node")).alias("nn"))
+                ).alias("node")
+            )
+            .collect()
+        )
+        if not picks:
+            break
+        picked = {r["seed"]: r["node"] for r in picks}
+        active = set(picked)
+        members = members.unionByName(
+            spark.createDataFrame(list(picked.items()), "seed long, node long")
+        ).localCheckpoint(eager=True)
+
+    # ---- phase 2: driver-side removal sweep on collected subgraphs ----
+    mem_src = members.select("seed", F.col("node").alias("src"))
+    mem_dst = members.select("seed", F.col("node").alias("dst"))
+    sub = (
+        e.join(mem_src, "src")
+        .join(mem_dst, ["seed", "dst"], "left_semi")
+        .select("seed", "src", "dst", "weight")
+        .collect()
+    )
+    wd = {
+        r["node"]: r["wdeg"]
+        for r in members.select("node").distinct().join(wdeg_df, "node").collect()
+    }
+    by_seed: dict[int, list] = {}
+    for r in members.collect():
+        by_seed.setdefault(r["seed"], []).append(r["node"])
+    adj: dict[int, dict[int, dict[int, float]]] = {}
+    for r in sub:
+        adj.setdefault(r["seed"], {}).setdefault(r["src"], {})[r["dst"]] = r["weight"]
+    e.unpersist()
+
+    out_rows = []
+    for s in sorted(by_seed):
+        com = set(by_seed[s])
+        a = adj.get(s, {})
+
+        def intdeg(x):
+            return sum(w for y, w in a.get(x, {}).items() if y in com)
+
+        def stats_now():
+            wint = sum(intdeg(x) for x in com) / 2.0
+            cut = sum(wd.get(x, 0.0) - intdeg(x) for x in com)
+            bnd = sum(1 for x in com if wd.get(x, 0.0) - intdeg(x) > 1e-12)
+            return wint, cut, bnd
+
+        W, C, B = stats_now()
+        cur_lin_v = 2.0 * W / len(com)
+        cur_lex_v = C / B if B else 0.0
+        for x in sorted(by_seed[s]):
+            if x not in com or len(com) <= 1:
+                continue
+            com.discard(x)
+            nW, nC, nB = stats_now()
+            n_lin_v = 2.0 * nW / len(com) if com else 0.0
+            n_lex_v = nC / nB if nB else 0.0
+            if cur_lin_v > n_lin_v and cur_lex_v < n_lex_v:
+                com.add(x)  # keep
+            else:
+                cur_lin_v, cur_lex_v = n_lin_v, n_lex_v
+        if s not in com:
+            continue  # community dropped its seed -> empty (`:107-112`)
+        out_rows.extend((s, x) for x in sorted(com))
+    if not out_rows:
+        return spark.createDataFrame([], "seed long, node long")
+    return spark.createDataFrame(out_rows, "seed long, node long")

@@ -474,3 +474,64 @@ def union_maximum_spanning_forest(
         for r in resolved[1:]:
             out = out.unionByName(r)
         return out.select("src", "dst", "weight", "in_umsf")
+
+
+def random_spanning_forest(
+    und_edges: DataFrame, seed: int = 42
+) -> DataFrame:
+    """Uniform random spanning forest (``RandomSpanningForest.cpp:18-50``):
+    per connected component, an Aldous-Broder walk — simple random walk
+    from a random root; the first-entry edge of every node is a tree edge,
+    which samples a spanning tree uniformly.
+
+    The walk is inherently sequential (the reference's own shape), so it
+    runs driver-side on the collected adjacency, guarded at
+    ``DRIVER_GEN_MAX_N`` nodes with a portable seeded RNG (any engine
+    replays the same forest). The distributed twin at scale is
+    :func:`max_spanning_forest` over hash-random edge priorities — a
+    random (not uniform) spanning forest in O(log n) Boruvka rounds.
+
+    ``und_edges``: symmetric rows. Returns (src, dst) tree edges, src < dst.
+    """
+    import random
+
+    from networkit_spark.sources.generators import _guard_driver_n
+
+    rows = und_edges.select("src", "dst").collect()
+    adj: dict[int, list[int]] = {}
+    for r in rows:
+        adj.setdefault(r["src"], []).append(r["dst"])
+    nodes = sorted(adj)
+    _guard_driver_n(len(nodes), "random_spanning_forest", "max_spanning_forest")
+    for k in adj:
+        adj[k].sort()
+    rng = random.Random(seed)
+    seen: set[int] = set()
+    forest: list[tuple[int, int]] = []
+    for start in nodes:
+        if start in seen:
+            continue
+        # component via BFS
+        comp = [start]
+        comp_set = {start}
+        qi = 0
+        while qi < len(comp):
+            for y in adj[comp[qi]]:
+                if y not in comp_set:
+                    comp_set.add(y)
+                    comp.append(y)
+            qi += 1
+        seen |= comp_set
+        curr = comp[rng.randrange(len(comp))]
+        visited = {curr}
+        while len(visited) < len(comp):
+            nbrs = adj[curr]
+            neigh = nbrs[rng.randrange(len(nbrs))]
+            if neigh not in visited:
+                forest.append((min(curr, neigh), max(curr, neigh)))
+                visited.add(neigh)
+            curr = neigh
+    spark = und_edges.sparkSession
+    if not forest:
+        return spark.createDataFrame([], "src long, dst long")
+    return spark.createDataFrame(sorted(forest), "src long, dst long")

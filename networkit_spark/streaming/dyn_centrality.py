@@ -678,3 +678,43 @@ def dyn_approx_betweenness_update(
         contribs=contribs, dist=dist, r=r2, eps=state.eps, delta=state.delta,
         c=state.c, seed=state.seed, sid_next=sid_next, epoch=epoch,
     )
+
+
+# ---------------------------------------------------------------------------
+# DynAPSP — event-granular all-pairs shortest paths
+# ---------------------------------------------------------------------------
+
+def dyn_apsp_init(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+    """``DynAPSP::run`` (DynAPSP.cpp:34-43): the full (s, t, dist) pair
+    table from one batched multi-source BFS (sigma kept alongside — it
+    rides the same wave for free and feeds the betweenness twin; the
+    betweenness scores themselves are NOT computed here)."""
+    from networkit_spark.operators.approx_betweenness import bfs_with_sigma
+
+    dist, _ = bfs_with_sigma(edges.select("src", "dst"), nodes.select("id"))
+    return truncate_lineage(
+        dist.select(
+            F.col("source").alias("s"), F.col("node").alias("t"), "dist", "sigma"
+        )
+    )
+
+
+def dyn_apsp_insert(
+    pairs: DataFrame, u: int, v: int, directed: bool = False
+) -> DataFrame:
+    """One unweighted edge insertion (``DynAPSP::update``,
+    DynAPSP.cpp:45-106: dist'(s,t) = min(dist, d(s,u)+1+d(v,t),
+    d(s,v)+1+d(u,t)) restricted to the affected source/target sets). The
+    shared closed-form pair-state update computes exactly that with the
+    affected-pair filtering; returns the new (s, t, dist, sigma) table."""
+    upd = _pair_state_insert(pairs, u, v, directed=directed)
+    if upd is None:  # edge already present at distance <= 1 -> no change
+        return pairs
+    new_pairs, _ = upd
+    return new_pairs
+
+
+def dyn_apsp_distances(pairs: DataFrame) -> DataFrame:
+    """(s, t, dist) view of the pair state (unreachable pairs omitted,
+    matching APSP::getDistances' infinity rows)."""
+    return pairs.select("s", "t", "dist")

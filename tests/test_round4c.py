@@ -1,0 +1,423 @@
+"""Round-4 WIP operators vs independent sequential replicas.
+
+* two_phase_l        — TwoPhaseL.cpp replica (same pinned tie-breaks:
+                       smallest-id on equal L, ascending-id phase-2 sweep).
+* random_spanning_forest — spanning-forest invariants + seed determinism
+                       (RandomSpanningForest.cpp Aldous-Broder walk).
+* dyn_apsp_*         — DynAPSP.cpp insertion semantics vs full BFS recompute.
+* affected_nodes     — AffectedNodes.cpp replica (plain-dict BFS, the same
+                       level-histogram convolution recomputed from scratch).
+"""
+
+import math
+from collections import defaultdict, deque
+
+import pytest
+from pyspark.sql import functions as F
+
+INF = float("inf")
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _adj(pairs, directed=False):
+    adj = defaultdict(dict)
+    for t in pairs:
+        a, b, w = t if len(t) == 3 else (*t, 1.0)
+        adj[a][b] = w
+        if not directed:
+            adj[b][a] = w
+        else:
+            adj.setdefault(b, {})
+    return adj
+
+
+def _bfs(adj, src):
+    dist = {src: 0}
+    q = deque([src])
+    while q:
+        x = q.popleft()
+        for y in adj.get(x, {}):
+            if y not in dist:
+                dist[y] = dist[x] + 1
+                q.append(y)
+    return dist
+
+
+def _sym_df(spark, pairs):
+    rows = []
+    for t in pairs:
+        a, b, w = t if len(t) == 3 else (*t, 1.0)
+        rows.append((a, b, w))
+        rows.append((b, a, w))
+    return spark.createDataFrame(rows, "src long, dst long, weight double")
+
+
+def _toy(n=20):
+    pairs = sorted(
+        {(min(i, (i * 3 + 1) % n), max(i, (i * 3 + 1) % n)) for i in range(n)}
+        | {(min(i, (i * 7 + 2) % n), max(i, (i * 7 + 2) % n)) for i in range(n)}
+    )
+    return [(a, b, 1.0) for a, b in pairs if a != b]
+
+
+# ---------------------------------------------------------------------------
+# TwoPhaseL
+# ---------------------------------------------------------------------------
+
+def _two_phase_l_replica(pairs, seed):
+    """Sequential TwoPhaseL.cpp:13-114 with pinned tie-breaks."""
+    adj = _adj(pairs)
+    wd = {v: sum(adj[v].values()) for v in adj}
+    com = {seed}
+
+    def intdeg(x):
+        return sum(w for y, w in adj[x].items() if y in com)
+
+    def stats():
+        W = sum(intdeg(x) for x in com) / 2.0
+        C = sum(wd[x] - intdeg(x) for x in com)
+        B = sum(1 for x in com if wd[x] - intdeg(x) > 1e-12)
+        return W, C, B
+
+    # phase 1
+    while True:
+        W, C, B = stats()
+        cur_lin = 2.0 * W / len(com)
+        cur_lex = C / B if B else 0.0
+        cur_l = cur_lin / cur_lex if cur_lex > 0 else INF
+        shell = {y for x in com for y in adj[x]} - com
+        best = None
+        for v in sorted(shell):
+            idg = intdeg(v)
+            edg = wd[v] - idg
+            uniq = sum(
+                1
+                for m in com
+                if {y for y in adj[m] if y not in com} == {v}
+            )
+            bc = (1 if edg > 0 else 0) - uniq
+            n_lin = 2.0 * (W + idg) / (len(com) + 1)
+            den = B + bc
+            if den > 0:
+                n_lex = (C - idg + edg) / den
+                n_l = n_lin / n_lex if n_lex > 0 else INF
+            else:
+                n_l = -INF
+            if n_lin > cur_lin and n_l > cur_l and (
+                best is None or n_l > best[0] or (n_l == best[0] and v < best[1])
+            ):
+                if best is None or n_l > best[0]:
+                    best = (n_l, v)
+        if best is None:
+            break
+        com.add(best[1])
+
+    # phase 2: ascending-id sweep over the phase-1 membership
+    for x in sorted(com):
+        if x not in com or len(com) <= 1:
+            continue
+        W, C, B = stats()
+        cur_lin = 2.0 * W / len(com)
+        cur_lex = C / B if B else 0.0
+        com.discard(x)
+        nW, nC, nB = stats()
+        n_lin = 2.0 * nW / len(com) if com else 0.0
+        n_lex = nC / nB if nB else 0.0
+        if cur_lin > n_lin and cur_lex < n_lex:
+            com.add(x)  # keep
+    if seed not in com:
+        return set()
+    return com
+
+
+CLIQUE_TAIL = [(a, b, 1.0) for a in range(6) for b in range(a + 1, 6)] + [
+    (0, 6, 1.0), (6, 7, 1.0), (7, 8, 1.0)
+]
+
+
+def test_two_phase_l_clique_tail(spark):
+    from networkit_spark.operators.scd import two_phase_l
+
+    e = _sym_df(spark, CLIQUE_TAIL)
+    got = two_phase_l(e, [2])
+    mem = {r["node"] for r in got.collect()}
+    assert mem == _two_phase_l_replica(CLIQUE_TAIL, 2)
+    # phase 2 evicts node 0 (it carries the tail edge, which keeps Lex flat)
+    assert mem == {1, 2, 3, 4, 5}
+
+
+def test_two_phase_l_matches_replica_toy(spark):
+    from networkit_spark.operators.scd import two_phase_l
+
+    pairs = _toy()
+    e = _sym_df(spark, pairs)
+    seeds = [0, 5, 13]
+    got = two_phase_l(e, seeds)
+    by_seed = defaultdict(set)
+    for r in got.collect():
+        by_seed[r["seed"]].add(r["node"])
+    for s in seeds:
+        assert by_seed.get(s, set()) == _two_phase_l_replica(pairs, s), s
+
+
+def test_two_phase_l_weighted(spark):
+    from networkit_spark.operators.scd import two_phase_l
+
+    pairs = [(a, b, 1.0 + ((a * 7 + b) % 3)) for a, b, _ in _toy(16)]
+    e = _sym_df(spark, pairs)
+    got = two_phase_l(e, [3])
+    mem = {r["node"] for r in got.collect()}
+    assert mem == _two_phase_l_replica(pairs, 3)
+
+
+# ---------------------------------------------------------------------------
+# RandomSpanningForest
+# ---------------------------------------------------------------------------
+
+def test_random_spanning_forest_invariants(spark):
+    from networkit_spark.operators.spanning import random_spanning_forest
+
+    # two components: toy(14) plus a disjoint triangle
+    pairs = [(a, b) for a, b, _ in _toy(14)] + [(100, 101), (101, 102), (100, 102)]
+    e = _sym_df(spark, [(a, b, 1.0) for a, b in pairs])
+    got = random_spanning_forest(e, seed=7)
+    rows = [(r["src"], r["dst"]) for r in got.collect()]
+    # determinism
+    rows2 = [(r["src"], r["dst"])
+             for r in random_spanning_forest(e, seed=7).collect()]
+    assert rows == rows2
+    # forest sizes: n - #components
+    adj = _adj(pairs)
+    comps = []
+    seen = set()
+    for v in adj:
+        if v in seen:
+            continue
+        c = set(_bfs(adj, v))
+        seen |= c
+        comps.append(c)
+    assert len(rows) == sum(len(c) - 1 for c in comps)
+    # every edge is a real edge; forest is acyclic and spans each component
+    eset = {(min(a, b), max(a, b)) for a, b in pairs}
+    fadj = defaultdict(set)
+    for a, b in rows:
+        assert (a, b) in eset
+        fadj[a].add(b)
+        fadj[b].add(a)
+    for c in comps:
+        d = _bfs({k: dict.fromkeys(v, 1.0) for k, v in fadj.items()},
+                 min(c))
+        assert set(d) == c  # spans the component; acyclic by edge count
+
+
+def test_random_spanning_forest_seed_varies(spark):
+    from networkit_spark.operators.spanning import random_spanning_forest
+
+    pairs = [(a, b) for a, b, _ in _toy(18)]
+    e = _sym_df(spark, [(a, b, 1.0) for a, b in pairs])
+    r1 = {(r["src"], r["dst"]) for r in random_spanning_forest(e, 1).collect()}
+    r2 = {(r["src"], r["dst"]) for r in random_spanning_forest(e, 2).collect()}
+    assert r1 != r2  # overwhelmingly likely for a non-tree graph
+
+
+# ---------------------------------------------------------------------------
+# DynAPSP
+# ---------------------------------------------------------------------------
+
+def test_dyn_apsp_insert_matches_recompute(spark):
+    from networkit_spark.streaming.dyn_centrality import (
+        dyn_apsp_distances,
+        dyn_apsp_init,
+        dyn_apsp_insert,
+    )
+
+    pairs = [(a, b) for a, b, _ in _toy(16)]
+    nodes = sorted({x for ab in pairs for x in ab})
+    ndf = spark.createDataFrame([(v,) for v in nodes], "id long")
+    e = _sym_df(spark, [(a, b, 1.0) for a, b in pairs]).select("src", "dst")
+    P = dyn_apsp_init(e, ndf)
+    # insert two edges not present
+    eset = {(min(a, b), max(a, b)) for a, b in pairs}
+    to_add = [t for t in [(0, 9), (2, 13), (1, 14)]
+              if (min(t), max(t)) not in eset][:2]
+    cur = list(pairs)
+    for (u, v) in to_add:
+        P = dyn_apsp_insert(P, u, v, directed=False)
+        cur.append((u, v))
+        got = {
+            (r["s"], r["t"]): r["dist"]
+            for r in dyn_apsp_distances(P).collect()
+        }
+        adj = _adj(cur)
+        for s in nodes:
+            d = _bfs(adj, s)
+            for t, dv in d.items():
+                assert got.get((s, t)) == dv, (s, t)
+        assert len(got) == sum(len(_bfs(adj, s)) for s in nodes)
+
+
+# ---------------------------------------------------------------------------
+# AffectedNodes
+# ---------------------------------------------------------------------------
+
+def _hist(dist):
+    h = defaultdict(int)
+    for v, d in dist.items():
+        if 0 < d < INF:
+            h[int(d)] += 1
+    return dict(h)
+
+
+def _li(hist_new, hist_prev, max_level):
+    jm = max(hist_new, default=0)
+    return {
+        i: sum(
+            (hist_new.get(j, 0) - hist_prev.get(j, 0)) / (i + j)
+            for j in range(1, jm + 1)
+        )
+        for i in range(1, max_level + 1)
+    }
+
+
+def _affected_replica_undirected(pairs_post, u, v, add):
+    """AffectedNodes.cpp:31-174 (addition) / :253-287 (removal)."""
+    post = _adj(pairs_post)
+    old = {k: dict(vv) for k, vv in post.items()}
+    if add:
+        old[u].pop(v, None)
+        old[v].pop(u, None)
+    else:
+        old.setdefault(u, {})[v] = 1.0
+        old.setdefault(v, {})[u] = 1.0
+    nodes_all = set(post) | set(old) | {u, v}
+    ou, ov = _bfs(old, u), _bfs(old, v)
+    nu, nv = _bfs(post, u), _bfs(post, v)
+
+    def g(d, x):
+        return d.get(x, INF)
+
+    if add:
+        aff_u = {x for x in nodes_all if g(nu, x) < g(ou, x)}
+        aff_v = {x for x in nodes_all if g(nv, x) < g(ov, x)}
+        dist = {
+            x: min(g(ou, x), g(ov, x)) for x in aff_u | aff_v
+        }
+        comp_u = {x: min(g(ou, x), g(nu, x)) for x in nodes_all}
+        comp_v = {x: min(g(ov, x), g(nv, x)) for x in nodes_all}
+        li_u = _li(_hist(comp_u), _hist(ou), max(_hist(comp_u), default=0))
+        li_v = _li(_hist(comp_v), _hist(ov), max(_hist(comp_v), default=0))
+        # swapped: improvement for U-affected nodes indexes by dist-from-V
+        li_u_for = _li(_hist(comp_v), _hist(ov), max(_hist(comp_u), default=0))
+        li_v_for = _li(_hist(comp_u), _hist(ou), max(_hist(comp_v), default=0))
+        imp = {}
+        for x in aff_u:
+            imp[x] = li_u_for.get(comp_v.get(x, INF), 0.0)
+        for x in aff_v:
+            imp[x] = li_v_for.get(comp_u.get(x, INF), 0.0)
+        return dist, imp
+    aff_u = {x for x in nodes_all if g(nu, x) > g(ou, x)}
+    aff_v = {x for x in nodes_all if g(nv, x) > g(ov, x)}
+    dist = {x: min(g(nu, x), g(nv, x)) for x in aff_u | aff_v}
+    return dist, {}
+
+
+def _check_affected(spark, pairs_post, ev, u, v):
+    from networkit_spark.operators.affected import affected_nodes
+
+    post = _sym_df(spark, [(a, b, 1.0) for a, b in pairs_post]).select("src", "dst")
+    nodes_df, imp = affected_nodes(post, ev, u, v, directed=False)
+    got = {r["node"]: r["dist"] for r in nodes_df.collect()}
+    want, want_imp = _affected_replica_undirected(
+        pairs_post, u, v, add=(ev == "EDGE_ADDITION")
+    )
+    assert got == want
+    if ev == "EDGE_ADDITION":
+        assert set(imp) == set(want_imp)
+        for k in imp:
+            assert imp[k] == pytest.approx(want_imp[k]), k
+    else:
+        assert imp == {}
+
+
+def test_affected_nodes_addition(spark):
+    base = [(a, b) for a, b, _ in _toy(16)]
+    post = base + [(0, 9)] if (0, 9) not in base else base + [(0, 11)]
+    u, v = post[-1]
+    _check_affected(spark, post, "EDGE_ADDITION", u, v)
+
+
+def test_affected_nodes_removal(spark):
+    base = [(a, b) for a, b, _ in _toy(16)]
+    u, v = base[0]
+    post = [t for t in base if t != (u, v)]
+    _check_affected(spark, post, "EDGE_REMOVAL", u, v)
+
+
+def test_affected_nodes_directed_addition(spark):
+    from networkit_spark.operators.affected import affected_nodes
+
+    # small directed graph: chain with extra arcs
+    arcs = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (1, 4), (5, 0), (2, 6)]
+    u, v = 0, 3  # new arc
+    post = arcs + [(u, v)]
+    df = spark.createDataFrame(post, "src long, dst long")
+    nodes_df, imp = affected_nodes(df, "EDGE_ADDITION", u, v, directed=True)
+    got = {r["node"]: r["dist"] for r in nodes_df.collect()}
+
+    radj_old = defaultdict(dict)
+    radj_new = defaultdict(dict)
+    fadj_old = defaultdict(dict)
+    fadj_new = defaultdict(dict)
+    for a, b in arcs:
+        radj_old[b][a] = 1.0
+        fadj_old[a][b] = 1.0
+    for a, b in post:
+        radj_new[b][a] = 1.0
+        fadj_new[a][b] = 1.0
+    nodes_all = {x for ab in post for x in ab}
+    ov = _bfs(radj_old, v)
+    nv = _bfs(radj_new, v)
+    ou_r = _bfs(radj_old, u)
+    aff = {x for x in nodes_all if nv.get(x, INF) < ov.get(x, INF)}
+    want = {
+        x: min(ov.get(x, INF), ou_r.get(x, INF)) for x in aff
+    }
+    assert got == want
+    # improvements: forward from u
+    ofu = _bfs(fadj_old, u)
+    nfu = _bfs(fadj_new, u)
+    comp_u = {x: min(ofu.get(x, INF), nfu.get(x, INF)) for x in nodes_all}
+    lvl_v = int(max((nv[x] for x in aff), default=0))
+    li_v = _li(_hist(comp_u), _hist(ofu), lvl_v)
+    want_imp = {x: li_v.get(int(nv[x]) - 1, 0.0) for x in aff}
+    assert set(imp) == set(want_imp)
+    for k in imp:
+        assert imp[k] == pytest.approx(want_imp[k]), k
+
+
+def test_affected_nodes_directed_removal(spark):
+    from networkit_spark.operators.affected import affected_nodes
+
+    arcs = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (1, 4), (5, 0), (0, 3)]
+    u, v = 0, 3
+    post = [t for t in arcs if t != (u, v)]
+    df = spark.createDataFrame(post, "src long, dst long")
+    nodes_df, imp = affected_nodes(df, "EDGE_REMOVAL", u, v, directed=True)
+    got = {r["node"]: r["dist"] for r in nodes_df.collect()}
+
+    radj_old = defaultdict(dict)
+    radj_new = defaultdict(dict)
+    for a, b in arcs:
+        radj_old[b][a] = 1.0
+    for a, b in post:
+        radj_new[b][a] = 1.0
+    nodes_all = {x for ab in arcs for x in ab}
+    ov = _bfs(radj_old, v)
+    nv = _bfs(radj_new, v)
+    aff = {x for x in nodes_all if nv.get(x, INF) > ov.get(x, INF)}
+    want = {x: nv.get(x, INF) for x in aff}
+    assert got == want
+    assert imp == {}
