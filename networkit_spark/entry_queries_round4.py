@@ -913,3 +913,54 @@ def q_affected_nodes_add_mid(spark, sf_dir):
     post = base.union(ev).distinct()
     nodes_df, _imp = affected_nodes(post, "EDGE_ADDITION", u, v, directed=False)
     return nodes_df.select("node", F.col("dist").cast("double").alias("dist"))
+
+
+# ---------------------------------------------------------------------------
+# NeighborhoodFunctionHeuristic (distance/NeighborhoodFunctionHeuristic.cpp)
+# ---------------------------------------------------------------------------
+
+from networkit_spark.entry_queries_graph import _msbfs_oracle_sql  # noqa: E402
+
+_NFH_FINAL = """
+, deg AS (SELECT d.doc_id AS id, count(e.src) AS dg
+          FROM documents d LEFT JOIN uedges e ON e.src = d.doc_id
+          GROUP BY d.doc_id)
+, par AS (SELECT n, m, ns, greatest(1, n // ns) AS sw FROM (
+    SELECT n, m, CAST(ceil(greatest(0.15 * n, sqrt(m))) AS BIGINT) AS ns
+    FROM (SELECT (SELECT n FROM nn) AS n,
+                 (SELECT count(*) // 2 FROM uedges) AS m)))
+, ranked AS (SELECT id, row_number() OVER (ORDER BY dg, id) - 1 AS rk FROM deg)
+, sources AS (SELECT id FROM ranked, par WHERE rk % sw = 0 AND rk < ns * sw)
+, dia AS (SELECT max(dist) AS dia FROM {last} WHERE dist < {big})
+, hist AS (SELECT dist, count(*) AS c
+           FROM {last} t JOIN sources s ON t.source = s.id
+           WHERE dist >= 1 AND dist < {big} GROUP BY dist)
+, series AS (SELECT unnest(generate_series(1, (SELECT dia FROM dia))) AS h)
+, scaled AS (
+   SELECT s.h,
+          CASE WHEN s.h = 1 THEN 0
+               ELSE CAST(floor(coalesce(hi.c, 0) * p.n / p.ns + 0.5) AS BIGINT)
+          END AS a,
+          p.n AS n, p.m AS m
+   FROM series s CROSS JOIN par p LEFT JOIN hist hi ON hi.dist = s.h)
+SELECT h, CAST(CASE WHEN h = (SELECT dia FROM dia) AND h > 1 THEN n * (n - 1)
+               ELSE 2 * m + sum(a) OVER (ORDER BY h) END AS BIGINT) AS nf
+FROM scaled
+"""
+
+
+@register("neighborhood_function_heuristic", _msbfs_oracle_sql(8, _NFH_FINAL))
+def q_neighborhood_function_heuristic(spark, sf_dir):
+    """Sampled-BFS neighborhood function, split strategy
+    (``NeighborhoodFunctionHeuristic.cpp:42-129``; ties in the degree sort
+    pinned by node id): the oracle re-derives the degree-ranked sample set,
+    the distance histogram (from the full multi-source BFS restricted to
+    the samples), and the endpoint-pinned cumulative scaling in SQL."""
+    from networkit_spark.operators.anf import neighborhood_function_heuristic
+
+    e = doc_edges_undirected(spark, sf_dir)
+    n = _n_docs(spark, sf_dir)
+    nf = neighborhood_function_heuristic(e, nodes_range(spark, n))
+    return spark.createDataFrame(
+        [(int(h), int(v)) for h, v in nf], "h bigint, nf bigint"
+    )

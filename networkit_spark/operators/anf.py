@@ -167,3 +167,107 @@ def effective_diameter_exact(
             return prev_h + (target - prev_acc) / (acc - prev_acc) * (h - prev_h)
         prev_h, prev_acc = h, acc
     return float(counts[-1][0]) if counts else 0.0
+
+
+def neighborhood_function_heuristic(
+    und_edges: DataFrame,
+    nodes: DataFrame | None = None,
+    n_samples: int | None = None,
+    strategy: str = "split",
+    seed: int = 42,
+) -> list[tuple[int, int]]:
+    """Sampled-BFS neighborhood function
+    (``distance/NeighborhoodFunctionHeuristic.cpp:42-129``): run BFS from
+    ``n_samples`` start nodes, histogram the hop distances, scale by
+    ``n / n_samples``, accumulate, and pin the endpoints exactly
+    (``result[0] = 2m``, ``result[dia-1] = n(n-1)``, ``:75-100``).
+
+    Default sample count matches the reference: ``ceil(max(0.15 n,
+    sqrt(m)))``. Strategies (``:106-129``): ``split`` sorts nodes by degree
+    and takes every (n // n_samples)-th — fully deterministic here because
+    degree ties break by node id (the reference's unstable sort leaves ties
+    unspecified); ``random`` uses a portable seeded md5 draw WITHOUT
+    replacement (reference draws with replacement — documented divergence).
+
+    Distributed shape: source selection is a distributed range-rank
+    (``plans/ids.dense_ids`` over a packed (degree, node) key — no global
+    single-partition window), then one batched multi-source BFS wave for
+    all samples, one groupBy histogram (diameter-sized), and O(diameter)
+    driver-side accumulation. Unlike the reference, disconnected inputs are
+    accepted (unreached pairs simply never enter the histogram).
+
+    Returns ``[(h, N(h))]`` for ``h = 1..diameter``.
+    """
+    from networkit_spark.operators.distance import diameter_ifub, spsp
+    from networkit_spark.plans.ids import dense_ids
+
+    spark = und_edges.sparkSession
+    e = und_edges.select("src", "dst").persist()
+    e.count()
+    if nodes is None:
+        nodes = (
+            e.select(F.col("src").alias("id"))
+            .union(e.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+    nodes = nodes.select("id").persist()
+    n = nodes.count()
+    m = e.count() // 2
+    if n_samples is None:
+        n_samples = int(math.ceil(max(0.15 * n, math.sqrt(m))))
+    n_samples = max(1, min(n_samples, n))
+
+    deg = (
+        nodes.join(
+            e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg")),
+            "id",
+            "left",
+        ).select("id", F.coalesce("deg", F.lit(0)).alias("deg"))
+    )
+    if strategy == "split":
+        # packed sort key (degree, node): ranks = ascending-degree order,
+        # ties by node id; every (n // n_samples)-th node is a start node
+        sw = max(1, n // n_samples)
+        keyed = deg.select(
+            (F.col("deg").cast("long") * F.lit(1 << 33) + F.col("id")).alias("key")
+        )
+        ranked = dense_ids(keyed, "key", id_col="rk", distinct=False)
+        sources = (
+            ranked.filter(
+                (F.col("rk") % sw == 0) & (F.col("rk") < n_samples * sw)
+            )
+            .select(
+                (F.col("key") % F.lit(1 << 33)).cast("long").alias("id")
+            )
+        )
+    elif strategy == "random":
+        drawn = deg.select(
+            "id",
+            F.md5(F.concat_ws(":", F.lit("nfh"), F.lit(seed), F.col("id"))).alias("h"),
+        )
+        sources = drawn.orderBy("h").limit(n_samples).select("id")
+    else:
+        raise ValueError("strategy must be 'split' or 'random'")
+
+    dia = diameter_ifub(e, nodes)
+    dist = spsp(e, sources, nodes.select("id"))
+    hist = {
+        int(r["dist"]): int(r["c"])
+        for r in dist.filter(F.col("dist") >= 1)
+        .groupBy("dist")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    e.unpersist()
+    nodes.unpersist()
+
+    if dia <= 0:
+        return []
+    result = [0] * dia
+    result[0] = 2 * m
+    if dia >= 2:
+        result[dia - 1] = n * (n - 1)
+    norm = n / float(n_samples)
+    for d in range(2, dia):
+        result[d - 1] = int(math.floor(hist.get(d, 0) * norm + 0.5)) + result[d - 2]
+    return [(h + 1, result[h]) for h in range(dia)]

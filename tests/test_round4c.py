@@ -421,3 +421,52 @@ def test_affected_nodes_directed_removal(spark):
     want = {x: nv.get(x, INF) for x in aff}
     assert got == want
     assert imp == {}
+
+
+# ---------------------------------------------------------------------------
+# NeighborhoodFunctionHeuristic
+# ---------------------------------------------------------------------------
+
+def test_neighborhood_function_heuristic_endpoints(spark):
+    from networkit_spark.operators.anf import neighborhood_function_heuristic
+
+    pairs = [(a, b) for a, b, _ in _toy(20)]
+    e = _sym_df(spark, [(a, b, 1.0) for a, b in pairs]).select("src", "dst")
+    n = len({x for ab in pairs for x in ab})
+    m = len({(min(a, b), max(a, b)) for a, b in pairs})
+    # exact diameter
+    adj = _adj(pairs)
+    dia = max(max(_bfs(adj, s).values()) for s in adj)
+    for strategy in ("split", "random"):
+        nf = neighborhood_function_heuristic(e, strategy=strategy)
+        assert [h for h, _ in nf] == list(range(1, dia + 1))
+        assert nf[0][1] == 2 * m
+        assert nf[-1][1] == n * (n - 1)
+        vals = [v for _, v in nf]
+        assert vals[:-1] == sorted(vals[:-1])  # cumulative section monotone
+
+
+def test_neighborhood_function_heuristic_full_sample_exact(spark):
+    """With n_samples = n (every node sampled), interior values must equal
+    the exact neighborhood function."""
+    from networkit_spark.operators.anf import neighborhood_function_heuristic
+
+    pairs = [(a, b) for a, b, _ in _toy(14)]
+    e = _sym_df(spark, [(a, b, 1.0) for a, b in pairs]).select("src", "dst")
+    adj = _adj(pairs)
+    n = len(adj)
+    nf = neighborhood_function_heuristic(e, n_samples=n)
+    # exact: #ordered pairs at distance exactly d, cumulative from 2m
+    hist = defaultdict(int)
+    for s in adj:
+        for t, d in _bfs(adj, s).items():
+            if d >= 1:
+                hist[d] += 1
+    dia = max(hist)
+    acc = hist[1]
+    for h, v in nf[:-1]:
+        if h == 1:
+            assert v == hist[1]
+        else:
+            acc += hist[h]
+            assert v == acc, h
