@@ -963,3 +963,229 @@ def lfr_exact(
         [(u, zeta[u]) for u in range(n)], "node long, subset long"
     )
     return edges, part
+
+
+_DENSE_P = 0.05  # above this, draw-and-dedup loses >~p/2 of the edges
+
+
+def _class_pair_edges(
+    members: DataFrame,
+    sparse_rows: list[tuple[int, int, int]],
+    dense_rows: list[tuple[int, int, float]],
+    seed: int,
+) -> DataFrame:
+    """Shared fan-out for class/block-pair samplers (Chung-Lu, SBM).
+
+    ``members``: (cls long, idx long, node long) with idx = 0..size(cls)-1.
+
+    Two regimes per class pair (cls_a <= cls_b):
+
+    * ``sparse_rows`` (ca, cb, n_draws), for p <= ``_DENSE_P``: each draw
+      picks hash-uniform member indices — same-class draws use an offset
+      (ia, ia + 1 + h % (n-1) mod n) so every draw is a distinct unordered
+      pair; cross-class draws are distinct nodes by construction.  Draw
+      collisions are deduplicated (the "erased" convention, expected loss
+      ~ p/2 — negligible in this regime).
+    * ``dense_rows`` (ca, cb, p), for p > ``_DENSE_P``: candidate pairs are
+      enumerated by a member-member join and Bernoulli-filtered — exact,
+      and the enumeration is O(candidate pairs) = O(edges / p), which is
+      only reachable when the block itself is small enough to be dense.
+
+    Returns distinct canonical (src < dst) node pairs.
+    """
+    spark = members.sparkSession
+    sizes = members.groupBy(F.col("cls")).agg(F.count("*").alias("sz"))
+    outs = []
+    if sparse_rows:
+        pairs = spark.createDataFrame(
+            [r for r in sparse_rows if r[2] > 0], "ca long, cb long, m long"
+        )
+        draws = (
+            pairs.join(F.broadcast(sizes.withColumnRenamed("cls", "ca").withColumnRenamed("sz", "na")), "ca")
+            .join(F.broadcast(sizes.withColumnRenamed("cls", "cb").withColumnRenamed("sz", "nb")), "cb")
+            .select(
+                "ca", "cb", "na", "nb",
+                F.explode(F.sequence(F.lit(0), F.col("m") - 1)).alias("t"),
+            )
+            .select(
+                "ca", "cb", "na",
+                (F.abs(F.xxhash64("ca", "cb", "t", F.lit(seed), F.lit(0))) % F.col("na")).alias("ha"),
+                (F.abs(F.xxhash64("ca", "cb", "t", F.lit(seed), F.lit(1)))).alias("hb"),
+                F.col("nb"),
+            )
+            .select(
+                "ca", "cb",
+                F.col("ha").alias("ia"),
+                F.when(
+                    F.col("ca") == F.col("cb"),
+                    (F.col("ha") + 1 + F.col("hb") % (F.col("na") - 1)) % F.col("na"),
+                ).otherwise(F.col("hb") % F.col("nb")).alias("ib"),
+            )
+            .select(
+                "ca", "cb",
+                F.when(F.col("ca") == F.col("cb"), F.least("ia", "ib")).otherwise(F.col("ia")).alias("ia"),
+                F.when(F.col("ca") == F.col("cb"), F.greatest("ia", "ib")).otherwise(F.col("ib")).alias("ib"),
+            )
+        )
+        outs.append(draws)
+    if dense_rows:
+        dpairs = spark.createDataFrame(dense_rows, "ca long, cb long, p double")
+        cand = (
+            members.select(F.col("cls").alias("ca"), F.col("idx").alias("ia"))
+            .join(F.broadcast(dpairs), "ca")
+            .join(
+                members.select(F.col("cls").alias("cb"), F.col("idx").alias("ib")),
+                "cb",
+            )
+            .filter((F.col("ca") != F.col("cb")) | (F.col("ia") < F.col("ib")))
+            .filter(
+                _u01(
+                    F.col("ca"), F.col("cb"), F.col("ia"), F.col("ib"), F.lit(seed)
+                ) < F.col("p")
+            )
+            .select("ca", "cb", "ia", "ib")
+        )
+        outs.append(cand)
+    if not outs:
+        return spark.createDataFrame([], "src long, dst long")
+    draws = outs[0] if len(outs) == 1 else outs[0].unionByName(outs[1])
+    ma = members.select(
+        F.col("cls").alias("ca"), F.col("idx").alias("ia"), F.col("node").alias("a")
+    )
+    mb = members.select(
+        F.col("cls").alias("cb"), F.col("idx").alias("ib"), F.col("node").alias("b")
+    )
+    return (
+        draws.join(ma, ["ca", "ia"]).join(mb, ["cb", "ib"])
+        .select(F.least("a", "b").alias("src"), F.greatest("a", "b").alias("dst"))
+        .distinct()
+    )
+
+
+def _indexed_members(keyed: DataFrame) -> DataFrame:
+    """(cls, node) -> (cls, idx, node) with idx dense 0..size(cls)-1, via the
+    distributed range-rank (no single-partition window)."""
+    from ..plans.ids import dense_ids
+
+    packed = keyed.select(
+        (F.col("cls") * F.lit(1 << 33) + F.col("node")).alias("k")
+    )
+    ranked = dense_ids(packed, "k", id_col="r", distinct=False)
+    withcls = ranked.select(
+        "r",
+        F.shiftright("k", 33).cast("long").alias("cls"),
+        F.col("k").bitwiseAND(F.lit((1 << 33) - 1)).cast("long").alias("node"),
+    )
+    base = withcls.groupBy("cls").agg(F.min("r").alias("base"))
+    return withcls.join(F.broadcast(base), "cls").select(
+        "cls", (F.col("r") - F.col("base")).alias("idx"), "node"
+    )
+
+
+def chung_lu(weights: DataFrame, seed: int = 42) -> DataFrame:
+    """Chung-Lu expected-degree random graph at scale.
+
+    Reference semantics: ``generators/ChungLuGenerator.cpp:24-58`` — edge
+    (u, v) present independently with ``p = min(w_u w_v / S, 1)``,
+    ``S = sum(w)``.  The reference's geometric edge-skipping is inherently
+    sequential per node; this uses the weight-class pair decomposition of
+    its own scalable twin (``ChungLuGeneratorAlamEtAl.cpp``, Alam et al.):
+    all pairs between two weight classes share one probability, so the
+    per-class-pair edge count is a Binomial draw (numpy, seeded, on the
+    driver over the O(k^2) distinct-weight pairs) and the edges themselves
+    are hash-uniform member draws — one explode + two joins, no O(n^2)
+    stage.  With-replacement draws are deduplicated ("erased", slight
+    undercount at high density — documented, vanishes for sparse graphs).
+
+    ``weights``: (node long, w double/long expected degree).  Returns
+    symmetrized simple (src, dst, weight) rows.
+    """
+    import numpy as np
+
+    cls_rows = sorted(
+        (float(r["w"]), int(r["c"]))
+        for r in weights.groupBy("w").agg(F.count("*").alias("c")).collect()
+    )
+    k = len(cls_rows)
+    S = sum(w * c for w, c in cls_rows)
+    if S <= 0:
+        return weights.sparkSession.createDataFrame(
+            [], "src long, dst long, weight double"
+        )
+    rng = np.random.RandomState(seed & 0x7FFFFFFF)
+    sparse_rows: list[tuple[int, int, int]] = []
+    dense_rows: list[tuple[int, int, float]] = []
+    for i in range(k):
+        wi, ni = cls_rows[i]
+        for j in range(i, k):
+            wj, nj = cls_rows[j]
+            p = min(wi * wj / S, 1.0)
+            npairs = ni * (ni - 1) // 2 if i == j else ni * nj
+            if npairs <= 0 or p <= 0:
+                continue
+            if p > _DENSE_P:
+                dense_rows.append((i, j, p))
+                continue
+            m = int(rng.binomial(npairs, p)) if npairs < (1 << 62) else int(
+                round(npairs * p)
+            )
+            if m > 0:
+                sparse_rows.append((i, j, m))
+    cls_id = {w: i for i, (w, _) in enumerate(cls_rows)}
+    mapping = weights.sparkSession.createDataFrame(
+        [(w, i) for w, i in cls_id.items()], "w double, cls long"
+    )
+    keyed = weights.select(F.col("w").cast("double").alias("w"), "node").join(
+        F.broadcast(mapping), "w"
+    ).select("cls", "node")
+    und = _class_pair_edges(_indexed_members(keyed), sparse_rows, dense_rows, seed)
+    return und.unionByName(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).withColumn("weight", F.lit(1.0))
+
+
+def stochastic_blockmodel(
+    membership: DataFrame, affinity: list[list[float]], seed: int = 42
+) -> DataFrame:
+    """Stochastic block model (``generators/StochasticBlockmodel.cpp:34-49``):
+    edge (u, v) present with probability ``affinity[block(u)][block(v)]``.
+
+    Same block-pair Binomial decomposition as :func:`chung_lu` (the
+    reference's O(n^2) ``forNodePairs`` sweep collapses to one Binomial
+    per block pair — G(n, p) conditioned on its edge count is uniform over
+    edge sets, so drawing the count then hash-uniform member pairs samples
+    the same model, minus the documented with-replacement erasure).
+    ``affinity`` must be symmetric (the reference implicitly assumes it).
+
+    ``membership``: (node long, block long).  Returns symmetrized simple
+    (src, dst, weight) rows.
+    """
+    import numpy as np
+
+    k = len(affinity)
+    sizes = {
+        int(r["block"]): int(r["c"])
+        for r in membership.groupBy("block").agg(F.count("*").alias("c")).collect()
+    }
+    rng = np.random.RandomState(seed & 0x7FFFFFFF)
+    sparse_rows: list[tuple[int, int, int]] = []
+    dense_rows: list[tuple[int, int, float]] = []
+    for a in range(k):
+        na = sizes.get(a, 0)
+        for b in range(a, k):
+            nb = sizes.get(b, 0)
+            p = min(float(affinity[a][b]), 1.0)
+            npairs = na * (na - 1) // 2 if a == b else na * nb
+            if npairs <= 0 or p <= 0:
+                continue
+            if p > _DENSE_P:
+                dense_rows.append((a, b, p))
+                continue
+            m = int(rng.binomial(npairs, p))
+            if m > 0:
+                sparse_rows.append((a, b, m))
+    keyed = membership.select(F.col("block").alias("cls"), "node")
+    und = _class_pair_edges(_indexed_members(keyed), sparse_rows, dense_rows, seed)
+    return und.unionByName(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).withColumn("weight", F.lit(1.0))

@@ -470,3 +470,70 @@ def test_neighborhood_function_heuristic_full_sample_exact(spark):
         else:
             acc += hist[h]
             assert v == acc, h
+
+
+# ---------------------------------------------------------------------------
+# ChungLu + StochasticBlockmodel
+# ---------------------------------------------------------------------------
+
+def test_chung_lu_degree_concentration(spark):
+    from networkit_spark.sources.generators import chung_lu
+
+    # 300 nodes in three weight classes
+    wts = [(i, 6.0 if i % 3 == 0 else (12.0 if i % 3 == 1 else 24.0))
+           for i in range(300)]
+    wdf = spark.createDataFrame(wts, "node long, w double")
+    g = chung_lu(wdf, seed=11)
+    rows = g.collect()
+    assert all(r["src"] != r["dst"] for r in rows)
+    pairs = {(r["src"], r["dst"]) for r in rows}
+    assert all((b, a) in pairs for a, b in pairs)  # symmetric
+    # determinism
+    assert {(r["src"], r["dst"]) for r in chung_lu(wdf, seed=11).collect()} == pairs
+    # per-class mean degree ~ class weight (seeded draw -> fixed outcome,
+    # generous +-30% window)
+    deg = defaultdict(int)
+    for a, _b in pairs:
+        deg[a] += 1
+    wmap = dict(wts)
+    for w in (6.0, 12.0, 24.0):
+        cls_nodes = [i for i, ww in wts if ww == w]
+        mean = sum(deg.get(i, 0) for i in cls_nodes) / len(cls_nodes)
+        assert abs(mean - w) / w < 0.30, (w, mean)
+    # total edges ~ S/2
+    S = sum(w for _, w in wts)
+    assert abs(len(pairs) / 2 - S / 2) / (S / 2) < 0.25
+
+
+def test_chung_lu_probability_cap(spark):
+    from networkit_spark.sources.generators import chung_lu
+
+    # two heavy nodes whose w_u*w_v/S > 1 -> p capped at 1, edge certain
+    wts = [(0, 50.0), (1, 50.0)] + [(i, 1.0) for i in range(2, 52)]
+    wdf = spark.createDataFrame(wts, "node long, w double")
+    pairs = {(r["src"], r["dst"]) for r in chung_lu(wdf, seed=3).collect()}
+    assert (0, 1) in pairs
+
+
+def test_stochastic_blockmodel_block_densities(spark):
+    from networkit_spark.sources.generators import stochastic_blockmodel
+
+    n, k = 240, 3
+    mem = spark.createDataFrame(
+        [(i, i % k) for i in range(n)], "node long, block long"
+    )
+    aff = [[0.5, 0.02, 0.02], [0.02, 0.5, 0.02], [0.02, 0.02, 0.5]]
+    g = stochastic_blockmodel(mem, aff, seed=5)
+    rows = [(r["src"], r["dst"]) for r in g.collect() if r["src"] < r["dst"]]
+    nb = n // k
+    intra_pairs = k * nb * (nb - 1) // 2
+    cross_pairs = (n * (n - 1) // 2) - intra_pairs
+    intra = sum(1 for a, b in rows if a % k == b % k)
+    cross = len(rows) - intra
+    assert abs(intra / intra_pairs - 0.5) < 0.08, intra / intra_pairs
+    assert abs(cross / cross_pairs - 0.02) < 0.01, cross / cross_pairs
+    # determinism
+    again = [(r["src"], r["dst"])
+             for r in stochastic_blockmodel(mem, aff, seed=5).collect()
+             if r["src"] < r["dst"]]
+    assert sorted(again) == sorted(rows)
