@@ -964,3 +964,59 @@ def q_neighborhood_function_heuristic(spark, sf_dir):
     return spark.createDataFrame(
         [(int(h), int(v)) for h, v in nf], "h bigint, nf bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+# DynPrunedLandmarkLabeling (distance/DynPrunedLandmarkLabeling.cpp)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dyn_pll_distances_sub40",
+    f"""
+WITH RECURSIVE {UEDGES_CTE},
+sub AS (SELECT src, dst FROM uedges WHERE src < 40 AND dst < 40
+        UNION SELECT 5, 38 UNION SELECT 38, 5),
+walk(u, node, dist) AS (
+  SELECT doc_id, doc_id, 0 FROM documents WHERE doc_id < 40
+  UNION
+  SELECT w.u, e.dst, w.dist + 1 FROM walk w JOIN sub e ON w.node = e.src WHERE w.dist < 30
+)
+SELECT u, node AS v, CAST(min(dist) AS BIGINT) AS dist
+FROM walk WHERE u < node GROUP BY u, node
+""",
+)
+def q_dyn_pll_distances(spark, sf_dir):
+    """Incremental PLL: build labels on the <40-node doc subgraph WITHOUT
+    edge (5, 38), insert it via the dynamic pruned-BFS repair, answer every
+    pair from the repaired labels; the oracle recomputes post-insert
+    distances by recursive BFS — exactness of the repaired cover is what is
+    checked."""
+    from networkit_spark.operators.hublabels import (
+        dyn_pll_insert,
+        hub_distances,
+        pll_order,
+        pruned_landmark_labels,
+    )
+
+    e = doc_edges_undirected(spark, sf_dir).filter(
+        (F.col("src") < 40) & (F.col("dst") < 40)
+    ).select("src", "dst")
+    pre = e.filter(
+        ~(((F.col("src") == 5) & (F.col("dst") == 38))
+          | ((F.col("src") == 38) & (F.col("dst") == 5)))
+    )
+    nodes = spark.range(40).select(F.col("id").alias("id"))
+    labels = pruned_landmark_labels(pre, nodes, batch=8)
+    order = pll_order(
+        pre.union(pre.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct(),
+        nodes,
+    )
+    ev = spark.createDataFrame([(5, 38), (38, 5)], "src long, dst long")
+    post = pre.union(ev).distinct()
+    labels = dyn_pll_insert(labels, order, post, 5, 38)
+    pairs = (
+        spark.range(40).select(F.col("id").alias("u"))
+        .crossJoin(spark.range(40).select(F.col("id").alias("v")))
+        .filter(F.col("u") < F.col("v"))
+    )
+    return hub_distances(labels, pairs)

@@ -537,3 +537,48 @@ def test_stochastic_blockmodel_block_densities(spark):
              for r in stochastic_blockmodel(mem, aff, seed=5).collect()
              if r["src"] < r["dst"]]
     assert sorted(again) == sorted(rows)
+
+
+# ---------------------------------------------------------------------------
+# DynPrunedLandmarkLabeling
+# ---------------------------------------------------------------------------
+
+def test_dyn_pll_insert_exact_distances(spark):
+    from networkit_spark.operators.hublabels import (
+        dyn_pll_insert,
+        hub_distances,
+        pll_order,
+        pruned_landmark_labels,
+    )
+
+    pairs = [(a, b) for a, b, _ in _toy(18)]
+    inserts = [t for t in [(0, 9), (2, 15), (4, 11)]
+               if (min(t), max(t)) not in {(min(a, b), max(a, b)) for a, b in pairs}][:2]
+    base = [t for t in pairs]
+    nodes = sorted({x for ab in pairs for x in ab} | {x for ab in inserts for x in ab})
+    ndf = spark.createDataFrame([(x,) for x in nodes], "id long")
+    bdf = spark.createDataFrame(base, "src long, dst long")
+    labels = pruned_landmark_labels(bdf, ndf, batch=8)
+    order = pll_order(
+        bdf.union(bdf.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct(),
+        ndf,
+    )
+    cur = list(base)
+    for (a, b) in inserts:
+        cur.append((a, b))
+        post = spark.createDataFrame(cur, "src long, dst long")
+        labels = dyn_pll_insert(labels, order, post, a, b)
+        # every pair answered exactly
+        allpairs = (
+            spark.createDataFrame([(x,) for x in nodes], "u long")
+            .crossJoin(spark.createDataFrame([(x,) for x in nodes], "v long"))
+            .filter(F.col("u") < F.col("v"))
+        )
+        got = {(r["u"], r["v"]): r["dist"]
+               for r in hub_distances(labels, allpairs).collect()}
+        adj = _adj(cur)
+        for s in nodes:
+            d = _bfs(adj, s)
+            for t, dv in d.items():
+                if s < t:
+                    assert got.get((s, t)) == dv, (s, t, got.get((s, t)), dv)
