@@ -1020,3 +1020,110 @@ def q_dyn_pll_distances(spark, sf_dir):
         .filter(F.col("u") < F.col("v"))
     )
     return hub_distances(labels, pairs)
+
+
+# ---------------------------------------------------------------------------
+# ApproxGroupBetweenness (centrality/ApproxGroupBetweenness.cpp)
+# ---------------------------------------------------------------------------
+
+def _agb_oracle_sql(samples: int, group_size: int, seed: int, walk_levels: int) -> str:
+    big = 1 << 40
+    parts = [
+        f""", par AS (SELECT (SELECT n FROM nn) AS n)
+, adraws AS (
+    SELECT i AS l, {draw_sql('agb_s', seed, 'i')} % n AS s
+    FROM range({samples}) t(i), par)
+, adraws2 AS (
+    SELECT l, s, (s + 1 + {draw_sql('agb_t', seed, 'l')} % (n - 1)) % n AS t
+    FROM adraws, par)
+, w0 AS (
+    SELECT d.l, d.s, d.t AS cur, x.dist AS lev
+    FROM adraws2 d JOIN dlast x ON x.source = d.s AND x.node = d.t
+    WHERE x.dist >= 2 AND x.dist < {big})""",
+    ]
+    for k in range(1, walk_levels + 1):
+        parts.append(
+            f""", w{k} AS (
+    SELECT l, s, cur, lev FROM (
+      SELECT w.l, w.s, e.src AS cur, w.lev - 1 AS lev,
+             row_number() OVER (PARTITION BY w.l
+               ORDER BY {draw_sql('agb_pick', seed, 'w.l', 'w.lev', 'e.src')}, e.src) AS rk
+      FROM w{k - 1} w
+      JOIN uedges e ON e.dst = w.cur
+      JOIN dlast dx ON dx.source = w.s AND dx.node = e.src AND dx.dist = w.lev - 1
+      WHERE w.lev >= 2
+    ) WHERE rk = 1)"""
+        )
+    hyper_union = " UNION ALL ".join(
+        f"SELECT l, cur AS node FROM w{k}" for k in range(1, walk_levels + 1)
+    )
+    parts.append(f", h0 AS ({hyper_union})")
+    for j in range(1, group_size + 1):
+        parts.append(
+            f""", g{j} AS (
+    SELECT node FROM (
+      SELECT node, count(*) AS c FROM h{j - 1} GROUP BY node
+      ORDER BY c DESC, node LIMIT 1))
+, h{j} AS (
+    SELECT h.l, h.node FROM h{j - 1} h
+    WHERE h.l NOT IN (SELECT hh.l FROM h{j - 1} hh JOIN g{j} g ON hh.node = g.node))"""
+        )
+    final = " UNION ALL ".join(
+        f"SELECT CAST({j} AS BIGINT) AS rank, node FROM g{j}"
+        for j in range(1, group_size + 1)
+    )
+    return "".join(parts) + "\n" + final
+
+
+@register(
+    "approx_group_betweenness_k4",
+    _msbfs_oracle_sql(8, ", dlast AS (SELECT * FROM {last})" + _agb_oracle_sql(64, 4, 7, 8)),
+)
+def q_approx_group_betweenness(spark, sf_dir):
+    """Mahmoody-style sampled group betweenness, 64 portable-draw (s, t)
+    samples, one hash-argmin shortest path each, greedy 4-node max
+    coverage; the oracle replays the identical draws, backward walks, and
+    greedy rounds over the all-pairs fixed-round BFS — full unrolled SQL."""
+    from networkit_spark.operators.group_centrality import approx_group_betweenness
+
+    e = doc_edges_undirected(spark, sf_dir).select("src", "dst")
+    n = _n_docs(spark, sf_dir)
+    grp = approx_group_betweenness(
+        e, nodes_range(spark, n), group_size=4, samples=64, seed=7
+    )
+    return spark.createDataFrame(
+        [(i + 1, v) for i, v in enumerate(grp)], "rank long, node long"
+    )
+
+
+@register("group_closeness_local_search_k3")  # iterative swap search -> rows-only
+def q_group_closeness_local_search(spark, sf_dir):
+    """Exact-evaluation single-swap local search for group closeness
+    (``GroupClosenessLocalSearch.cpp`` semantics); rows-only — local
+    optimality and farness exactness are pytest-pinned
+    (tests/test_round4c.py)."""
+    from networkit_spark.operators.group_centrality import (
+        group_closeness_local_search,
+    )
+
+    e = doc_edges_undirected(spark, sf_dir).select("src", "dst")
+    n = _n_docs(spark, sf_dir)
+    S, far = group_closeness_local_search(
+        e, nodes_range(spark, n), [0, 1, 2], max_swaps=3, batch=256
+    )
+    return spark.createDataFrame(
+        [(i + 1, v, float(far)) for i, v in enumerate(sorted(S))],
+        "rank long, node long, farness double",
+    )
+
+
+@register("pivot_mds_coords")  # eigendecomposition -> rows-only
+def q_pivot_mds_coords(spark, sf_dir):
+    """PivotMDS 2-D layout (``viz/PivotMDS.cpp``), 16 seeded pivots;
+    rows-only (numpy-replica parity pinned in tests/test_round4c.py)."""
+    from networkit_spark.operators.layout import pivot_mds
+
+    e = doc_edges_undirected(spark, sf_dir).select("src", "dst")
+    n = _n_docs(spark, sf_dir)
+    out = pivot_mds(e, nodes_range(spark, n), dim=2, num_pivots=16, seed=42)
+    return out.select("node", F.round("x0", 6).alias("x0"), F.round("x1", 6).alias("x1"))

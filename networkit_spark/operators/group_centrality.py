@@ -173,3 +173,233 @@ def group_closeness_greedy(
         [(i + 1, s) for i, s in enumerate(sel)], "rank long, node long"
     )
     return members, float(score)
+
+
+def approx_group_betweenness(
+    und_edges: DataFrame,
+    nodes: DataFrame,
+    group_size: int,
+    epsilon: float = 0.5,
+    seed: int = 42,
+    samples: int | None = None,
+    max_rounds: int = 10_000,
+) -> list[int]:
+    """ApproxGroupBetweenness (``centrality/ApproxGroupBetweenness.cpp``;
+    Mahmoody et al., "Scalable Betweenness Centrality Maximization via
+    Sampling"): sample ``ceil(k ln n / eps^2)`` (s, t) pairs, pick ONE
+    shortest path per pair (backward from t, uniform predecessor at each
+    level), and greedily pick the k nodes covering the most sampled paths.
+
+    Distributed shape: sampling is the portable md5 draw (replayable in
+    any engine); all samples share ONE multi-source Brandes BFS
+    (``bfs_with_sigma``) from the distinct sources; the backward walks
+    advance level-synchronously for every sample at once (hash-argmin picks
+    a uniform predecessor — the reference draws from its RNG, same
+    distribution, different stream); the greedy is k rounds of one
+    count-agg + anti-join each.  ``nodes`` must carry dense ids 0..n-1
+    (re-rank with ``plans.ids.dense_ids`` first otherwise).
+
+    Returns the group in selection order (padded with unused smallest ids
+    if fewer than ``group_size`` nodes cover any path, mirroring the
+    reference's PQ draining zero-degree nodes).
+    """
+    import math
+
+    from networkit_spark.operators.approx_betweenness import bfs_with_sigma
+    from networkit_spark.operators.sampling import _draw
+
+    spark = und_edges.sparkSession
+    e = und_edges.select("src", "dst").persist()
+    e.count()
+    n = nodes.count()
+    L = samples if samples is not None else int(
+        math.ceil(group_size * math.log(n) / (epsilon * epsilon))
+    )
+    draws = spark.range(L).select(
+        F.col("id").alias("l"),
+        (_draw("agb_s", seed, F.col("id")) % n).alias("s"),
+    ).select(
+        "l", "s",
+        ((F.col("s") + 1 + _draw("agb_t", seed, F.col("l")) % (n - 1)) % n).alias("t"),
+    )
+    srcs = draws.select(F.col("s").alias("id")).distinct()
+    dist, preds = bfs_with_sigma(e, srcs)
+    preds = preds.persist()
+    preds.count()
+    # reachable samples only; start the backward walk at the target level
+    state = (
+        draws.join(
+            dist.select(F.col("source").alias("s"), F.col("node").alias("t"), "dist"),
+            ["s", "t"],
+        )
+        .select("l", "s", F.col("t").alias("cur"), F.col("dist").alias("lev"))
+        .filter(F.col("lev") >= 2)  # paths with at least one interior node
+        .localCheckpoint(eager=True)
+    )
+    hyper = spark.createDataFrame([], "l long, node long")
+    for _ in range(max_rounds):
+        if state.isEmpty():
+            break
+        picked = (
+            state.join(
+                preds.select(
+                    F.col("source").alias("s"), F.col("node").alias("cur"), "pred"
+                ),
+                ["s", "cur"],
+            )
+            .groupBy("l", "s", "lev")
+            .agg(
+                F.min_by(
+                    "pred", F.struct(_draw("agb_pick", seed, F.col("l"), F.col("lev"), F.col("pred")).alias("h"), F.col("pred").alias("p"))
+                ).alias("cur")
+            )
+            .select("l", "s", "cur", (F.col("lev") - 1).alias("lev"))
+            .localCheckpoint(eager=True)
+        )
+        hyper = hyper.unionByName(picked.select("l", F.col("cur").alias("node")))
+        state = picked.filter(F.col("lev") >= 2)
+    hyper = hyper.localCheckpoint(eager=True)
+    e.unpersist()
+    preds.unpersist()
+
+    group: list[int] = []
+    H = hyper
+    for _ in range(group_size):
+        top = (
+            H.groupBy("node").agg(F.count("*").alias("c"))
+            .orderBy(F.desc("c"), F.asc("node"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        v = int(top[0]["node"])
+        group.append(v)
+        covered = H.filter(F.col("node") == v).select("l").distinct()
+        H = H.join(covered, "l", "left_anti").localCheckpoint(eager=True)
+    # pad (reference drains its PQ: zero-coverage picks are arbitrary; we
+    # pin smallest unused ids)
+    i = 0
+    while len(group) < group_size and i < n:
+        if i not in group:
+            group.append(i)
+        i += 1
+    return group
+
+
+_BIG = 1 << 40
+
+
+def group_closeness_local_search(
+    und_edges: DataFrame,
+    nodes: DataFrame,
+    group: list[int],
+    max_swaps: int = 100,
+    batch: int = 64,
+) -> tuple[list[int], float]:
+    """Single-swap local search for group closeness
+    (``centrality/GroupClosenessLocalSearch.cpp`` semantics; the
+    bitset/sampling estimator variant is ``GroupClosenessLocalSwaps.cpp``).
+
+    Per round: one |S|-source BFS gives every node its nearest and
+    second-nearest member distances (d1, owner, d2); every shell candidate
+    v (batched multi-source BFS) is evaluated EXACTLY via
+    ``new_far(v, u) = sum_x min(d_{S\\u}(x), d_v(x)) = base(v) +
+    delta(v, u)`` with ``base(v) = sum min(d1, d_v)`` and ``delta(v, u) =
+    sum_{owner(x)=u} (min(d2, d_v) - min(d1, d_v))`` — two aggregations,
+    no |S|-fold blowup.  The best strictly-improving (u, v) swap is applied
+    (ties: smallest v, then u); stop at a true 1-swap local optimum.
+
+    Unlike the reference's estimate-then-verify single candidate per round,
+    every candidate is evaluated exactly (batched — the Spark-natural
+    trade: one wave evaluates all swaps, the reference's per-candidate
+    machinery saves sequential work that parallel waves amortize anyway).
+    Nodes unreachable from the group are excluded from farness (connected
+    inputs assumed, as in the reference).
+
+    Returns (group in member order after swaps, final farness).
+    """
+    spark = und_edges.sparkSession
+    e = und_edges.select("src", "dst").persist()
+    e.count()
+    from networkit_spark.operators.distance import multi_source_bfs
+
+    S = list(dict.fromkeys(int(x) for x in group))
+
+    def stats_for(members):
+        d = multi_source_bfs(
+            e, spark.createDataFrame([(m,) for m in members], "id long")
+        )
+        m1 = d.groupBy("node").agg(
+            F.min(F.struct("dist", "source")).alias("m1")
+        ).select(
+            "node", F.col("m1.dist").alias("d1"), F.col("m1.source").alias("owner")
+        )
+        d2 = (
+            d.join(m1, "node")
+            .filter(F.col("source") != F.col("owner"))
+            .groupBy("node")
+            .agg(F.min("dist").alias("d2"))
+        )
+        return (
+            m1.join(d2, "node", "left")
+            .select(
+                "node", "d1", "owner", F.coalesce("d2", F.lit(_BIG)).alias("d2")
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    far = None
+    for _ in range(max_swaps):
+        st = stats_for(S)
+        far = st.agg(F.sum("d1")).first()[0] or 0
+        sdf = spark.createDataFrame([(m,) for m in S], "m long")
+        shell = (
+            e.join(sdf.withColumnRenamed("m", "src"), "src")
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(sdf.withColumnRenamed("m", "id"), "id", "left_anti")
+        )
+        cand_ids = sorted(r["id"] for r in shell.collect())
+        best = None  # (new_far, v, u)
+        for lo in range(0, len(cand_ids), batch):
+            b = cand_ids[lo:lo + batch]
+            dv = multi_source_bfs(
+                e, spark.createDataFrame([(v,) for v in b], "id long")
+            ).select(F.col("source").alias("v"), "node", F.col("dist").alias("dvx"))
+            joined = st.crossJoin(
+                F.broadcast(spark.createDataFrame([(v,) for v in b], "v long"))
+            ).join(dv, ["v", "node"], "left").select(
+                "v", "owner",
+                F.least("d1", F.coalesce("dvx", F.lit(_BIG))).alias("n1"),
+                F.least("d2", F.coalesce("dvx", F.lit(_BIG))).alias("n2"),
+            )
+            base = joined.filter(F.col("n1") < _BIG).groupBy("v").agg(
+                F.sum("n1").alias("base")
+            )
+            delta = (
+                joined.filter(F.col("n2") < _BIG)
+                .groupBy("v", "owner")
+                .agg(F.sum(F.col("n2") - F.col("n1")).alias("delta"))
+            )
+            # members owning no node get delta = 0 (cross the batch with S)
+            vu = spark.createDataFrame(
+                [(v, u) for v in b for u in S], "v long, owner long"
+            )
+            rows = (
+                vu.join(base, "v")
+                .join(delta, ["v", "owner"], "left")
+                .select("v", F.col("owner").alias("u"),
+                        (F.col("base") + F.coalesce("delta", F.lit(0))).alias("nf"))
+                .collect()
+            )
+            for r in rows:
+                key = (int(r["nf"]), int(r["v"]), int(r["u"]))
+                if best is None or key < best:
+                    best = key
+        if best is None or best[0] >= far:
+            break
+        nf, v, u = best
+        S[S.index(u)] = v
+    e.unpersist()
+    return S, float(far if far is not None else 0)
