@@ -653,3 +653,30 @@ def write_metis(edges: DataFrame, n: int, path: str, weighted: bool = False) -> 
         f.write(f"{n} {m} {int(weighted)}\n")
         for u in range(n):
             f.write(by_node.get(u, "") + "\n")
+
+
+def write_snap(edges: DataFrame, n: int, path: str) -> None:
+    """SNAPGraphWriter (``io/SNAPGraphWriter.cpp:15-25``): a ``p n m u u 0``
+    problem line then one ``u v`` line per undirected edge (canonical rows,
+    src < dst expected from the caller)."""
+    spark = edges.sparkSession
+    body = edges.select(
+        F.lit(1).alias("o"),
+        F.col("src").cast("long").alias("k1"),
+        F.col("dst").cast("long").alias("k2"),
+        F.concat(
+            F.col("src").cast("string"), F.lit(" "), F.col("dst").cast("string")
+        ).alias("x"),
+    )
+    m = edges.count()
+    header = spark.createDataFrame(
+        [(0, 0, 0, f"p {n} {m} u u 0")], "o int, k1 long, k2 long, x string"
+    )
+    (
+        header.unionByName(body)
+        .orderBy("o", "k1", "k2")
+        .select("x")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(path)
+    )

@@ -193,3 +193,70 @@ def read_edgelist_cover(
         .select("node", F.explode("ss").alias("s"))
         .select("node", F.col("s").cast("long").alias("subset"))
     )
+
+
+def write_dot_partition(edges, labels, path: str) -> None:
+    """DotPartitionWriter (``io/DotPartitionWriter.cpp:30-49``): a DOT graph
+    whose non-isolated nodes are filled with an HSV hue per cluster
+    (hue = rank of the cluster id among the clusters present / #clusters,
+    pinned ascending — the reference's unordered-set iteration order is
+    unspecified) plus one ``u -- v;`` line per canonical edge.
+
+    ``edges``: canonical (src < dst) rows; ``labels``: (node, label).
+    """
+    from pyspark.sql import functions as F
+
+    spark = edges.sparkSession
+    deg_nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    present = (
+        deg_nodes.join(labels, "node")
+        .select("label")
+        .distinct()
+    )
+    k = present.count()
+    hue = present.orderBy("label").collect()
+    hue_map = spark.createDataFrame(
+        [(int(r["label"]), i / k) for i, r in enumerate(hue)],
+        "label long, hue double",
+    )
+    node_lines = (
+        deg_nodes.join(labels, "node")
+        .join(F.broadcast(hue_map), "label")
+        .select(
+            F.lit(1).alias("o"),
+            F.col("node").alias("k1"),
+            F.lit(0).cast("long").alias("k2"),
+            F.concat(
+                F.col("node").cast("string"),
+                F.lit(' [style=filled, color="'),
+                F.col("hue").cast("string"),
+                F.lit(',0.99,0.99", label='),
+                F.col("label").cast("string"),
+                F.lit("];"),
+            ).alias("x"),
+        )
+    )
+    edge_lines = edges.select(
+        F.lit(2).alias("o"),
+        F.col("src").cast("long").alias("k1"),
+        F.col("dst").cast("long").alias("k2"),
+        F.concat(
+            F.col("src").cast("string"), F.lit(" -- "),
+            F.col("dst").cast("string"), F.lit(";"),
+        ).alias("x"),
+    )
+    hdr = spark.createDataFrame(
+        [(0, 0, 0, "graph {"), (3, 0, 0, "}")], "o int, k1 long, k2 long, x string"
+    )
+    (
+        hdr.unionByName(node_lines).unionByName(edge_lines)
+        .orderBy("o", "k1", "k2")
+        .select("x")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(path)
+    )

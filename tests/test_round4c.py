@@ -738,3 +738,48 @@ def test_pivot_mds_matches_numpy_replica(spark):
     for i, x in enumerate(nodes):
         assert got[x][0] == pytest.approx(want[i, 0], abs=1e-6), x
         assert got[x][1] == pytest.approx(want[i, 1], abs=1e-6), x
+
+
+# ---------------------------------------------------------------------------
+# SNAP writer + DOT partition writer
+# ---------------------------------------------------------------------------
+
+def test_write_snap_roundtrip(spark, tmp_path):
+    from networkit_spark.sources.edgelist import write_snap
+
+    pairs = sorted({(min(a, b), max(a, b)) for a, b, _ in _toy(14)})
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    n = len({x for ab in pairs for x in ab})
+    out = str(tmp_path / "snap_out")
+    write_snap(e, n, out)
+    import glob
+
+    f = glob.glob(out + "/part-*")[0]
+    lines = open(f).read().strip().split("\n")
+    # DIMACS-style problem line, then "u v" per edge (SNAPGraphWriter.cpp:20)
+    assert lines[0] == f"p {n} {len(pairs)} u u 0"
+    got = sorted(tuple(int(t) for t in ln.split()) for ln in lines[1:])
+    assert got == pairs
+
+
+def test_write_dot_partition(spark, tmp_path):
+    from networkit_spark.sources.partitions import write_dot_partition
+
+    pairs = sorted({(min(a, b), max(a, b)) for a, b, _ in _toy(12)})
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    nodes = sorted({x for ab in pairs for x in ab})
+    labels = spark.createDataFrame([(x, x % 3) for x in nodes], "node long, label long")
+    out = str(tmp_path / "dotp_out")
+    write_dot_partition(e, labels, out)
+    import glob
+
+    f = glob.glob(out + "/part-*")[0]
+    txt = open(f).read()
+    lines = txt.strip().split("\n")
+    assert lines[0] == "graph {" and lines[-1] == "}"
+    # every non-isolated node gets a filled/hue line; every edge one line
+    assert sum(1 for x in lines if "style=filled" in x) == len(nodes)
+    assert sum(1 for x in lines if " -- " in x) == len(pairs)
+    # 3 clusters -> hues 0, 1/3, 2/3
+    assert 'color="0.0,0.99,0.99"' in txt
+    assert f'color="{1/3},0.99,0.99"' in txt
