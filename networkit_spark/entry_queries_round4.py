@@ -1127,3 +1127,23 @@ def q_pivot_mds_coords(spark, sf_dir):
     n = _n_docs(spark, sf_dir)
     out = pivot_mds(e, nodes_range(spark, n), dim=2, num_pivots=16, seed=42)
     return out.select("node", F.round("x0", 6).alias("x0"), F.round("x1", 6).alias("x1"))
+
+
+@register(
+    "dynamic_path_events50",
+    """
+WITH s AS (SELECT unnest(generate_series(0, 49)) AS i)
+SELECT CAST(0 AS BIGINT) AS seq, 'NODE_ADDITION' AS etype,
+       CAST(0 AS BIGINT) AS u, CAST(NULL AS BIGINT) AS v, CAST(NULL AS DOUBLE) AS w
+UNION ALL SELECT 3*i+1, 'NODE_ADDITION', i+1, NULL, NULL FROM s
+UNION ALL SELECT 3*i+2, 'EDGE_ADDITION', i, i+1, 1.0 FROM s
+UNION ALL SELECT 3*i+3, 'TIME_STEP', NULL, NULL, NULL FROM s
+""",
+)
+def q_dynamic_path_events(spark, sf_dir):
+    """DynamicPathGenerator event stream (``DynamicPathGenerator.cpp``),
+    50 steps — fully deterministic, so the oracle reconstructs the exact
+    (seq, etype, u, v, w) rows."""
+    from networkit_spark.sources.dynamic_generators import dynamic_path_events
+
+    return dynamic_path_events(spark, 50)

@@ -783,3 +783,72 @@ def test_write_dot_partition(spark, tmp_path):
     # 3 clusters -> hues 0, 1/3, 2/3
     assert 'color="0.0,0.99,0.99"' in txt
     assert f'color="{1/3},0.99,0.99"' in txt
+
+
+# ---------------------------------------------------------------------------
+# Dynamic generators (event streams)
+# ---------------------------------------------------------------------------
+
+def test_dynamic_path_events(spark):
+    from networkit_spark.sources.dynamic_generators import dynamic_path_events
+
+    ev = dynamic_path_events(spark, 5).collect()
+    types = [r["etype"] for r in ev]
+    assert types.count("TIME_STEP") == 5
+    assert types.count("NODE_ADDITION") == 6
+    adds = [(r["u"], r["v"]) for r in ev if r["etype"] == "EDGE_ADDITION"]
+    assert adds == [(i, i + 1) for i in range(5)]
+    # seq strictly increasing in emit order
+    assert [r["seq"] for r in ev] == sorted(r["seq"] for r in ev)
+
+
+def test_dynamic_dorogovtsev_mendes_events(spark):
+    from networkit_spark.sources.dynamic_generators import (
+        dynamic_dorogovtsev_mendes_events,
+        events_to_edges,
+    )
+
+    ev = dynamic_dorogovtsev_mendes_events(spark, 10, seed=3)
+    rows = ev.collect()
+    assert sum(1 for r in rows if r["etype"] == "TIME_STEP") == 11
+    edges = [(r["src"], r["dst"]) for r in events_to_edges(ev).collect()]
+    assert len(edges) == 3 + 2 * 10  # triangle + 2 per step
+    # each step's new node attaches to both endpoints of an existing edge
+    eset = {(0, 1), (1, 2), (2, 0)}
+    eset |= {(min(a, b), max(a, b)) for a, b in eset}
+    by_node = defaultdict(list)
+    for a, b in edges[3:]:
+        by_node[a].append(b)
+    prev = {(min(a, b), max(a, b)) for a, b in edges[:3]}
+    for u in sorted(by_node):
+        s, t = by_node[u]
+        assert (min(s, t), max(s, t)) in prev, u
+        prev |= {(min(u, s), max(u, s)), (min(u, t), max(u, t))}
+    # determinism
+    again = [(r["src"], r["dst"]) for r in events_to_edges(
+        dynamic_dorogovtsev_mendes_events(spark, 10, seed=3)).collect()]
+    assert again == edges
+
+
+def test_dynamic_forest_fire_events(spark):
+    from networkit_spark.sources.dynamic_generators import (
+        dynamic_forest_fire_events,
+        events_to_edges,
+    )
+
+    ev = dynamic_forest_fire_events(spark, 12, p=0.4, seed=6)
+    rows = ev.collect()
+    assert sum(1 for r in rows if r["etype"] == "TIME_STEP") == 12
+    edges = [(r["src"], r["dst"]) for r in events_to_edges(ev).collect()]
+    # every new node connects to at least its ambassador, to OLDER nodes only
+    seen_nodes = {0}
+    by_node = defaultdict(set)
+    for a, b in edges:
+        by_node[a].add(b)
+    for v in range(1, 12):
+        assert by_node[v], v
+        assert all(w < v for w in by_node[v]), v
+    # determinism
+    again = [(r["src"], r["dst"]) for r in events_to_edges(
+        dynamic_forest_fire_events(spark, 12, p=0.4, seed=6)).collect()]
+    assert again == edges
