@@ -149,3 +149,54 @@ def b_suitor_oracle_sql(uedges_cte: str, b: int, rounds: int) -> str:
         )
     parts.append(f" SELECT u, v, weight FROM m{rounds}")
     return "\n".join(parts)
+
+
+def dyn_b_suitor_update(
+    matched: DataFrame,
+    post_edges: DataFrame,
+    b: int,
+    w_event: float,
+    nodes: DataFrame | None = None,
+    max_rounds: int = 100,
+) -> DataFrame:
+    """One edge insertion/removal on a maintained b-matching
+    (``matching/DynamicBSuitorMatcher.cpp`` — the reference repairs the
+    suitor fixpoint by walking augmenting chains per event).
+
+    Distributed exactness argument instead of pointer chasing: under
+    distinct weights the b-suitor fixpoint equals the weight-descending
+    greedy, and the greedy's decisions on edges HEAVIER than the event
+    weight cannot see the event — so every matched edge with
+    ``weight > w_event`` is kept verbatim, remaining capacities are reduced
+    accordingly, and the suitor rounds re-run only on the light suffix
+    (``weight <= w_event``) of the post-event graph.  Work scales with the
+    light suffix: cheap for heavy events, full recompute in the worst case
+    (the reference's chains have the same worst case, sequentially).
+
+    ``matched``: (u, v, weight) current matching; ``post_edges``: canonical
+    post-event rows.  Distinct weights assumed (as for the static equality
+    guarantee).  Returns the new (u, v, weight) matching.
+    """
+    heavy = matched.filter(F.col("weight") > w_event)
+    used = (
+        heavy.select(F.col("u").alias("node"))
+        .union(heavy.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("used"))
+    )
+    ends = post_edges.select(F.col("src").alias("node")).union(
+        post_edges.select(F.col("dst").alias("node"))
+    ).distinct()
+    base = nodes.select(F.col("id").alias("node")) if nodes is not None else ends
+    caps = (
+        base.join(used, "node", "left")
+        .select(
+            "node",
+            F.greatest(
+                F.lit(0), F.lit(b) - F.coalesce("used", F.lit(0))
+            ).cast("long").alias("b"),
+        )
+    )
+    light = post_edges.filter(F.col("weight") <= w_event)
+    redo = b_suitor_matching(light, caps, max_rounds=max_rounds)
+    return heavy.unionByName(redo)

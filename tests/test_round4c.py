@@ -852,3 +852,44 @@ def test_dynamic_forest_fire_events(spark):
     again = [(r["src"], r["dst"]) for r in events_to_edges(
         dynamic_forest_fire_events(spark, 12, p=0.4, seed=6)).collect()]
     assert again == edges
+
+
+# ---------------------------------------------------------------------------
+# DynamicBSuitorMatcher
+# ---------------------------------------------------------------------------
+
+def test_dyn_b_suitor_matches_recompute(spark):
+    from networkit_spark.operators.bmatching import (
+        b_suitor_matching,
+        dyn_b_suitor_update,
+    )
+
+    # distinct weights via a hash-ish formula
+    pairs = [(a, b, 1.0 + ((a * 131 + b * 17) % 97) + 0.01 * a + 0.001 * b)
+             for a, b, _ in _toy(16)]
+    df = spark.createDataFrame(pairs, "src long, dst long, weight double")
+    cur = b_suitor_matching(df, 2)
+    eset = {(a, b) for a, b, _ in pairs}
+
+    def canon(rows):
+        return sorted((r["u"], r["v"], round(r["weight"], 6)) for r in rows)
+
+    # insertion
+    ins = next((a, b) for a in range(16) for b in range(a + 1, 16)
+               if (a, b) not in eset and (b, a) not in eset)
+    w_new = 55.5555
+    pairs2 = pairs + [(*ins, w_new)]
+    df2 = spark.createDataFrame(pairs2, "src long, dst long, weight double")
+    got = dyn_b_suitor_update(cur, df2, 2, w_new)
+    want = b_suitor_matching(df2, 2)
+    assert canon(got.collect()) == canon(want.collect())
+
+    # removal of a currently-matched edge
+    cur2 = got
+    rm = canon(cur2.collect())[0]
+    pairs3 = [t for t in pairs2 if not (t[0] == rm[0] and t[1] == rm[1])]
+    df3 = spark.createDataFrame(pairs3, "src long, dst long, weight double")
+    got3 = dyn_b_suitor_update(cur2.filter(
+        ~((F.col("u") == rm[0]) & (F.col("v") == rm[1]))), df3, 2, rm[2])
+    want3 = b_suitor_matching(df3, 2)
+    assert canon(got3.collect()) == canon(want3.collect())
