@@ -1147,3 +1147,69 @@ def q_dynamic_path_events(spark, sf_dir):
     from networkit_spark.sources.dynamic_generators import dynamic_path_events
 
     return dynamic_path_events(spark, 50)
+
+
+# ---------------------------------------------------------------------------
+# AlgebraicDistanceIndex (linkprediction/AlgebraicDistanceIndex.cpp)
+# ---------------------------------------------------------------------------
+
+def _adi_oracle_sql(systems: int, iters: int, seed: int) -> str:
+    u01 = (
+        "('0x'||substr(md5(concat_ws('|','ad{seed}', CAST({n} AS VARCHAR),"
+        " CAST({s} AS VARCHAR))),1,13))::BIGINT / 4503599627370496.0"
+    )
+    parts = [
+        f"WITH {UEDGES_CTE}",
+        f", sysx AS (SELECT unnest(generate_series(0, {systems - 1})) AS s)",
+        ", wdeg AS (SELECT src AS node, sum(weight) AS wd FROM uedges GROUP BY src)",
+        ", l0 AS (SELECT d.doc_id AS node, sysx.s, "
+        + u01.format(seed=seed, n="d.doc_id", s="sysx.s")
+        + " AS load FROM documents d, sysx)",
+    ]
+    for k in range(1, iters + 1):
+        prev = f"l{k - 1}"
+        parts.append(
+            f""", l{k} AS MATERIALIZED (
+  SELECT n.node, n.s,
+         CASE WHEN t.acc IS NOT NULL
+              THEN 0.5 * n.load + 0.5 * t.acc / w.wd
+              ELSE n.load END AS load
+  FROM {prev} n
+  LEFT JOIN (SELECT e.src AS node, p.s, sum(e.weight * p.load) AS acc
+             FROM uedges e JOIN {prev} p ON e.dst = p.node GROUP BY e.src, p.s) t
+    ON n.node = t.node AND n.s = t.s
+  LEFT JOIN wdeg w ON n.node = w.node)"""
+        )
+    parts.append(
+        f""", qp AS (SELECT i AS u, (i * 37 + 11) % n AS v
+         FROM range(100) t(i), nn WHERE i <> (i * 37 + 11) % n)
+SELECT q.u, q.v,
+       round(sqrt(sum((a.load - b.load) * (a.load - b.load))), 7) AS score
+FROM qp q
+JOIN l{iters} a ON a.node = q.u
+JOIN l{iters} b ON b.node = q.v AND b.s = a.s
+GROUP BY q.u, q.v"""
+    )
+    return "\n".join(parts)
+
+
+@register("algebraic_distance_pred", _adi_oracle_sql(4, 4, 42))
+def q_algebraic_distance_pred(spark, sf_dir):
+    """AlgebraicDistanceIndex over 100 deterministic query pairs
+    (``AlgebraicDistanceIndex.cpp:23-73``, omega 0.5, 4 systems, 4
+    iterations, 2-norm, raw loads): the oracle unrolls the load smoothing
+    with the identical md5 initialization."""
+    from networkit_spark.operators.algebraic import algebraic_distance_pairs
+
+    e = doc_edges_undirected(spark, sf_dir)
+    n = _n_docs(spark, sf_dir)
+    qp = (
+        spark.range(100)
+        .select(F.col("id").alias("u"), ((F.col("id") * 37 + 11) % n).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+    )
+    out = algebraic_distance_pairs(
+        e, nodes_range(spark, n), qp, num_systems=4, num_iterations=4,
+        omega=0.5, seed=42, norm=2,
+    )
+    return out.select("u", "v", F.round("score", 7).alias("score"))

@@ -135,3 +135,42 @@ def algebraic_distance_edge_scores(
         agg = F.pow(F.sum(F.pow("ad", float(norm))), 1.0 / norm).alias("score")
     out = joined.groupBy("src", "dst").agg(agg)
     return out.select("src", "dst", F.nanvl(F.col("score"), F.lit(0.0)).alias("score"))
+
+
+def algebraic_distance_pairs(
+    und_edges: DataFrame,
+    nodes: DataFrame,
+    pairs: DataFrame,
+    num_systems: int = 10,
+    num_iterations: int = 30,
+    omega: float = 0.5,
+    seed: int = 42,
+    norm: int = 2,
+) -> DataFrame:
+    """AlgebraicDistanceIndex (``linkprediction/AlgebraicDistanceIndex.cpp``):
+    the link-prediction form — algebraic distance between ARBITRARY node
+    pairs (u, v), raw (un-normalized) loads, p-norm over systems
+    (``norm=0`` -> max norm), NaN -> 0 (``:51-73``).
+
+    ``pairs``: (u, v) rows.  One loads table feeds every queried pair —
+    two joins, no per-pair work.
+    """
+    loads = algebraic_distance_loads(
+        und_edges, nodes, num_systems, num_iterations, omega, seed,
+        normalize=False,
+    )
+    j = (
+        pairs.select("u", "v")
+        .join(loads.select(F.col("node").alias("u"), "sys", F.col("load").alias("lu")), "u")
+        .join(loads.select(F.col("node").alias("v"), "sys", F.col("load").alias("lv")), ["v", "sys"])
+        .withColumn("ad", F.abs(F.col("lu") - F.col("lv")))
+    )
+    if norm == 0:
+        out = j.groupBy("u", "v").agg(F.max("ad").alias("score"))
+    else:
+        out = j.groupBy("u", "v").agg(
+            F.pow(F.sum(F.pow("ad", float(norm))), 1.0 / norm).alias("score")
+        )
+    return out.select(
+        "u", "v", F.when(F.isnan("score"), 0.0).otherwise(F.col("score")).alias("score")
+    )

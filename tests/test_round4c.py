@@ -893,3 +893,41 @@ def test_dyn_b_suitor_matches_recompute(spark):
         ~((F.col("u") == rm[0]) & (F.col("v") == rm[1]))), df3, 2, rm[2])
     want3 = b_suitor_matching(df3, 2)
     assert canon(got3.collect()) == canon(want3.collect())
+
+
+# ---------------------------------------------------------------------------
+# AlgebraicDistanceIndex (link-prediction pair scores)
+# ---------------------------------------------------------------------------
+
+def test_algebraic_distance_pairs_matches_replica(spark):
+    import hashlib
+
+    from networkit_spark.operators.algebraic import algebraic_distance_pairs
+
+    pairs = [(a, b, 1.0) for a, b, _ in _toy(12)]
+    adj = _adj(pairs)
+    nodes = sorted(adj)
+    K, IT, OM, SEED = 3, 5, 0.5, 9
+    e = _sym_df(spark, pairs)
+    ndf = spark.createDataFrame([(x,) for x in nodes], "id long")
+    qp = [(0, 5), (1, 7), (2, 2), (3, 9)]
+    qdf = spark.createDataFrame(qp, "u long, v long")
+    got = {(r["u"], r["v"]): r["score"]
+           for r in algebraic_distance_pairs(e, ndf, qdf, K, IT, OM, SEED).collect()}
+
+    def u01(node, sysi):
+        key = f"ad{SEED}|{node}|{sysi}"
+        return int(hashlib.md5(key.encode()).hexdigest()[:13], 16) / float(1 << 52)
+
+    loads = {(x, s): u01(x, s) for x in nodes for s in range(K)}
+    wd = {x: sum(adj[x].values()) for x in nodes}
+    for _ in range(IT):
+        new = {}
+        for x in nodes:
+            for s in range(K):
+                acc = sum(w * loads[(y, s)] for y, w in adj[x].items())
+                new[(x, s)] = (1 - OM) * loads[(x, s)] + OM * acc / wd[x]
+        loads = new
+    for (a, b) in qp:
+        want = sum(abs(loads[(a, s)] - loads[(b, s)]) ** 2 for s in range(K)) ** 0.5
+        assert got[(a, b)] == pytest.approx(want, rel=1e-9), (a, b)
