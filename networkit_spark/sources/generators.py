@@ -1189,3 +1189,309 @@ def stochastic_blockmodel(
     return und.unionByName(
         und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).withColumn("weight", F.lit(1.0))
+
+
+# ---------------------------------------------------------------------------
+# Geometric generators: PubWeb (unit torus), Mocnik (unit ball)
+# ---------------------------------------------------------------------------
+
+_PUBWEB_MAX_RAD = 0.2       # MAX_DENSE_AREA_RADIUS (PubWebGenerator.hpp:65)
+_PUBWEB_FACTOR = 5.0        # MIN_MAX_DENSE_AREA_FACTOR (:66)
+_PUBWEB_BASE_W = 0.01       # BASE_WEIGHT (:67)
+
+
+def _u01_md5(tag: str, seed: int, *vals) -> float:
+    """Driver-side twin of the column-level md5 draw (for the O(areas)
+    scalar parameters; per-node draws stay columnar)."""
+    import hashlib
+
+    key = "|".join([tag, str(seed)] + [str(v) for v in vals])
+    return int(hashlib.md5(key.encode()).hexdigest()[:13], 16) / float(1 << 52)
+
+
+def _u01_col(tag: str, seed: int, *cols) -> F.Column:
+    from networkit_spark.operators.sampling import _draw
+
+    return (_draw(tag, seed, *cols) % F.lit(1 << 52)) / float(1 << 52)
+
+
+def pubweb_points(
+    spark: SparkSession,
+    n: int,
+    num_dense_areas: int,
+    seed: int = 42,
+) -> DataFrame:
+    """PubWeb node placement (``PubWebGenerator.cpp:86-140``): dense disks
+    with anti-quadratic radii hold ``numDenseAreas/(numDenseAreas+2)`` of
+    the nodes (sizes ~ rad^1.5), the rest spread uniformly; everything is
+    wrapped into the unit torus.  Area parameters are O(areas) seeded
+    scalars on the driver; per-node coordinates are pure hash columns.
+    Returns (node, x, y)."""
+    radii = [
+        _PUBWEB_MAX_RAD * f * f / (_PUBWEB_FACTOR * _PUBWEB_FACTOR)
+        for f in (
+            _u01_md5("pw_rad", seed, a) * _PUBWEB_FACTOR + 1.0
+            for a in range(num_dense_areas)
+        )
+    ]
+    if num_dense_areas:
+        f = sum(r ** 1.5 for r in radii)
+        f = (n * (num_dense_areas / (num_dense_areas + 2.0))) / f
+        per_area = [int(round(f * r ** 1.5)) for r in radii]
+    else:
+        per_area = []
+    centers = [
+        (_u01_md5("pw_cx", seed, a), _u01_md5("pw_cy", seed, a))
+        for a in range(num_dense_areas)
+    ]
+    # node index -> area by offset ranges; remainder = background
+    bounds = []
+    off = 0
+    for a, cnt in enumerate(per_area):
+        bounds.append((off, min(off + cnt, n), a))
+        off += cnt
+        if off >= n:
+            break
+    pts = spark.range(n).select(F.col("id").alias("node"))
+    area_col = F.lit(-1)
+    for lo, hi, a in bounds:
+        area_col = F.when(
+            (F.col("node") >= lo) & (F.col("node") < hi), F.lit(a)
+        ).otherwise(area_col)
+    import math as _math
+
+    cx = F.lit(-1.0)
+    cy = F.lit(-1.0)
+    rad = F.lit(0.0)
+    for a in range(len(bounds)):
+        cx = F.when(F.col("area") == a, F.lit(centers[a][0])).otherwise(cx)
+        cy = F.when(F.col("area") == a, F.lit(centers[a][1])).otherwise(cy)
+        rad = F.when(F.col("area") == a, F.lit(radii[a])).otherwise(rad)
+    ang = _u01_col("pw_ang", seed, F.col("node")) * (2.0 * _math.pi)
+    dst = _u01_col("pw_dst", seed, F.col("node")) * rad
+    raw_x = F.when(F.col("area") >= 0, cx + F.cos(ang) * dst).otherwise(
+        _u01_col("pw_bx", seed, F.col("node"))
+    )
+    raw_y = F.when(F.col("area") >= 0, cy + F.sin(ang) * dst).otherwise(
+        _u01_col("pw_by", seed, F.col("node"))
+    )
+
+    def wrap(c):
+        return F.when(c > 1.0, c - 1.0).when(c < 0.0, c + 1.0).otherwise(c)
+
+    return pts.withColumn("area", area_col).select(
+        "node", wrap(raw_x).alias("x"), wrap(raw_y).alias("y")
+    )
+
+
+def pubweb_graph(
+    spark: SparkSession,
+    n: int,
+    num_dense_areas: int,
+    neighborhood_radius: float,
+    max_neighbors: int,
+    seed: int = 42,
+) -> DataFrame:
+    """PubWebGenerator (``PubWebGenerator.cpp:46-85``): an undirected edge
+    (u, v) with weight ``0.01 / sqrDist`` exists iff EACH endpoint ranks
+    the other among its ``max_neighbors`` nearest torus-neighbors within
+    ``neighborhood_radius`` (the reference's eligible-then-insert pass is
+    exactly mutual selection).
+
+    Distributed shape: torus grid with cell width >= radius — each point
+    joins only its 3x3 cell ring (9-row explode, one equi-join), distances
+    filter to the radius, a per-node window takes the top ``max_neighbors``
+    (ties measure-zero under hash draws; pinned by (dist, neighbor id)),
+    and a groupBy keeps pairs selected from BOTH sides.  No O(n^2) stage;
+    per-cell load is bounded by the point density.
+    Returns (src, dst, weight) symmetrized rows."""
+    pts = pubweb_points(spark, n, num_dense_areas, seed).persist()
+    pts.count()
+    ncell = max(1, int(1.0 / neighborhood_radius))
+    cell = lambda c: F.least(  # noqa: E731
+        F.floor(c * ncell).cast("long"), F.lit(ncell - 1)
+    )
+    a = pts.select(
+        F.col("node").alias("u"), F.col("x").alias("xu"), F.col("y").alias("yu"),
+        cell(F.col("x")).alias("cxu"), cell(F.col("y")).alias("cyu"),
+    )
+    deltas = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], "dx long, dy long"
+    )
+    a9 = a.crossJoin(F.broadcast(deltas)).select(
+        "u", "xu", "yu",
+        ((F.col("cxu") + F.col("dx") + ncell) % ncell).alias("cx"),
+        ((F.col("cyu") + F.col("dy") + ncell) % ncell).alias("cy"),
+    ).distinct()
+    b = pts.select(
+        F.col("node").alias("v"), F.col("x").alias("xv"), F.col("y").alias("yv"),
+        cell(F.col("x")).alias("cx"), cell(F.col("y")).alias("cy"),
+    )
+
+    def tdelta(p, q):
+        d = p - q
+        return F.when(d > 0.5, 1.0 - d).when(d < -0.5, d + 1.0).otherwise(d)
+
+    dx = tdelta(F.col("xu"), F.col("xv"))
+    dy = tdelta(F.col("yu"), F.col("yv"))
+    cand = (
+        a9.join(b, ["cx", "cy"])
+        .filter(F.col("u") != F.col("v"))
+        .select("u", "v", (dx * dx + dy * dy).alias("sq"))
+        .filter(F.col("sq") <= neighborhood_radius * neighborhood_radius)
+    )
+    from pyspark.sql import Window
+
+    ranked = cand.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("u").orderBy(F.col("sq"), F.col("v"))
+        ),
+    ).filter(F.col("rk") <= max_neighbors)
+    und = (
+        ranked.select(
+            F.least("u", "v").alias("src"), F.greatest("u", "v").alias("dst"), "sq"
+        )
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("c"), F.min("sq").alias("sq"))
+        .filter(F.col("c") == 2)
+        .select("src", "dst", (F.lit(_PUBWEB_BASE_W) / F.col("sq")).alias("weight"))
+    )
+    pts.unpersist()
+    return und.unionByName(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    )
+
+
+def mocnik_points(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
+    """Mocnik node placement (``MocnikGeneratorBasic.cpp:52-64``): uniform
+    draws in the unit square, accepted when inside the ball B_0.5(0.5, 0.5).
+    The reference redraws sequentially; here each node takes its first
+    accepted attempt out of 48 hash draws (P[all rejected] ~ 1e-30).
+    Returns (node, x, y)."""
+    att = spark.range(n).select(
+        F.col("id").alias("node"),
+        F.explode(F.sequence(F.lit(0), F.lit(47))).alias("t"),
+    ).select(
+        "node", "t",
+        _u01_col("mk_x", seed, F.col("node"), F.col("t")).alias("x"),
+        _u01_col("mk_y", seed, F.col("node"), F.col("t")).alias("y"),
+    )
+    ok = att.filter(
+        (F.col("x") - 0.5) * (F.col("x") - 0.5)
+        + (F.col("y") - 0.5) * (F.col("y") - 0.5)
+        < 0.25
+    )
+    return ok.groupBy("node").agg(
+        F.min(F.struct("t", "x", "y")).alias("m")
+    ).select("node", F.col("m.x").alias("x"), F.col("m.y").alias("y"))
+
+
+def mocnik_graph(
+    spark: SparkSession, n: int, k: float = 2.5, seed: int = 42,
+    max_rings: int = 12,
+) -> DataFrame:
+    """MocnikGeneratorBasic (``MocnikGeneratorBasic.cpp:42-90``, dim = 2):
+    directed edge u -> v iff ``dist(u, v) <= k * distMin(u)`` where
+    ``distMin(u)`` is u's nearest-neighbor distance.
+
+    Distributed shape: grid cells of width ~ the expected NN distance;
+    distMin comes from expanding cell rings (doubling, driver loop) with
+    the standard guarantee that a candidate at distance <= ring_radius
+    cannot be beaten by an unexplored cell; the edge pass explodes each
+    node over the cells its own ``k * distMin`` ball touches (bounded by
+    ~(2k+3)^2 cells since distMin ~ cell width).  No O(n^2) stage.
+    Returns directed (src, dst, weight=1.0) rows."""
+    import math as _math
+
+    pts = mocnik_points(spark, n, seed).persist()
+    pts.count()
+    h = max(1e-9, 0.5 / _math.sqrt(max(n, 2)))  # ~ NN scale in the ball
+    ncell = max(1, int(1.0 / h))
+    h = 1.0 / ncell
+    cell = lambda c: F.least(F.floor(c / h).cast("long"), F.lit(ncell - 1))  # noqa: E731
+    base = pts.select(
+        F.col("node").alias("u"), F.col("x").alias("xu"), F.col("y").alias("yu"),
+        cell(F.col("x")).alias("cu"), cell(F.col("y")).alias("du"),
+    ).persist()
+    tgt = pts.select(
+        F.col("node").alias("v"), F.col("x").alias("xv"), F.col("y").alias("yv"),
+        cell(F.col("x")).alias("cx"), cell(F.col("y")).alias("cy"),
+    ).persist()
+    base.count()
+    tgt.count()
+
+    def ring_join(src_df, R):
+        ring = src_df.select(
+            "u", "xu", "yu",
+            F.explode(F.sequence(F.lit(-R), F.lit(R))).alias("dx"),
+            F.col("cu"), F.col("du"),
+        ).select(
+            "u", "xu", "yu", (F.col("cu") + F.col("dx")).alias("cx"), "du",
+        ).filter((F.col("cx") >= 0) & (F.col("cx") < ncell)).select(
+            "u", "xu", "yu", "cx",
+            F.explode(F.sequence(F.lit(-R), F.lit(R))).alias("dy"),
+            F.col("du"),
+        ).select(
+            "u", "xu", "yu", "cx", (F.col("du") + F.col("dy")).alias("cy"),
+        ).filter((F.col("cy") >= 0) & (F.col("cy") < ncell))
+        j = ring.join(tgt, ["cx", "cy"]).filter(F.col("u") != F.col("v"))
+        d2 = (F.col("xu") - F.col("xv")) ** 2 + (F.col("yu") - F.col("yv")) ** 2
+        return j.select("u", "v", F.sqrt(d2).alias("d"))
+
+    # phase 1: distMin by doubling rings
+    remaining = base
+    nn_parts = []
+    R = 1
+    for _ in range(max_rings):
+        if remaining.isEmpty():
+            break
+        cand = ring_join(remaining, R).groupBy("u").agg(F.min("d").alias("dmin"))
+        # safe: every cell within ring R covers distance R*h from the cell
+        settled = cand.filter(F.col("dmin") <= R * h)
+        nn_parts.append(settled.localCheckpoint(eager=True))
+        remaining = remaining.join(
+            settled.select("u"), "u", "left_anti"
+        ).localCheckpoint(eager=True)
+        R *= 2
+        if R > 2 * ncell:
+            # everything within one global ring: finish exhaustively
+            cand = ring_join(remaining, ncell).groupBy("u").agg(F.min("d").alias("dmin"))
+            nn_parts.append(cand.localCheckpoint(eager=True))
+            remaining = remaining.join(cand.select("u"), "u", "left_anti")
+            break
+    nn = nn_parts[0]
+    for p in nn_parts[1:]:
+        nn = nn.unionByName(p)
+
+    # phase 2: edges within k * distMin(u)
+    reach = base.join(nn, "u").withColumn(
+        "R", F.least(F.ceil(F.col("dmin") * k / h).cast("long") + 1, F.lit(ncell))
+    )
+    ring2 = reach.select(
+        "u", "xu", "yu", "dmin",
+        F.explode(F.sequence(-F.col("R"), F.col("R"))).alias("dx"),
+        "cu", "du", "R",
+    ).select(
+        "u", "xu", "yu", "dmin", (F.col("cu") + F.col("dx")).alias("cx"), "du", "R",
+    ).filter((F.col("cx") >= 0) & (F.col("cx") < ncell)).select(
+        "u", "xu", "yu", "dmin", "cx",
+        F.explode(F.sequence(-F.col("R"), F.col("R"))).alias("dy"),
+        "du",
+    ).select(
+        "u", "xu", "yu", "dmin", "cx", (F.col("du") + F.col("dy")).alias("cy"),
+    ).filter((F.col("cy") >= 0) & (F.col("cy") < ncell))
+    d2 = (F.col("xu") - F.col("xv")) ** 2 + (F.col("yu") - F.col("yv")) ** 2
+    out = (
+        ring2.join(tgt, ["cx", "cy"])
+        .filter(F.col("u") != F.col("v"))
+        .filter(F.sqrt(d2) <= F.col("dmin") * k)
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .distinct()
+        .withColumn("weight", F.lit(1.0))
+    )
+    out = out.localCheckpoint(eager=True)
+    pts.unpersist()
+    base.unpersist()
+    tgt.unpersist()
+    return out

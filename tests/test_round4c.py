@@ -931,3 +931,67 @@ def test_algebraic_distance_pairs_matches_replica(spark):
     for (a, b) in qp:
         want = sum(abs(loads[(a, s)] - loads[(b, s)]) ** 2 for s in range(K)) ** 0.5
         assert got[(a, b)] == pytest.approx(want, rel=1e-9), (a, b)
+
+
+# ---------------------------------------------------------------------------
+# PubWebGenerator
+# ---------------------------------------------------------------------------
+
+def test_pubweb_graph_matches_bruteforce(spark):
+    from networkit_spark.sources.generators import pubweb_graph, pubweb_points
+
+    n, areas, rad, maxn, seed = 120, 3, 0.15, 4, 5
+    pts = {r["node"]: (r["x"], r["y"])
+           for r in pubweb_points(spark, n, areas, seed).collect()}
+    assert len(pts) == n
+    assert all(0.0 <= x <= 1.0 and 0.0 <= y <= 1.0 for x, y in pts.values())
+
+    def sqd(a, b):
+        dx = abs(pts[a][0] - pts[b][0])
+        dy = abs(pts[a][1] - pts[b][1])
+        dx = min(dx, 1.0 - dx)
+        dy = min(dy, 1.0 - dy)
+        return dx * dx + dy * dy
+
+    sel = {}
+    for u in pts:
+        cands = sorted(
+            ((sqd(u, v), v) for v in pts if v != u and sqd(u, v) <= rad * rad)
+        )
+        sel[u] = {v for _, v in cands[:maxn]}
+    want = {}
+    for u in pts:
+        for v in sel[u]:
+            if u in sel[v] and u < v:
+                want[(u, v)] = 0.01 / sqd(u, v)
+    got = {
+        (r["src"], r["dst"]): r["weight"]
+        for r in pubweb_graph(spark, n, areas, rad, maxn, seed).collect()
+        if r["src"] < r["dst"]
+    }
+    assert set(got) == set(want)
+    for k in got:
+        assert got[k] == pytest.approx(want[k], rel=1e-9)
+    assert len(got) > 0
+
+
+def test_mocnik_graph_matches_bruteforce(spark):
+    from networkit_spark.sources.generators import mocnik_graph, mocnik_points
+
+    n, k, seed = 100, 2.5, 8
+    pts = {r["node"]: (r["x"], r["y"])
+           for r in mocnik_points(spark, n, seed).collect()}
+    assert len(pts) == n
+    assert all((x - .5) ** 2 + (y - .5) ** 2 < .25 for x, y in pts.values())
+
+    def dist(a, b):
+        return ((pts[a][0] - pts[b][0]) ** 2 + (pts[a][1] - pts[b][1]) ** 2) ** .5
+
+    want = set()
+    for u in pts:
+        dmin = min(dist(u, v) for v in pts if v != u)
+        for v in pts:
+            if v != u and dist(u, v) <= k * dmin:
+                want.add((u, v))
+    got = {(r["src"], r["dst"]) for r in mocnik_graph(spark, n, k, seed).collect()}
+    assert got == want
