@@ -1213,3 +1213,25 @@ def q_algebraic_distance_pred(spark, sf_dir):
         omega=0.5, seed=42, norm=2,
     )
     return out.select("u", "v", F.round("score", 7).alias("score"))
+
+
+@register("planarity_checks")  # LR conflict-pair machinery -> rows-only
+def q_planarity_checks(spark, sf_dir):
+    """LeftRightPlanarityCheck verdicts (``planarity/
+    LeftRightPlanarityCheck.cpp``): the doc graph (Euler-rejected without a
+    collect), its maximum spanning forest (a forest — planar), and the
+    <40-node subgraph (LR-tested).  Rows-only: the conflict-pair stack is
+    not SQL-expressible; the LR core is fuzz-pinned against networkx in
+    tests/test_round4c.py."""
+    from networkit_spark.operators.planarity import is_planar
+    from networkit_spark.operators.spanning import max_spanning_forest
+
+    full = doc_edges_undirected(spark, sf_dir)
+    sub = full.filter((F.col("src") < 40) & (F.col("dst") < 40))
+    forest = max_spanning_forest(full).forest_df.select("src", "dst")
+    rows = [
+        ("doc_graph", bool(is_planar(full))),
+        ("doc_sub40", bool(is_planar(sub))),
+        ("doc_msf", bool(is_planar(forest))),
+    ]
+    return spark.createDataFrame(rows, "graph string, planar boolean")

@@ -995,3 +995,58 @@ def test_mocnik_graph_matches_bruteforce(spark):
                 want.add((u, v))
     got = {(r["src"], r["dst"]) for r in mocnik_graph(spark, n, k, seed).collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# LeftRightPlanarityCheck
+# ---------------------------------------------------------------------------
+
+def test_lr_planarity_core_vs_networkx():
+    import random
+
+    nx = pytest.importorskip("networkx")
+    from networkit_spark.operators.planarity import _lr_planar_component
+
+    def check(G):
+        for comp in nx.connected_components(G):
+            sub = G.subgraph(comp)
+            adj = {v: sorted(sub.neighbors(v)) for v in sub.nodes}
+            if not _lr_planar_component(adj):
+                return False
+        return True
+
+    fixed = [nx.complete_graph(5), nx.complete_bipartite_graph(3, 3),
+             nx.grid_2d_graph(5, 6), nx.petersen_graph(), nx.wheel_graph(9),
+             nx.dodecahedral_graph(), nx.balanced_tree(2, 4)]
+    for G in fixed:
+        G = nx.convert_node_labels_to_integers(G)
+        assert check(G) == nx.check_planarity(G)[0], G
+    rng = random.Random(7)
+    for _ in range(80):
+        n = rng.randint(5, 30)
+        m = rng.randint(n - 1, min(3 * n, n * (n - 1) // 2))
+        G = nx.gnm_random_graph(n, m, seed=rng.randint(0, 10 ** 9))
+        assert check(G) == nx.check_planarity(G)[0], sorted(G.edges)
+
+
+def test_is_planar_spark_paths(spark):
+    from networkit_spark.operators.planarity import is_planar
+
+    # dense -> Euler bound rejects without collecting
+    dense = [(a, b) for a in range(10) for b in range(a + 1, 10)]
+    e = spark.createDataFrame(dense, "src long, dst long")
+    assert is_planar(e) is False
+    # grid -> planar
+    grid = []
+    W = 5
+    for i in range(W):
+        for j in range(W):
+            v = i * W + j
+            if j + 1 < W:
+                grid.append((v, v + 1))
+            if i + 1 < W:
+                grid.append((v, v + W))
+    assert is_planar(spark.createDataFrame(grid, "src long, dst long")) is True
+    # K5 (passes Euler bound, LR rejects)
+    k5 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    assert is_planar(spark.createDataFrame(k5, "src long, dst long")) is False
