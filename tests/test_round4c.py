@@ -1050,3 +1050,36 @@ def test_is_planar_spark_paths(spark):
     # K5 (passes Euler bound, LR rejects)
     k5 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
     assert is_planar(spark.createDataFrame(k5, "src long, dst long")) is False
+
+
+# ---------------------------------------------------------------------------
+# RasterReader
+# ---------------------------------------------------------------------------
+
+def test_read_raster(spark, tmp_path):
+    from networkit_spark.sources.raster import read_raster
+
+    content = "\n".join([
+        "ncols         3",
+        "nrows         2",
+        "xllcorner     0.0",
+        "yllcorner     0.0",
+        "cellsize      1.0",
+        "NODATA_value  -9999",
+        "2 0 1",
+        "0 3 0",
+    ])
+    p = tmp_path / "grid.asc"
+    p.write_text(content)
+    pts = read_raster(spark, str(p), normalization_factor=1.0).collect()
+    assert len(pts) == 6  # 2 + 1 + 3
+    # cell (0,0): x in [0,1), y in [0,1); cell (0,2): x in [2,3)
+    in00 = [r for r in pts if 0 <= r["x"] < 1 and 0 <= r["y"] < 1]
+    in02 = [r for r in pts if 2 <= r["x"] < 3 and 0 <= r["y"] < 1]
+    in11 = [r for r in pts if 1 <= r["x"] < 2 and -1 <= r["y"] < 0]
+    assert len(in00) == 2 and len(in02) == 1 and len(in11) == 3
+    # normalization halves the counts (round)
+    pts2 = read_raster(spark, str(p), normalization_factor=0.5).collect()
+    # std::round semantics (half away from zero): round(1)=1, round(.5)=1,
+    # round(1.5)=2 -> 4 points
+    assert len(pts2) == 4
