@@ -2523,7 +2523,10 @@ MSF_JUMPS = 10
 MSF_W_SQL = "CAST((src*131071 + dst*524287) % 999983 + 1 AS DOUBLE)"
 
 
-def _msf_oracle_sql(rounds: int = MSF_ROUNDS, jumps: int = MSF_JUMPS) -> str:
+def _msf_oracle_sql(rounds: int = MSF_ROUNDS, jumps: int = MSF_JUMPS,
+                    maximum: bool = True) -> str:
+    kk = "-weight" if maximum else "weight"
+    unkk = "-b.kk" if maximum else "b.kk"
     parts = [
         f"WITH {UEDGES_CTE},",
         f"cedges AS (SELECT src, dst, {MSF_W_SQL} AS weight FROM uedges WHERE src < dst),",
@@ -2541,12 +2544,12 @@ def _msf_oracle_sql(rounds: int = MSF_ROUNDS, jumps: int = MSF_JUMPS) -> str:
   WHERE ls.label <> ld.label
 ), best{k} AS MATERIALIZED (
   SELECT slbl AS label,
-         min(struct_pack(kk := -weight,
+         min(struct_pack(kk := {kk},
                          lo := least(src, dst),
                          hi := greatest(src, dst),
                          tgt := dlbl)) AS b
   FROM le{k} GROUP BY slbl
-), f{k} AS (SELECT DISTINCT b.lo AS src, b.hi AS dst, -b.kk AS weight FROM best{k}),
+), f{k} AS (SELECT DISTINCT b.lo AS src, b.hi AS dst, {unkk} AS weight FROM best{k}),
 hook{k} AS (SELECT label, b.tgt AS target FROM best{k}),
 p{k}_0 AS MATERIALIZED (
   SELECT h.label,

@@ -1,0 +1,310 @@
+"""Round-4d gate queries: GraphClusteringTools battery (communication
+graph, imbalance + the partition predicates, per-(node,cluster) weighted
+degree), CoverHubDominance, Kruskal/Prim minimum spanning forest, the
+ChibaNishizeki triangle edge score, the distributed Bloom filter, and the
+SNAP edge-list partition (cover) reader roundtrip.
+
+Every query pairs the Spark operator with an independently-derived DuckDB
+oracle over the shared deterministic documents graph (``testgraph.py``).
+The Bloom oracle replays the EXACT filter (same md5 positions), expressed
+as set membership over hashed positions — semantically identical to the
+bit-array words without relying on DuckDB's 64-bit shift overflow
+behavior.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from networkit_spark.entry_queries import register
+from networkit_spark.entry_queries_graph import (
+    MSF_JUMPS,
+    MSF_ROUNDS,
+    MSF_W_SQL,
+    _msf_oracle_sql,
+)
+from networkit_spark.graph import nodes_range
+from networkit_spark.testgraph import UEDGES_CTE, doc_edges_undirected
+
+
+def _n_docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+
+def _mod_labels(spark, sf_dir, k):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.col("doc_id").cast("long").alias("node"),
+        (F.col("doc_id") % k).cast("long").alias("label"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# KruskalMSF / PrimMSF — MINIMUM spanning forest (graph/KruskalMSF.cpp,
+# graph/PrimMSF.cpp). Same Boruvka engine as max_spanning_forest with the
+# order flipped; oracle = the identical algorithm unrolled to SQL with
+# maximum=False.
+# ---------------------------------------------------------------------------
+
+@register("min_spanning_forest", _msf_oracle_sql(maximum=False))
+def q_min_spanning_forest(spark, sf_dir):
+    """Kruskal/Prim minimum spanning forest over the gate graph with
+    portable hash weights (unique forest under the (weight asc, (lo,hi)
+    asc) total order)."""
+    from networkit_spark.operators.spanning import max_spanning_forest_fixed
+
+    n = _n_docs(spark, sf_dir)
+    ue = doc_edges_undirected(spark, sf_dir)
+    cedges = ue.filter(F.col("src") < F.col("dst")).select(
+        "src", "dst",
+        ((F.col("src") * 131071 + F.col("dst") * 524287) % 999983 + 1)
+        .cast("double").alias("weight"),
+    )
+    return max_spanning_forest_fixed(
+        cedges, nodes_range(spark, n), rounds=MSF_ROUNDS, jumps=MSF_JUMPS,
+        maximum=False,
+    )
+
+
+# ---------------------------------------------------------------------------
+# GraphClusteringTools::communicationGraph — inter-community quotient graph
+# on the mod-7 partition. Compacted ids = dense ascending-label rank.
+# ---------------------------------------------------------------------------
+
+@register(
+    "communication_graph_mod7",
+    f"""WITH {UEDGES_CTE},
+lab AS (SELECT CAST(doc_id AS BIGINT) AS node, CAST(doc_id % 7 AS BIGINT) AS label FROM documents),
+m AS (
+  SELECT label, CAST(dense_rank() OVER (ORDER BY label) - 1 AS BIGINT) AS cid
+  FROM (SELECT DISTINCT label FROM lab)
+),
+je AS (
+  SELECT ma.cid AS ca, mb.cid AS cb, e.weight
+  FROM (SELECT src, dst, weight FROM uedges WHERE src < dst) e
+  JOIN lab ls ON ls.node = e.src
+  JOIN lab ld ON ld.node = e.dst
+  JOIN m ma ON ma.label = ls.label
+  JOIN m mb ON mb.label = ld.label
+  WHERE ls.label <> ld.label
+)
+SELECT least(ca, cb) AS ca, greatest(ca, cb) AS cb,
+       CAST(sum(weight) AS DOUBLE) AS weight
+FROM je GROUP BY 1, 2""",
+)
+def q_communication_graph_mod7(spark, sf_dir):
+    from networkit_spark.operators.community import communication_graph
+
+    ue = doc_edges_undirected(spark, sf_dir)
+    return communication_graph(ue, _mod_labels(spark, sf_dir, 7))
+
+
+# ---------------------------------------------------------------------------
+# GraphClusteringTools predicates + imbalance, one single-row scalar query:
+# imbalance of the mod-7 partition, isProperClustering, isSingleton, isOne,
+# equalClusterings(mod7, relabeled mod7) and equalClusterings(mod7, mod5).
+# ---------------------------------------------------------------------------
+
+@register(
+    "partition_predicates",
+    """WITH lab AS (SELECT CAST(doc_id AS BIGINT) AS node, doc_id % 7 AS label FROM documents),
+sizes AS (SELECT label, count(*) AS c FROM lab GROUP BY label),
+imb AS (
+  SELECT CAST(max(c) AS DOUBLE) / ceil(CAST(sum(c) AS DOUBLE) / count(*)) AS imbalance
+  FROM sizes
+),
+pairs75 AS (
+  SELECT DISTINCT doc_id % 7 AS la, doc_id % 5 AS lb FROM documents
+),
+eq75 AS (
+  SELECT CAST((SELECT max(cnt) FROM (SELECT count(*) AS cnt FROM pairs75 GROUP BY la)) = 1
+          AND (SELECT max(cnt) FROM (SELECT count(*) AS cnt FROM pairs75 GROUP BY lb)) = 1
+          AS INT) AS equal_mod7_mod5
+)
+SELECT round(imb.imbalance, 7) AS imbalance,
+       1 AS is_proper,
+       CAST((SELECT count(*) FROM documents) = (SELECT count(*) FROM sizes) AS INT) AS is_singleton,
+       CAST((SELECT count(*) FROM sizes) = 1 AS INT) AS is_one,
+       1 AS equal_mod7_relabel,
+       eq75.equal_mod7_mod5
+FROM imb CROSS JOIN eq75""",
+)
+def q_partition_predicates(spark, sf_dir):
+    from networkit_spark.operators.community import (
+        equal_clusterings,
+        get_imbalance,
+        is_one_clustering,
+        is_proper_clustering,
+        is_singleton_clustering,
+    )
+
+    lab7 = _mod_labels(spark, sf_dir, 7)
+    lab5 = _mod_labels(spark, sf_dir, 5)
+    relab = lab7.select("node", (F.col("label") * 13 + 2).alias("label"))
+    nodes = lab7.select("node")
+    row = (
+        round(get_imbalance(lab7), 7),
+        int(is_proper_clustering(nodes, lab7)),
+        int(is_singleton_clustering(lab7)),
+        int(is_one_clustering(lab7)),
+        int(equal_clusterings(lab7, relab)),
+        int(equal_clusterings(lab7, lab5)),
+    )
+    return spark.createDataFrame(
+        [row],
+        "imbalance double, is_proper int, is_singleton int, is_one int, "
+        "equal_mod7_relabel int, equal_mod7_mod5 int",
+    )
+
+
+# ---------------------------------------------------------------------------
+# GraphClusteringTools::weightedDegreeWithCluster — batched (node, cid)
+# incident weight on the symmetrized graph, mod-7 partition.
+# ---------------------------------------------------------------------------
+
+@register(
+    "weighted_degree_by_cluster",
+    f"""WITH {UEDGES_CTE},
+lab AS (SELECT CAST(doc_id AS BIGINT) AS node, CAST(doc_id % 7 AS BIGINT) AS cid FROM documents)
+SELECT e.src AS node, lab.cid, CAST(sum(e.weight) AS DOUBLE) AS wdeg
+FROM uedges e JOIN lab ON lab.node = e.dst
+GROUP BY e.src, lab.cid""",
+)
+def q_weighted_degree_by_cluster(spark, sf_dir):
+    from networkit_spark.operators.community import weighted_degree_with_cluster
+
+    ue = doc_edges_undirected(spark, sf_dir)
+    return weighted_degree_with_cluster(ue, _mod_labels(spark, sf_dir, 7))
+
+
+# ---------------------------------------------------------------------------
+# CoverHubDominance — overlapping cover: every node is in subset
+# (node % 5); even nodes additionally in subset 5 + (node % 3).
+# ---------------------------------------------------------------------------
+
+COVER_CTE = """cov AS (
+  SELECT CAST(doc_id AS BIGINT) AS node, CAST(doc_id % 5 AS BIGINT) AS label FROM documents
+  UNION
+  SELECT CAST(doc_id AS BIGINT), CAST(5 + doc_id % 3 AS BIGINT) FROM documents WHERE doc_id % 2 = 0
+)"""
+
+
+@register(
+    "cover_hub_dominance",
+    f"""WITH {UEDGES_CTE},
+{COVER_CTE},
+ideg AS (
+  SELECT e.src AS node, ca.label, count(*) AS idg
+  FROM uedges e
+  JOIN cov ca ON ca.node = e.src
+  JOIN cov cb ON cb.node = e.dst AND cb.label = ca.label
+  GROUP BY e.src, ca.label
+),
+sizes AS (SELECT label, count(*) AS size FROM cov GROUP BY label),
+top AS (SELECT label, max(idg) AS mx FROM ideg GROUP BY label)
+SELECT s.label, s.size,
+       CASE WHEN s.size > 1
+            THEN CAST(coalesce(t.mx, 0) AS DOUBLE) / (s.size - 1)
+            ELSE 1.0 END AS hub_dominance
+FROM sizes s LEFT JOIN top t ON t.label = s.label""",
+)
+def q_cover_hub_dominance(spark, sf_dir):
+    from networkit_spark.operators.community import cover_hub_dominance
+
+    ue = doc_edges_undirected(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("node"),
+        (F.col("doc_id") % 5).cast("long").alias("label"),
+    )
+    extra = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").cast("long").alias("node"),
+        (5 + F.col("doc_id") % 3).cast("long").alias("label"),
+    )
+    return cover_hub_dominance(ue, base.union(extra))
+
+
+# ---------------------------------------------------------------------------
+# ChibaNishizekiTriangleEdgeScore — identical output contract to
+# TriangleEdgeScore (triangles per edge); registered under its own name so
+# the reference's second entry point has its own gate line.
+# ---------------------------------------------------------------------------
+
+from networkit_spark.entry_queries import ORACLES as _ORACLES  # noqa: E402
+
+
+@register("chiba_nishizeki_score", _ORACLES["triangle_edge_score"])
+def q_chiba_nishizeki_score(spark, sf_dir):
+    from networkit_spark.operators.triangles import chiba_nishizeki_triangle_score
+
+    return chiba_nishizeki_triangle_score(doc_edges_undirected(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (auxiliary/BloomFilter.cpp): members = even doc ids, probes =
+# all doc ids; m = 4096 bits, k = 3 salted md5 positions. The oracle
+# replays the exact same hashed positions (portable md5 fold), so the
+# handful of deterministic false positives match bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 4096
+_BLOOM_K = 3
+_BLOOM_SEED = 42
+
+
+def _bloom_oracle() -> str:
+    from networkit_spark.functions.bloom import pos_sql
+
+    mpos = pos_sql("m.v", "i.i", _BLOOM_SEED, _BLOOM_M)
+    ppos = pos_sql("p.v", "i.i", _BLOOM_SEED, _BLOOM_M)
+    return f"""WITH ks AS (SELECT unnest(range({_BLOOM_K})) AS i),
+members AS (SELECT CAST(doc_id AS BIGINT) AS v FROM documents WHERE doc_id % 2 = 0),
+mpos AS (SELECT DISTINCT {mpos} AS pos FROM members m CROSS JOIN ks i),
+probes AS (SELECT CAST(doc_id AS BIGINT) AS v FROM documents),
+ppos AS (SELECT p.v, {ppos} AS pos FROM probes p CROSS JOIN ks i)
+SELECT ppos.v AS node,
+       CAST(min(CASE WHEN mpos.pos IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS maybe
+FROM ppos LEFT JOIN mpos ON mpos.pos = ppos.pos
+GROUP BY ppos.v"""
+
+
+@register("bloom_membership", _bloom_oracle())
+def q_bloom_membership(spark, sf_dir):
+    from networkit_spark.functions.bloom import bloom_build, bloom_contains
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    members = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").cast("long").alias("v")
+    )
+    probes = docs.select(F.col("doc_id").cast("long").alias("v"))
+    bloom = bloom_build(members, "v", _BLOOM_M, _BLOOM_K, seed=_BLOOM_SEED)
+    out = bloom_contains(probes, bloom, "v", _BLOOM_M, _BLOOM_K, seed=_BLOOM_SEED)
+    return out.select(F.col("v").alias("node"), F.col("maybe").cast("int").alias("maybe"))
+
+
+# ---------------------------------------------------------------------------
+# SNAPEdgeListPartitionReader roundtrip: write a cover file (one community
+# per line, with a leading comment line that CONSUMES subset id 1 — the
+# reference increments before the skip check), read it back distributed.
+# ---------------------------------------------------------------------------
+
+@register(
+    "snap_cover_roundtrip",
+    """SELECT CAST(doc_id AS BIGINT) AS node, CAST(2 + doc_id % 4 AS BIGINT) AS subset
+FROM documents WHERE doc_id < 40""",
+)
+def q_snap_cover_roundtrip(spark, sf_dir):
+    from networkit_spark.sources.partitions import read_snap_cover
+
+    n = min(40, _n_docs(spark, sf_dir))
+    lines = ["# communities"]
+    for g in range(4):
+        lines.append(" ".join(str(i) for i in range(n) if i % 4 == g))
+    d = tempfile.mkdtemp(prefix="snapcov")
+    path = os.path.join(d, "cover.txt")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return read_snap_cover(spark, path)

@@ -670,3 +670,137 @@ def overlapping_nmi_distance(
     if math.isnan(nmi):
         nmi = 0.0
     return 1.0 - min(1.0, max(0.0, nmi))
+
+
+# ---------------------------------------------------------------------------
+# GraphClusteringTools (community/GraphClusteringTools.cpp) — the partition
+# utility battery: communication graph, imbalance, per-(node,cluster)
+# weighted degree, and the predicate checks. All single-pass DataFrame
+# plans (one shuffle each), no driver-side state.
+# ---------------------------------------------------------------------------
+
+
+def communication_graph(und_edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Inter-community quotient graph (``GraphClusteringTools.cpp:27-52``):
+    compact the partition (dense ids in ascending label order — the
+    reference's ``Partition::compact`` map is an ordered std::map, same
+    order), then accumulate the weight of every inter-cluster edge onto its
+    (cluster, cluster) pair. Intra-cluster edges are dropped (the reference
+    only calls ``increaseWeight`` when ``zeta[u] != zeta[v]``).
+
+    Returns (ca, cb, weight) with ca < cb — each undirected coarse edge
+    once. Shape: two label joins + one groupBy; dense ids come from the
+    distributed range-sort rank (no window over the full table).
+    """
+    from networkit_spark.plans.ids import dense_ids
+
+    mapping = dense_ids(labels.select("label"), "label", id_col="cid")
+    e = und_edges.filter(F.col("src") < F.col("dst")).select("src", "dst", "weight")
+    lab = labels.select("node", "label")
+    joined = (
+        e.join(lab.withColumnRenamed("node", "src").withColumnRenamed("label", "ls"), "src")
+        .join(lab.withColumnRenamed("node", "dst").withColumnRenamed("label", "ld"), "dst")
+        .filter(F.col("ls") != F.col("ld"))
+        .join(mapping.withColumnRenamed("label", "ls").withColumnRenamed("cid", "ca"), "ls")
+        .join(mapping.withColumnRenamed("label", "ld").withColumnRenamed("cid", "cb"), "ld")
+    )
+    return (
+        joined.select(
+            F.least("ca", "cb").alias("ca"),
+            F.greatest("ca", "cb").alias("cb"),
+            "weight",
+        )
+        .groupBy("ca", "cb")
+        .agg(F.sum("weight").alias("weight"))
+    )
+
+
+def get_imbalance(labels: DataFrame, n_nodes: int | None = None) -> float:
+    """``GraphClusteringTools::getImbalance``: max cluster size divided by
+    ceil(n / #clusters). ``n_nodes`` defaults to the labeled node count
+    (the zeta-only overload); pass the graph's node count for the
+    graph-aware overload."""
+    import math
+
+    row = labels.groupBy("label").count().agg(
+        F.max("count").alias("mx"), F.count("*").alias("k"), F.sum("count").alias("n")
+    ).first()
+    n = n_nodes if n_nodes is not None else row["n"]
+    avg = math.ceil(n / row["k"])
+    return float(row["mx"]) / avg
+
+
+def weighted_degree_with_cluster(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Per-(node, neighbor-cluster) incident weight table — the batched
+    form of ``GraphClusteringTools::weightedDegreeWithCluster(G, zeta, u,
+    cid)`` (every (u, cid) answered in one aggregation instead of one call
+    per pair). Input ``edges`` directed-as-stored or symmetrized; neighbors
+    of u are rows with src = u."""
+    lab = labels.select(F.col("node").alias("dst"), F.col("label").alias("cid"))
+    return (
+        edges.join(lab, "dst")
+        .groupBy(F.col("src").alias("node"), "cid")
+        .agg(F.sum("weight").alias("wdeg"))
+    )
+
+
+def is_proper_clustering(nodes: DataFrame, labels: DataFrame) -> bool:
+    """Every node has exactly one label (``GraphClusteringTools.cpp:74``)."""
+    lab = labels.select("node", "label")
+    n = nodes.count()
+    return lab.count() == n and lab.select("node").distinct().count() == n
+
+
+def is_singleton_clustering(labels: DataFrame) -> bool:
+    """Every cluster has exactly one member."""
+    return labels.groupBy("label").count().filter(F.col("count") > 1).limit(1).count() == 0
+
+
+def is_one_clustering(labels: DataFrame) -> bool:
+    """Exactly one cluster."""
+    return labels.select("label").distinct().count() == 1
+
+
+def equal_clusterings(a: DataFrame, b: DataFrame) -> bool:
+    """Same grouping up to label renaming (``GraphClusteringTools.cpp:102``
+    checks mutual refinement): the (label_a, label_b) co-occurrence table
+    must be a bijection — each a-label maps to one b-label and vice versa."""
+    pairs = (
+        a.select("node", F.col("label").alias("la"))
+        .join(b.select("node", F.col("label").alias("lb")), "node")
+        .select("la", "lb")
+        .distinct()
+    )
+    return (
+        pairs.groupBy("la").count().filter(F.col("count") > 1).limit(1).count() == 0
+        and pairs.groupBy("lb").count().filter(F.col("count") > 1).limit(1).count() == 0
+    )
+
+
+def cover_hub_dominance(und_edges: DataFrame, cover: DataFrame) -> DataFrame:
+    """CoverHubDominance (``community/CoverHubDominance.cpp:8-77``): for
+    every cover subset c, the max over members u of |{v in N(u) : v in c}|
+    divided by (|c| - 1); 1.0 for singletons. ``cover`` = (node, label)
+    with multi-membership rows. Returns (label, size, hub_dominance).
+
+    Shape: one edge->cover join per endpoint restricted to shared labels
+    (the membership join IS the "neighbor in c" predicate), then two hash
+    aggs — no per-subset loop."""
+    c = cover.select("node", "label").distinct()
+    ideg = (
+        und_edges.select("src", "dst")
+        .join(c.withColumnRenamed("node", "src"), "src")
+        .join(c.withColumnRenamed("node", "dst").withColumnRenamed("label", "lb"), "dst")
+        .filter(F.col("label") == F.col("lb"))
+        .groupBy(F.col("src").alias("node"), "label")
+        .agg(F.count("*").alias("idg"))
+    )
+    sizes = c.groupBy("label").agg(F.count("*").alias("size"))
+    top = ideg.groupBy("label").agg(F.max("idg").alias("mx"))
+    return sizes.join(top, "label", "left").select(
+        "label",
+        "size",
+        F.when(F.col("size") > 1, F.coalesce(F.col("mx"), F.lit(0)) / (F.col("size") - 1))
+        .otherwise(F.lit(1.0))
+        .alias("hub_dominance"),
+    )

@@ -535,3 +535,22 @@ def random_spanning_forest(
     if not forest:
         return spark.createDataFrame([], "src long, dst long")
     return spark.createDataFrame(sorted(forest), "src long, dst long")
+
+
+def kruskal_msf(edges: DataFrame, nodes: DataFrame | None = None,
+                **kwargs) -> ForestResult:
+    """KruskalMSF (``graph/KruskalMSF.cpp``): MINIMUM spanning forest. The
+    reference sorts edges weight-ascending and union-finds sequentially;
+    under the repo's deterministic total order (weight asc, then (lo,hi)
+    asc) the min forest is unique, so Boruvka with ``maximum=False``
+    returns the exact same edge set in O(log n) distributed rounds (same
+    argument as the max forest, module docstring)."""
+    return max_spanning_forest(edges, nodes, maximum=False, **kwargs)
+
+
+def prim_msf(edges: DataFrame, nodes: DataFrame | None = None,
+             **kwargs) -> ForestResult:
+    """PrimMSF (``graph/PrimMSF.cpp``): same unique minimum spanning forest
+    as Kruskal under distinct effective weights — one implementation, two
+    reference entry points."""
+    return kruskal_msf(edges, nodes, **kwargs)

@@ -257,3 +257,15 @@ def quadrangle_edge_score(und_edges: DataFrame) -> DataFrame:
             .alias("score"),
         )
     )
+
+
+def chiba_nishizeki_triangle_score(und_edges: DataFrame) -> DataFrame:
+    """ChibaNishizekiTriangleEdgeScore (``edgescores/
+    ChibaNishizekiTriangleEdgeScore.cpp:17-100``): triangles containing each
+    edge, computed there by the degree-bucketed Chiba-Nishizeki neighbor-
+    marking sweep. The output contract is identical to TriangleEdgeScore
+    (both count triangles per edge); the sequential bucket sweep exists to
+    bound work per node, which the distributed plan already achieves with
+    the degree-oriented wedge join — so this IS ``triangle_edge_score``
+    (equality asserted in tests/test_round4d.py)."""
+    return triangle_edge_score(und_edges)

@@ -260,3 +260,30 @@ def write_dot_partition(edges, labels, path: str) -> None:
         .write.mode("overwrite")
         .text(path)
     )
+
+
+def read_snap_cover(spark: SparkSession, path: str,
+                    node_map: DataFrame | None = None) -> DataFrame:
+    """SNAPEdgeListPartitionReader (``io/SNAPEdgeListPartitionReader.cpp:
+    22-108``): one community per line, whitespace-separated node ids;
+    subset id = 1-based RAW line number (the reference increments the
+    counter before the comment/empty check, so skipped lines consume ids).
+    ``node_map`` = optional (orig, node) remapping (the reference's
+    mapNodeIds; unknown ids are dropped with a warning there — dropped here
+    via inner join). -> (node, subset)."""
+    rdd = spark.sparkContext.textFile(path).zipWithIndex()
+    df = spark.createDataFrame(rdd, "line string, lineno long")
+    members = (
+        df.filter(~F.col("line").startswith("#"))
+        .filter(F.length(F.trim(F.col("line"))) > 0)
+        .select(
+            (F.col("lineno") + 1).alias("subset"),
+            F.explode(F.split(F.trim(F.col("line")), r"\s+")).alias("tok"),
+        )
+        .select(F.col("tok").cast("long").alias("orig"), "subset")
+    )
+    if node_map is not None:
+        members = members.join(node_map, "orig").select("node", "subset")
+    else:
+        members = members.select(F.col("orig").alias("node"), "subset")
+    return members

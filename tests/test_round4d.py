@@ -1,0 +1,291 @@
+"""Round-4d tests: GraphClusteringTools battery, CoverHubDominance,
+Kruskal/Prim minimum spanning forest, ChibaNishizeki triangle edge score,
+the distributed Bloom filter, the SNAP cover reader, and the Postscript
+writer — each against a brute-force / networkx / hand-computed oracle.
+"""
+
+import os
+import random
+
+import networkx as nx
+import pytest
+from pyspark.sql import functions as F
+
+from networkit_spark.operators.community import (
+    communication_graph,
+    cover_hub_dominance,
+    equal_clusterings,
+    get_imbalance,
+    is_one_clustering,
+    is_proper_clustering,
+    is_singleton_clustering,
+    weighted_degree_with_cluster,
+)
+
+
+def _edges_df(spark, triples):
+    return spark.createDataFrame(
+        [(int(a), int(b), float(w)) for a, b, w in triples],
+        "src long, dst long, weight double",
+    )
+
+
+def _und(spark, triples):
+    sym = triples + [(b, a, w) for a, b, w in triples]
+    return _edges_df(spark, sym)
+
+
+def _labels_df(spark, lab):
+    return spark.createDataFrame(
+        [(int(n), int(c)) for n, c in lab.items()], "node long, label long"
+    )
+
+
+def _gnp(n, p, seed):
+    rng = random.Random(seed)
+    return [
+        (a, b, float(rng.randint(1, 9)))
+        for a in range(n)
+        for b in range(a + 1, n)
+        if rng.random() < p
+    ]
+
+
+# ---------------------------------------------------------------------------
+# GraphClusteringTools
+# ---------------------------------------------------------------------------
+
+
+def test_communication_graph_brute(spark):
+    triples = _gnp(40, 0.15, 7)
+    lab = {n: n % 5 for n in range(40)}
+    got = {
+        (r["ca"], r["cb"]): r["weight"]
+        for r in communication_graph(_und(spark, triples), _labels_df(spark, lab)).collect()
+    }
+    exp: dict = {}
+    for a, b, w in triples:
+        ca, cb = lab[a], lab[b]
+        if ca == cb:
+            continue
+        key = (min(ca, cb), max(ca, cb))
+        exp[key] = exp.get(key, 0.0) + w
+    # labels 0..4 all occur -> compact ids == labels
+    assert got == pytest.approx(exp)
+
+
+def test_communication_graph_compacts_sparse_labels(spark):
+    triples = [(0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0)]
+    lab = {0: 100, 1: 100, 2: 7, 3: 42}  # ascending order: 7->0, 42->1, 100->2
+    got = {
+        (r["ca"], r["cb"]): r["weight"]
+        for r in communication_graph(_und(spark, triples), _labels_df(spark, lab)).collect()
+    }
+    assert got == {(0, 2): 1.0, (0, 1): 1.0}
+
+
+def test_imbalance_and_predicates(spark):
+    lab = {0: 0, 1: 0, 2: 0, 3: 1}  # sizes 3,1; n=4, k=2, ceil(4/2)=2 -> 1.5
+    labels = _labels_df(spark, lab)
+    nodes = spark.range(4).select(F.col("id").alias("node"))
+    assert get_imbalance(labels) == pytest.approx(1.5)
+    assert is_proper_clustering(nodes, labels)
+    assert not is_singleton_clustering(labels)
+    assert not is_one_clustering(labels)
+    singleton = _labels_df(spark, {i: i + 10 for i in range(4)})
+    assert is_singleton_clustering(singleton)
+    one = _labels_df(spark, {i: 3 for i in range(4)})
+    assert is_one_clustering(one)
+    # missing node 3 -> not proper
+    part = _labels_df(spark, {0: 0, 1: 0, 2: 1})
+    assert not is_proper_clustering(nodes, part)
+
+
+def test_equal_clusterings(spark):
+    a = _labels_df(spark, {0: 0, 1: 0, 2: 1, 3: 1})
+    b = _labels_df(spark, {0: 9, 1: 9, 2: 4, 3: 4})  # same grouping, renamed
+    c = _labels_df(spark, {0: 0, 1: 1, 2: 1, 3: 0})  # different grouping
+    d = _labels_df(spark, {0: 0, 1: 0, 2: 1, 3: 2})  # refinement, not equal
+    assert equal_clusterings(a, b)
+    assert not equal_clusterings(a, c)
+    assert not equal_clusterings(a, d)
+
+
+def test_weighted_degree_with_cluster_brute(spark):
+    triples = _gnp(30, 0.2, 11)
+    lab = {n: n % 4 for n in range(30)}
+    und = _und(spark, triples)
+    got = {
+        (r["node"], r["cid"]): r["wdeg"]
+        for r in weighted_degree_with_cluster(und, _labels_df(spark, lab)).collect()
+    }
+    exp: dict = {}
+    for a, b, w in triples:
+        exp[(a, lab[b])] = exp.get((a, lab[b]), 0.0) + w
+        exp[(b, lab[a])] = exp.get((b, lab[a]), 0.0) + w
+    assert got == pytest.approx(exp)
+
+
+def test_cover_hub_dominance_brute(spark):
+    triples = _gnp(36, 0.18, 3)
+    g = nx.Graph()
+    g.add_nodes_from(range(36))
+    g.add_edges_from((a, b) for a, b, _ in triples)
+    # overlapping cover: node%3, plus 10+node%2 for nodes < 12
+    cover = [(n, n % 3) for n in range(36)] + [(n, 10 + n % 2) for n in range(12)]
+    cov_df = spark.createDataFrame(cover, "node long, label long")
+    got = {
+        r["label"]: (r["size"], r["hub_dominance"])
+        for r in cover_hub_dominance(_und(spark, triples), cov_df).collect()
+    }
+    subsets: dict = {}
+    for n, c in cover:
+        subsets.setdefault(c, set()).add(n)
+    for c, members in subsets.items():
+        size, hd = got[c]
+        assert size == len(members)
+        if len(members) == 1:
+            assert hd == pytest.approx(1.0)
+        else:
+            mx = max(len(set(g.neighbors(u)) & members) for u in members)
+            assert hd == pytest.approx(mx / (len(members) - 1))
+
+
+# ---------------------------------------------------------------------------
+# Kruskal / Prim minimum spanning forest
+# ---------------------------------------------------------------------------
+
+
+def test_kruskal_prim_min_forest_vs_networkx(spark):
+    from networkit_spark.operators.spanning import kruskal_msf, prim_msf
+
+    rng = random.Random(5)
+    pairs = [(a, b) for a in range(50) for b in range(a + 1, 50) if rng.random() < 0.1]
+    ws = rng.sample(range(1, 10 * len(pairs) + 1), len(pairs))
+    triples = [(a, b, float(w)) for (a, b), w in zip(pairs, ws)]
+    g = nx.Graph()
+    g.add_nodes_from(range(50))
+    for a, b, w in triples:
+        g.add_edge(a, b, weight=w)
+    exp = {
+        (min(a, b), max(a, b))
+        for a, b in nx.minimum_spanning_edges(g, algorithm="kruskal", data=False)
+    }
+    res = kruskal_msf(_und(spark, triples))
+    got = {(r["src"], r["dst"]) for r in res.forest_df.collect()}
+    assert got == exp
+    res2 = prim_msf(_und(spark, triples))
+    assert {(r["src"], r["dst"]) for r in res2.forest_df.collect()} == exp
+
+
+# ---------------------------------------------------------------------------
+# ChibaNishizeki triangle edge score == TriangleEdgeScore
+# ---------------------------------------------------------------------------
+
+
+def test_chiba_nishizeki_equals_triangle_edge_score(spark):
+    from networkit_spark.operators.triangles import (
+        chiba_nishizeki_triangle_score,
+        triangle_edge_score,
+    )
+
+    triples = _gnp(40, 0.2, 13)
+    und = _und(spark, triples)
+    a = sorted(map(tuple, chiba_nishizeki_triangle_score(und).collect()))
+    b = sorted(map(tuple, triangle_edge_score(und).collect()))
+    assert a == b
+    # spot-check one edge against networkx triangle membership
+    g = nx.Graph()
+    g.add_edges_from((x, y) for x, y, _ in triples)
+    scores = {(r[0], r[1]): r[2] for r in a}
+    for (u, v), s in list(scores.items())[:20]:
+        assert s == len(set(g.neighbors(u)) & set(g.neighbors(v)))
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_low_fp(spark):
+    from networkit_spark.functions.bloom import bloom_build, bloom_contains
+
+    members = spark.range(0, 400, 2).select(F.col("id").alias("v"))
+    probes = spark.range(0, 400).select(F.col("id").alias("v"))
+    bloom = bloom_build(members, "v", m_bits=8192, k=3)
+    out = bloom_contains(probes, bloom, "v", m_bits=8192, k=3).collect()
+    res = {r["v"]: r["maybe"] for r in out}
+    assert all(res[v] for v in range(0, 400, 2))  # zero false negatives
+    fps = sum(1 for v in range(1, 400, 2) if res[v])
+    # k=3, n=200, m=8192 -> fp ~ (1-e^(-600/8192))^3 ~ 3.5e-4; 200 probes
+    assert fps <= 3
+
+
+def test_bloom_word_table_is_small(spark):
+    from networkit_spark.functions.bloom import bloom_build
+
+    members = spark.range(100).select(F.col("id").alias("v"))
+    bloom = bloom_build(members, "v", m_bits=1024, k=4)
+    assert bloom.count() <= 1024 // 64
+
+
+# ---------------------------------------------------------------------------
+# SNAP cover reader
+# ---------------------------------------------------------------------------
+
+
+def test_read_snap_cover_raw_line_ids(spark, tmp_path):
+    from networkit_spark.sources.partitions import read_snap_cover
+
+    p = tmp_path / "c.txt"
+    p.write_text("# header\n1 2 3\n\n4 5\n")
+    rows = {(r["node"], r["subset"]) for r in read_snap_cover(spark, str(p)).collect()}
+    # comment line consumes id 1, members line -> 2, blank -> 3, next -> 4
+    assert rows == {(1, 2), (2, 2), (3, 2), (4, 4), (5, 4)}
+
+
+def test_read_snap_cover_node_map_drops_unknown(spark, tmp_path):
+    from networkit_spark.sources.partitions import read_snap_cover
+
+    p = tmp_path / "c.txt"
+    p.write_text("10 20 99\n")
+    nm = spark.createDataFrame([(10, 0), (20, 1)], "orig long, node long")
+    rows = {(r["node"], r["subset"]) for r in read_snap_cover(spark, str(p), nm).collect()}
+    assert rows == {(0, 1), (1, 1)}
+
+
+# ---------------------------------------------------------------------------
+# Postscript writer
+# ---------------------------------------------------------------------------
+
+
+def test_postscript_writer_structure(spark, tmp_path):
+    from networkit_spark.sources.postscript import write_postscript
+
+    triples = [(0, 1, 1.0), (1, 2, 1.0), (0, 2, 1.0), (2, 3, 1.0)]
+    coords = spark.createDataFrame(
+        [(0, 0.0, 0.0), (1, 1.0, 0.0), (2, 1.0, 1.0), (3, 0.0, 1.0)],
+        "node long, x double, y double",
+    )
+    labels = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 1), (3, 1)], "node long, label long"
+    )
+    path = os.path.join(tmp_path, "g.eps")
+    write_postscript(_und(spark, triples), coords, path, labels)
+    text = open(path).read()
+    assert text.startswith("%!PS-Adobe-1.0")
+    assert text.rstrip().endswith("grestore")
+    lines = text.splitlines()
+    edge_lines = [ln for ln in lines if ln.endswith("l s")]
+    node_lines = [ln for ln in lines if ln.endswith("a s")]
+    assert len(edge_lines) == 4  # one per undirected edge
+    assert len(node_lines) == 4
+    # same-cluster edge (0,1) colored, cut edge (1,2) black
+    e01 = edge_lines[0]
+    assert not e01.startswith("0.000 0.000 0.000")
+    e12 = edge_lines[2]
+    assert e12.startswith("0.000 0.000 0.000")
+    # deterministic: second write byte-identical
+    path2 = os.path.join(tmp_path, "g2.eps")
+    write_postscript(_und(spark, triples), coords, path2, labels)
+    assert open(path2).read() == text
