@@ -41,8 +41,9 @@ N_HUBS = 1000
 # worker pairs). Every stage now checks the remaining budget before starting
 # optional work, and a SIGTERM/SIGALRM handler prints the best-effort compact
 # JSON line from whatever has been measured so far, so even a kill produces a
-# parseable record.
-BENCH_BUDGET = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "2400"))
+# parseable record. The default (21 min) sits well under the driver timeout
+# that round 2 passed (rc 0 at a ~30 min run) and round 3 blew.
+BENCH_BUDGET = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "1260"))
 T0 = time.monotonic()
 
 
@@ -299,7 +300,7 @@ def main():
     signal.signal(signal.SIGALRM, _emergency_emit)
     # backstop if one Spark action hangs past the budget (stage-level checks
     # can't interrupt a running job)
-    signal.alarm(int(BENCH_BUDGET) + 180)
+    signal.alarm(int(BENCH_BUDGET) + 60)
 
     sf = sf_from_dir(SF_DIR)
     n_pages = max(1000, int(1_000_000 * sf))
@@ -406,12 +407,16 @@ def main():
     # therefore max-over-trials of (edges / MIN fully-executed superstep);
     # scaling_efficiency = capability(4N) / (4 * capability(N)). Median-based
     # per-pair efficiencies are recorded alongside as the conservative view.
-    scale_pages = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "8000000"))
+    # 6M pages / ~45M edges keeps per-superstep compute dominant over fixed
+    # scheduling overhead while cutting the 2-core worker to ~4 min — the
+    # full scaling stage (up to 3 pairs + secondary) now fits the budget
+    # with margin (round-3 post-mortem: 8M pages x unbounded retries = kill)
+    scale_pages = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "6000000"))
     lo_cores = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "2"))
     hi_cores = lo_cores * 4
     scale_iters = 5  # 2 warmup + 3 timed
     trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "2"))
-    max_trials = int(os.environ.get("SPARK_GRAFT_SCALE_MAX_TRIALS", "5"))
+    max_trials = int(os.environ.get("SPARK_GRAFT_SCALE_MAX_TRIALS", "3"))
     # pre-materialize the shared input once (tmpfs parquet) so worker wall
     # time is dominated by the measured supersteps, maximizing the number of
     # noise-window samples per unit of bench time
