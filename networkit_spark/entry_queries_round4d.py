@@ -308,3 +308,89 @@ def q_snap_cover_roundtrip(spark, sf_dir):
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
     return read_snap_cover(spark, path)
+
+
+# ---------------------------------------------------------------------------
+# Extended LinkPredictor battery (NeighborhoodDistance / NeighborsMeasure /
+# AdjustedRand-with-reference-quirk / SameCommunity / U-V degree) over all
+# pairs u < v with both endpoints < 60.
+# ---------------------------------------------------------------------------
+
+@register(
+    "link_pred_extended",
+    f"""WITH {UEDGES_CTE},
+n60 AS (SELECT CAST(doc_id AS BIGINT) AS x FROM documents WHERE doc_id < 60),
+p AS (SELECT a.x AS u, b.x AS v FROM n60 a JOIN n60 b ON a.x < b.x),
+deg AS (SELECT src AS node, count(*) AS deg FROM uedges GROUP BY src),
+cn AS (
+  SELECT p.u, p.v, count(*) AS cn
+  FROM p JOIN uedges e1 ON e1.src = p.u
+         JOIN uedges e2 ON e2.src = p.v AND e2.dst = e1.dst
+  GROUP BY p.u, p.v
+),
+pp AS (
+  SELECT p.u, p.v, count(*) AS pp
+  FROM p JOIN uedges e1 ON e1.src = p.u
+         JOIN uedges e2 ON e2.src = p.v
+         JOIN uedges e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+  GROUP BY p.u, p.v
+),
+base AS (
+  SELECT p.u, p.v,
+         coalesce(cn.cn, 0) AS cn,
+         coalesce(pp.pp, 0) AS pp,
+         coalesce(du.deg, 0) AS u_deg,
+         coalesce(dv.deg, 0) AS v_deg
+  FROM p
+  LEFT JOIN cn ON cn.u = p.u AND cn.v = p.v
+  LEFT JOIN pp ON pp.u = p.u AND pp.v = p.v
+  LEFT JOIN deg du ON du.node = p.u
+  LEFT JOIN deg dv ON dv.node = p.v
+)
+SELECT u, v,
+       CASE WHEN u_deg > 0 AND v_deg > 0
+            THEN round(CAST(cn AS DOUBLE) / sqrt(CAST(u_deg AS DOUBLE) * v_deg), 7)
+            ELSE 0.0 END AS nbhd_distance,
+       CAST(cn + pp AS BIGINT) AS neighbors_measure,
+       CASE WHEN (cn*(u_deg+v_deg-cn) + cn*(u_deg+v_deg-cn)
+                  + 2*cn*((SELECT n FROM nn) - (u_deg+v_deg-cn))
+                  + (u_deg+v_deg-cn)*(u_deg+v_deg-cn)
+                  + (u_deg+v_deg-cn)*((SELECT n FROM nn) - (u_deg+v_deg-cn))
+                  + (u_deg+v_deg-cn)*(u_deg+v_deg-cn)
+                  + (u_deg+v_deg-cn)*((SELECT n FROM nn) - (u_deg+v_deg-cn))) <> 0
+            THEN round(2.0 * (cn * ((SELECT n FROM nn) - (u_deg+v_deg-cn))
+                              - CAST(u_deg+v_deg-cn AS DOUBLE) * (u_deg+v_deg-cn))
+                       / (cn*(u_deg+v_deg-cn) + cn*(u_deg+v_deg-cn)
+                          + 2*cn*((SELECT n FROM nn) - (u_deg+v_deg-cn))
+                          + (u_deg+v_deg-cn)*(u_deg+v_deg-cn)
+                          + (u_deg+v_deg-cn)*((SELECT n FROM nn) - (u_deg+v_deg-cn))
+                          + (u_deg+v_deg-cn)*(u_deg+v_deg-cn)
+                          + (u_deg+v_deg-cn)*((SELECT n FROM nn) - (u_deg+v_deg-cn))), 7)
+            ELSE 0.0 END AS adjusted_rand,
+       CAST(u % 7 = v % 7 AS INT) AS same_community,
+       CAST(u_deg AS BIGINT) AS u_deg,
+       CAST(v_deg AS BIGINT) AS v_deg
+FROM base""",
+)
+def q_link_pred_extended(spark, sf_dir):
+    from networkit_spark.operators.linkprediction import extended_link_prediction
+
+    ue = doc_edges_undirected(spark, sf_dir)
+    n = _n_docs(spark, sf_dir)
+    nodes60 = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 60)
+        .select(F.col("doc_id").cast("long").alias("x"))
+    )
+    pairs = (
+        nodes60.alias("a")
+        .join(nodes60.alias("b"), F.col("a.x") < F.col("b.x"))
+        .select(F.col("a.x").alias("u"), F.col("b.x").alias("v"))
+    )
+    out = extended_link_prediction(ue, pairs, _mod_labels(spark, sf_dir, 7), n_nodes=n)
+    return out.select(
+        "u", "v", "nbhd_distance", "neighbors_measure", "adjusted_rand",
+        "same_community",
+        F.col("u_deg").cast("long").alias("u_deg"),
+        F.col("v_deg").cast("long").alias("v_deg"),
+    )

@@ -237,3 +237,110 @@ def random_link_sample(und_edges: DataFrame, fraction: float, seed: int = 42):
         train.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
     )
     return train_sym, held.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+
+
+def extended_link_prediction(
+    und_edges: DataFrame,
+    pairs: DataFrame,
+    labels: DataFrame | None = None,
+    n_nodes: int | None = None,
+) -> DataFrame:
+    """The remaining LinkPredictor battery for explicit ``pairs (u, v)``:
+
+    - ``nbhd_distance`` (``NeighborhoodDistanceIndex.hpp:30-35``):
+      |N(u) ∩ N(v)| / sqrt(deg(u) * deg(v))
+    - ``neighbors_measure`` (``NeighborsMeasureIndex.hpp:29-40``): count of
+      ordered neighbor pairs (a in N(u), b in N(v)) with a == b or
+      (a, b) an edge — cn plus the u-a-b-v path count
+    - ``adjusted_rand`` (``AdjustedRandIndex.cpp:15-43``): the reference
+      computes BOTH "difference" terms with ``std::set_union`` (not
+      set_difference), so b = c = |N(u) ∪ N(v)| — replicated verbatim
+      for parity, quirk and all
+    - ``same_community`` (``SameCommunityIndex.cpp:28-30``): same-label
+      indicator for the given partition (the reference runs PLM; any
+      (node, label) table works — determinism is the caller's choice)
+    - ``u_deg`` / ``v_deg`` (``UDegreeIndex.hpp`` / ``VDegreeIndex.hpp``)
+
+    One wedge aggregation for cn, one two-hop join for the path term, two
+    degree joins, one label join per endpoint — no driver-side loops.
+    """
+    spark = und_edges.sparkSession
+    if n_nodes is None:
+        n_nodes = und_edges.select("src").distinct().count()
+    deg = _degrees(und_edges)
+    e = und_edges.select("src", "dst")
+    p = pairs.select("u", "v")
+    # cn per pair (restricted to the pairs set before the count)
+    nu = e.select(F.col("src").alias("u"), F.col("dst").alias("a"))
+    nv = e.select(F.col("src").alias("v"), F.col("dst").alias("b"))
+    cn = (
+        p.join(nu, "u").join(nv, "v")
+        .filter(F.col("a") == F.col("b"))
+        .groupBy("u", "v").agg(F.count("*").alias("cn"))
+    )
+    # u-a-b-v path count (ordered (a, b); self-pair a==b counted in cn,
+    # and the reference's `||` counts each (a,b) once, so a==b pairs that
+    # are ALSO edges (self-loop) don't exist in a simple graph)
+    paths = (
+        p.join(nu, "u").join(nv, "v")
+        .join(
+            e.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+            ["a", "b"],
+        )
+        .groupBy("u", "v").agg(F.count("*").alias("pp"))
+    )
+    out = (
+        p.join(cn, ["u", "v"], "left").fillna({"cn": 0})
+        .join(paths, ["u", "v"], "left").fillna({"pp": 0})
+        .join(deg.select(F.col("node").alias("u"), F.col("deg").alias("u_deg")), "u", "left")
+        .join(deg.select(F.col("node").alias("v"), F.col("deg").alias("v_deg")), "v", "left")
+        .fillna({"u_deg": 0, "v_deg": 0})
+    )
+    if labels is not None:
+        lab = labels.select("node", "label")
+        out = (
+            out.join(lab.select(F.col("node").alias("u"), F.col("label").alias("lu")), "u", "left")
+            .join(lab.select(F.col("node").alias("v"), F.col("label").alias("lv")), "v", "left")
+        )
+        same = (F.col("lu").isNotNull() & (F.col("lu") == F.col("lv"))).cast("int")
+    else:
+        same = F.lit(None).cast("int")
+    a = F.col("cn").cast("double")
+    union = (F.col("u_deg") + F.col("v_deg") - F.col("cn")).cast("double")
+    b = union
+    c = union
+    d = F.lit(float(n_nodes)) - union
+    denom = a * b + a * c + 2 * a * d + b * b + b * d + c * c + c * d
+    return out.select(
+        "u",
+        "v",
+        F.when(
+            (F.col("u_deg") > 0) & (F.col("v_deg") > 0),
+            F.round(a / F.sqrt(F.col("u_deg") * F.col("v_deg")), 7),
+        ).otherwise(F.lit(0.0)).alias("nbhd_distance"),
+        (F.col("cn") + F.col("pp")).cast("long").alias("neighbors_measure"),
+        F.when(denom != 0, F.round(2 * (a * d - b * c) / denom, 7))
+        .otherwise(F.lit(0.0)).alias("adjusted_rand"),
+        same.alias("same_community"),
+        "u_deg",
+        "v_deg",
+    )
+
+
+def threshold_by_score(scores: DataFrame, score_col: str, min_score: float) -> DataFrame:
+    """LinkThresholder::byScore (:19-35): pairs with score >= minScore,
+    returned pair-sorted."""
+    return scores.filter(F.col(score_col) >= min_score).select("u", "v").orderBy("u", "v")
+
+
+def threshold_by_count(scores: DataFrame, score_col: str, k: int) -> DataFrame:
+    """LinkThresholder::byCount: top-k under the PredictionsSorter order
+    (score desc, then (u, v) asc), returned pair-sorted."""
+    top = scores.orderBy(F.desc(score_col), F.asc("u"), F.asc("v")).limit(k)
+    return top.select("u", "v").orderBy("u", "v")
+
+
+def threshold_by_percentage(scores: DataFrame, score_col: str, pct: float) -> DataFrame:
+    """LinkThresholder::byPercentage: byCount with k = pct * #predictions."""
+    k = int(pct * scores.count())
+    return threshold_by_count(scores, score_col, k)

@@ -289,3 +289,64 @@ def test_postscript_writer_structure(spark, tmp_path):
     path2 = os.path.join(tmp_path, "g2.eps")
     write_postscript(_und(spark, triples), coords, path2, labels)
     assert open(path2).read() == text
+
+
+# ---------------------------------------------------------------------------
+# Extended link prediction battery
+# ---------------------------------------------------------------------------
+
+
+def test_extended_link_prediction_brute(spark):
+    from networkit_spark.operators.linkprediction import extended_link_prediction
+
+    triples = _gnp(25, 0.25, 17)
+    g = nx.Graph()
+    g.add_nodes_from(range(25))
+    g.add_edges_from((a, b) for a, b, _ in triples)
+    pairs = [(u, v) for u in range(25) for v in range(u + 1, 25)]
+    pdf = spark.createDataFrame(pairs, "u long, v long")
+    lab = {n: n % 3 for n in range(25)}
+    got = {
+        (r["u"], r["v"]): r
+        for r in extended_link_prediction(
+            _und(spark, triples), pdf, _labels_df(spark, lab), n_nodes=25
+        ).collect()
+    }
+    import math
+
+    for u, v in pairs:
+        nu, nv = set(g.neighbors(u)), set(g.neighbors(v))
+        cn = len(nu & nv)
+        du, dv = g.degree(u), g.degree(v)
+        r = got[(u, v)]
+        exp_nd = cn / math.sqrt(du * dv) if du and dv else 0.0
+        assert r["nbhd_distance"] == pytest.approx(exp_nd, abs=1e-6)
+        nm = sum(1 for a in nu for b in nv if a == b or g.has_edge(a, b))
+        assert r["neighbors_measure"] == nm
+        # reference quirk: b = c = |union|
+        a_, un = float(cn), float(du + dv - cn)
+        d_ = 25.0 - un
+        den = a_ * un + a_ * un + 2 * a_ * d_ + un * un + un * d_ + un * un + un * d_
+        exp_ar = 0.0 if den == 0 else 2 * (a_ * d_ - un * un) / den
+        assert r["adjusted_rand"] == pytest.approx(exp_ar, abs=1e-6)
+        assert r["same_community"] == int(lab[u] == lab[v])
+        assert (r["u_deg"], r["v_deg"]) == (du, dv)
+
+
+def test_link_thresholders(spark):
+    from networkit_spark.operators.linkprediction import (
+        threshold_by_count,
+        threshold_by_percentage,
+        threshold_by_score,
+    )
+
+    scores = spark.createDataFrame(
+        [(0, 1, 5.0), (0, 2, 3.0), (1, 2, 3.0), (2, 3, 1.0)],
+        "u long, v long, s double",
+    )
+    assert {(r["u"], r["v"]) for r in threshold_by_score(scores, "s", 3.0).collect()} == {
+        (0, 1), (0, 2), (1, 2)
+    }
+    top2 = [(r["u"], r["v"]) for r in threshold_by_count(scores, "s", 2).collect()]
+    assert top2 == [(0, 1), (0, 2)]  # score desc, then pair asc; output pair-sorted
+    assert threshold_by_percentage(scores, "s", 0.5).count() == 2
