@@ -394,3 +394,46 @@ def q_link_pred_extended(spark, sf_dir):
         F.col("u_deg").cast("long").alias("u_deg"),
         F.col("v_deg").cast("long").alias("v_deg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PowerlawDegreeSequence (generators/PowerlawDegreeSequence.cpp) — the
+# standalone degree-sequence sampler with the even-sum repair; breakpoints
+# inlined identically on both sides so the oracle replays every draw.
+# ---------------------------------------------------------------------------
+
+_PL_MIN, _PL_MAX, _PL_GAMMA, _PL_SEED = 2, 12, -2.5, 7
+
+
+def _powerlaw_oracle() -> str:
+    from networkit_spark.operators.sampling import draw_sql
+    from networkit_spark.sources.generators import _PL_MOD, _powerlaw_cumprob
+
+    cum = _powerlaw_cumprob(_PL_MIN, _PL_MAX, _PL_GAMMA)
+    d = draw_sql("pldeg", _PL_SEED, "doc_id")
+    idx = " + ".join(
+        f"CASE WHEN {c!r} < u THEN 1 ELSE 0 END" for c in cum[:-1]
+    )
+    return f"""WITH draws AS (
+  SELECT CAST(doc_id AS BIGINT) AS node,
+         CAST({d} % {_PL_MOD} AS DOUBLE) / {_PL_MOD}.0 AS u
+  FROM documents
+),
+base AS (SELECT node, CAST({_PL_MAX} - ({idx}) AS BIGINT) AS degree FROM draws),
+par AS (SELECT sum(degree) % 2 AS odd FROM base),
+fx AS (SELECT node FROM base ORDER BY degree DESC, node ASC LIMIT 1)
+SELECT b.node,
+       b.degree - CASE WHEN (SELECT odd FROM par) = 1
+                        AND b.node = (SELECT node FROM fx)
+                       THEN 1 ELSE 0 END AS degree
+FROM base b"""
+
+
+@register("powerlaw_degrees", _powerlaw_oracle())
+def q_powerlaw_degrees(spark, sf_dir):
+    from networkit_spark.sources.generators import powerlaw_degree_sequence
+
+    n = _n_docs(spark, sf_dir)
+    return powerlaw_degree_sequence(
+        spark, n, _PL_MIN, _PL_MAX, _PL_GAMMA, seed=_PL_SEED
+    )

@@ -1495,3 +1495,77 @@ def mocnik_graph(
     base.unpersist()
     tgt.unpersist()
     return out
+
+
+def _powerlaw_gamma_from_avg(avg_deg: float, min_deg: int, max_deg: int,
+                             min_gamma: float = -1.0,
+                             max_gamma: float = -6.0) -> float:
+    """PowerlawDegreeSequence::setGammaFromAverageDegree (:103-145):
+    bisect gamma to the expected average closest to ``avg_deg``. The
+    reference's bound naming is inverted (minGamma = -1 > maxGamma = -6
+    numerically); l = max_gamma (steep, low avg), r = min_gamma (flat,
+    high avg), so gamma_l < gamma_r and the bisection is well-ordered."""
+    gamma_l, gamma_r = max_gamma, min_gamma
+    avg_l = _powerlaw_expected_avg(_powerlaw_cumprob(min_deg, max_deg, gamma_l), max_deg)
+    avg_r = _powerlaw_expected_avg(_powerlaw_cumprob(min_deg, max_deg, gamma_r), max_deg)
+    if avg_deg > avg_r:
+        return gamma_r
+    if avg_deg < avg_l:
+        return gamma_l
+    while gamma_l + 0.001 < gamma_r:
+        gamma = (gamma_r + gamma_l) * 0.5
+        avg = _powerlaw_expected_avg(_powerlaw_cumprob(min_deg, max_deg, gamma), max_deg)
+        if avg > avg_deg:
+            gamma_r, avg_r = gamma, avg
+        else:
+            gamma_l, avg_l = gamma, avg
+    return gamma_l if (avg_deg - avg_l) < (avg_r - avg_deg) else gamma_r
+
+
+_PL_MOD = 1_000_000_007
+
+
+def powerlaw_degree_sequence(
+    spark: SparkSession,
+    n: int,
+    min_deg: int,
+    max_deg: int,
+    gamma: float,
+    seed: int = 42,
+) -> DataFrame:
+    """Distributed PowerlawDegreeSequence::getDegreeSequence
+    (``PowerlawDegreeSequence.cpp:151-200``) -> (node, degree).
+
+    The cumulative table (max_deg - min_deg + 1 breakpoints) is tiny and
+    inlined as column expressions — the inverse-CDF lookup is a pure
+    per-row computation, no join. Draws are the portable md5 fold, so a
+    SQL oracle replays the identical sequence. The reference's even-sum
+    repair (decrement ONE maximal element — the first in iteration order,
+    i.e. the lowest node id) is one extra aggregation.
+    """
+    from networkit_spark.operators.sampling import _draw
+
+    if min_deg > max_deg:
+        raise ValueError("minDeg must not be larger than maxDeg")
+    if gamma > -1:
+        raise ValueError("gamma must be lower than -1")
+    cum = _powerlaw_cumprob(min_deg, max_deg, gamma)
+    nodes = spark.range(n).select(F.col("id").alias("node"))
+    u = (_draw("pldeg", seed, F.col("node")) % _PL_MOD) / float(_PL_MOD)
+    # bisect_left(cum, u) == count of breakpoints strictly below u
+    idx = sum(
+        (F.lit(float(c)) < u).cast("int") for c in cum[:-1]
+    ) if len(cum) > 1 else F.lit(0)
+    base = nodes.select("node", (F.lit(max_deg) - idx).cast("long").alias("degree"))
+    par = base.agg(
+        (F.sum("degree") % 2).alias("odd"),
+        F.min(F.struct((-F.col("degree")).alias("nd"), F.col("node").alias("n"))).alias("mx"),
+    ).first()
+    if par["odd"] == 0:
+        return base
+    fix_node = par["mx"]["n"]
+    return base.select(
+        "node",
+        F.when(F.col("node") == fix_node, F.col("degree") - 1)
+        .otherwise(F.col("degree")).alias("degree"),
+    )

@@ -350,3 +350,36 @@ def test_link_thresholders(spark):
     top2 = [(r["u"], r["v"]) for r in threshold_by_count(scores, "s", 2).collect()]
     assert top2 == [(0, 1), (0, 2)]  # score desc, then pair asc; output pair-sorted
     assert threshold_by_percentage(scores, "s", 0.5).count() == 2
+
+
+# ---------------------------------------------------------------------------
+# PowerlawDegreeSequence
+# ---------------------------------------------------------------------------
+
+
+def test_powerlaw_degree_sequence_contract(spark):
+    from networkit_spark.sources.generators import (
+        _powerlaw_cumprob,
+        _powerlaw_expected_avg,
+        _powerlaw_gamma_from_avg,
+        powerlaw_degree_sequence,
+    )
+
+    df = powerlaw_degree_sequence(spark, 2000, 2, 16, -2.2, seed=3)
+    rows = df.collect()
+    degs = [r["degree"] for r in rows]
+    assert len(rows) == 2000
+    assert min(degs) >= 1  # 2, minus possibly the even-sum decrement
+    assert max(degs) <= 16
+    assert sum(degs) % 2 == 0  # even-sum repair
+    # empirical average ~ expected average
+    cum = _powerlaw_cumprob(2, 16, -2.2)
+    exp_avg = _powerlaw_expected_avg(cum, 16)
+    assert abs(sum(degs) / 2000 - exp_avg) < 0.25
+    # deterministic
+    degs2 = [r["degree"] for r in powerlaw_degree_sequence(spark, 2000, 2, 16, -2.2, seed=3).collect()]
+    assert sorted(degs) == sorted(degs2)
+    # gamma search brackets the requested average
+    g = _powerlaw_gamma_from_avg(4.0, 2, 16)
+    got_avg = _powerlaw_expected_avg(_powerlaw_cumprob(2, 16, g), 16)
+    assert abs(got_avg - 4.0) < 0.1
