@@ -368,6 +368,7 @@ SELECT u, v,
                           + (u_deg+v_deg-cn)*((SELECT n FROM nn) - (u_deg+v_deg-cn))), 7)
             ELSE 0.0 END AS adjusted_rand,
        CAST(u % 7 = v % 7 AS INT) AS same_community,
+       CAST(u_deg + v_deg - cn AS BIGINT) AS total_neighbors,
        CAST(u_deg AS BIGINT) AS u_deg,
        CAST(v_deg AS BIGINT) AS v_deg
 FROM base""",
@@ -390,7 +391,7 @@ def q_link_pred_extended(spark, sf_dir):
     out = extended_link_prediction(ue, pairs, _mod_labels(spark, sf_dir, 7), n_nodes=n)
     return out.select(
         "u", "v", "nbhd_distance", "neighbors_measure", "adjusted_rand",
-        "same_community",
+        "same_community", "total_neighbors",
         F.col("u_deg").cast("long").alias("u_deg"),
         F.col("v_deg").cast("long").alias("v_deg"),
     )
@@ -437,3 +438,57 @@ def q_powerlaw_degrees(spark, sf_dir):
     return powerlaw_degree_sequence(
         spark, n, _PL_MIN, _PL_MAX, _PL_GAMMA, seed=_PL_SEED
     )
+
+
+# ---------------------------------------------------------------------------
+# SpectralPartitioner (community.pyx:2040-2215) — eigendecomposition is not
+# SQL-expressible, so rows-only here; the pytest replica + planted-structure
+# tests are the correctness pin (tests/test_round4d.py).
+# ---------------------------------------------------------------------------
+
+
+@register("spectral_partition_k4")
+def q_spectral_partition_k4(spark, sf_dir):
+    from networkit_spark.operators.spectral import spectral_partition
+
+    ue = doc_edges_undirected(spark, sf_dir).filter(
+        (F.col("src") < 100) & (F.col("dst") < 100)
+    )
+    return spectral_partition(ue, 100, 4).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# MaxentStress layout (viz/MaxentStress.cpp) — iterative CG solves + the
+# grid Barnes-Hut entropy term; rows-only (pytest pins quality/determinism,
+# tests/test_maxent.py). Runs on the largest connected component of the
+# <60-node induced gate subgraph (the reference rejects disconnected input).
+# ---------------------------------------------------------------------------
+
+
+@register("maxent_layout")
+def q_maxent_layout(spark, sf_dir):
+    from networkit_spark.operators.components import ConnectedComponents
+    from networkit_spark.operators.maxent import maxent_stress
+
+    ue = doc_edges_undirected(spark, sf_dir).filter(
+        (F.col("src") < 60) & (F.col("dst") < 60)
+    )
+    labels = ConnectedComponents().run(ue).labels_df
+    top = (
+        labels.groupBy("label").count().orderBy(F.desc("count"), "label").first()["label"]
+    )
+    keep = labels.filter(F.col("label") == top).select(F.col("node"))
+    ue_cc = (
+        ue.join(keep.withColumnRenamed("node", "src"), "src")
+        .join(keep.withColumnRenamed("node", "dst"), "dst")
+    )
+    out = maxent_stress(
+        ue_cc, dim=2, k=2, seed=11,
+        max_solves_per_alpha=2, final_alpha=0.5,
+        cg_max_iterations=25, fast_computation=True, grid=4,
+    )
+    return out.select(
+        "node",
+        F.round(F.element_at("x", 1), 7).alias("x0"),
+        F.round(F.element_at("x", 2), 7).alias("x1"),
+    ).orderBy("node")

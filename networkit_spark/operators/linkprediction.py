@@ -259,6 +259,8 @@ def extended_link_prediction(
     - ``same_community`` (``SameCommunityIndex.cpp:28-30``): same-label
       indicator for the given partition (the reference runs PLM; any
       (node, label) table works — determinism is the caller's choice)
+    - ``total_neighbors`` (``TotalNeighborsIndex.hpp:31-33``):
+      |N(u) ∪ N(v)| = deg(u) + deg(v) - cn (simple graph)
     - ``u_deg`` / ``v_deg`` (``UDegreeIndex.hpp`` / ``VDegreeIndex.hpp``)
 
     One wedge aggregation for cn, one two-hop join for the path term, two
@@ -322,9 +324,36 @@ def extended_link_prediction(
         F.when(denom != 0, F.round(2 * (a * d - b * c) / denom, 7))
         .otherwise(F.lit(0.0)).alias("adjusted_rand"),
         same.alias("same_community"),
+        (F.col("u_deg") + F.col("v_deg") - F.col("cn")).cast("long").alias("total_neighbors"),
         "u_deg",
         "v_deg",
     )
+
+
+def common_neighbors(und_edges: DataFrame, pairs: DataFrame) -> DataFrame:
+    """NeighborhoodUtility::getCommonNeighbors (NeighborhoodUtility.cpp:36-47)
+    batched for a pairs table -> (u, v, neighbor), sorted neighbor order
+    recoverable by an ORDER BY."""
+    e = und_edges.select("src", "dst")
+    nu = e.select(F.col("src").alias("u"), F.col("dst").alias("neighbor"))
+    nv = e.select(F.col("src").alias("v"), F.col("dst").alias("neighbor"))
+    return pairs.select("u", "v").join(nu, "u").join(nv, ["v", "neighbor"])
+
+
+def neighbors_union(und_edges: DataFrame, pairs: DataFrame) -> DataFrame:
+    """NeighborhoodUtility::getNeighborsUnion (NeighborhoodUtility.cpp:23-34)
+    batched -> (u, v, neighbor) distinct over both endpoint neighborhoods."""
+    e = und_edges.select("src", "dst")
+    p = pairs.select("u", "v")
+    nu = p.join(e.select(F.col("src").alias("u"), F.col("dst").alias("neighbor")), "u")
+    nv = p.join(e.select(F.col("src").alias("v"), F.col("dst").alias("neighbor")), "v")
+    return nu.select("u", "v", "neighbor").union(nv.select("u", "v", "neighbor")).distinct()
+
+
+def sort_predictions(scores: DataFrame, score_col: str) -> DataFrame:
+    """PredictionsSorter (PredictionsSorter.cpp): descending score, ties by
+    ascending (u, v) — expressed as a declarative global sort."""
+    return scores.orderBy(F.col(score_col).desc(), F.col("u").asc(), F.col("v").asc())
 
 
 def threshold_by_score(scores: DataFrame, score_col: str, min_score: float) -> DataFrame:

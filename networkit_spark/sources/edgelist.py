@@ -680,3 +680,17 @@ def write_snap(edges: DataFrame, n: int, path: str) -> None:
         .write.mode("overwrite")
         .text(path)
     )
+
+
+def read_lines(spark: SparkSession, path: str) -> DataFrame:
+    """LineFileReader (graphio.pyx:514-533) -> (line_no, line), 0-based in
+    file order. Per-file order is inherently positional, so each file is
+    one wholetext task (line_no = split position); a directory of files
+    parallelizes file-level.
+    """
+    return (
+        spark.read.text(path, wholetext=True)
+        # std::getline yields no trailing empty element for a final newline
+        .select(F.regexp_replace(F.col("value"), "\n$", "").alias("value"))
+        .select(F.posexplode(F.split(F.col("value"), "\n")).alias("line_no", "line"))
+    )

@@ -292,15 +292,6 @@ def hyperbolic_graph(
     alpha = 0.5 * (plexp - 1)
     R = hyperbolic_target_radius(n, avg_degree, alpha)
     cosh_r = math.cosh(alpha * R)
-    # split radius: expected core size ~ sqrt(n)
-    frac = math.sqrt(n) / n
-    r_c = math.acosh(1 + frac * (cosh_r - 1)) / alpha
-    # periphery angular window at (r_c, r_c): cos(w) = (cosh^2 r_c - cosh R)/sinh^2 r_c
-    cw = (math.cosh(r_c) ** 2 - math.cosh(R)) / (math.sinh(r_c) ** 2)
-    w = math.pi if cw <= -1 else (0.0 if cw >= 1 else math.acos(cw))
-    n_buckets = max(1, int(2 * math.pi / max(w, 1e-9)))
-    bucket_w = 2 * math.pi / n_buckets
-
     pts = spark.range(n).select(
         F.col("id").alias("node"),
         (2 * math.pi * _u01(F.col("id"), F.lit(seed), F.lit(0))).alias("theta"),
@@ -310,6 +301,30 @@ def hyperbolic_graph(
         ).alias("r"),
     ).persist()
     pts.count()
+    out = hyperbolic_edges_from_points(pts, n, avg_degree, plexp)
+    pts.unpersist()
+    return out
+
+
+def hyperbolic_edges_from_points(
+    pts: DataFrame, n: int, avg_degree: float = 6.0, plexp: float = 3.0
+) -> DataFrame:
+    """The T=0 hyperbolic edge rule (distance <= R) over an explicit
+    (node, theta, r) point table — shared by the static generator and the
+    dynamic (moving-points) twin. Same core/periphery band join."""
+    import math
+
+    alpha = 0.5 * (plexp - 1)
+    R = hyperbolic_target_radius(n, avg_degree, alpha)
+    cosh_r = math.cosh(alpha * R)
+    # split radius: expected core size ~ sqrt(n)
+    frac = math.sqrt(n) / n
+    r_c = math.acosh(1 + frac * (cosh_r - 1)) / alpha
+    # periphery angular window at (r_c, r_c): cos(w) = (cosh^2 r_c - cosh R)/sinh^2 r_c
+    cw = (math.cosh(r_c) ** 2 - math.cosh(R)) / (math.sinh(r_c) ** 2)
+    w = math.pi if cw <= -1 else (0.0 if cw >= 1 else math.acos(cw))
+    n_buckets = max(1, int(2 * math.pi / max(w, 1e-9)))
+    bucket_w = 2 * math.pi / n_buckets
 
     def dist_ok(t1, r1, t2, r2):
         dphi = F.lit(math.pi) - F.abs(F.lit(math.pi) - F.abs(t1 - t2))
@@ -1215,6 +1230,23 @@ def _u01_col(tag: str, seed: int, *cols) -> F.Column:
     return (_draw(tag, seed, *cols) % F.lit(1 << 52)) / float(1 << 52)
 
 
+def _pubweb_areas(num_dense_areas: int, seed: int) -> tuple[list[float], list[tuple[float, float]]]:
+    """Seeded dense-area radii + centers (PubWebGenerator.cpp:86-105) —
+    shared by the static placement and the dynamic generator's inserts."""
+    radii = [
+        _PUBWEB_MAX_RAD * f * f / (_PUBWEB_FACTOR * _PUBWEB_FACTOR)
+        for f in (
+            _u01_md5("pw_rad", seed, a) * _PUBWEB_FACTOR + 1.0
+            for a in range(num_dense_areas)
+        )
+    ]
+    centers = [
+        (_u01_md5("pw_cx", seed, a), _u01_md5("pw_cy", seed, a))
+        for a in range(num_dense_areas)
+    ]
+    return radii, centers
+
+
 def pubweb_points(
     spark: SparkSession,
     n: int,
@@ -1227,23 +1259,13 @@ def pubweb_points(
     wrapped into the unit torus.  Area parameters are O(areas) seeded
     scalars on the driver; per-node coordinates are pure hash columns.
     Returns (node, x, y)."""
-    radii = [
-        _PUBWEB_MAX_RAD * f * f / (_PUBWEB_FACTOR * _PUBWEB_FACTOR)
-        for f in (
-            _u01_md5("pw_rad", seed, a) * _PUBWEB_FACTOR + 1.0
-            for a in range(num_dense_areas)
-        )
-    ]
+    radii, centers = _pubweb_areas(num_dense_areas, seed)
     if num_dense_areas:
         f = sum(r ** 1.5 for r in radii)
         f = (n * (num_dense_areas / (num_dense_areas + 2.0))) / f
         per_area = [int(round(f * r ** 1.5)) for r in radii]
     else:
         per_area = []
-    centers = [
-        (_u01_md5("pw_cx", seed, a), _u01_md5("pw_cy", seed, a))
-        for a in range(num_dense_areas)
-    ]
     # node index -> area by offset ranges; remainder = background
     bounds = []
     off = 0
@@ -1307,6 +1329,17 @@ def pubweb_graph(
     Returns (src, dst, weight) symmetrized rows."""
     pts = pubweb_points(spark, n, num_dense_areas, seed).persist()
     pts.count()
+    out = pubweb_edges_from_points(pts, neighborhood_radius, max_neighbors)
+    pts.unpersist()
+    return out
+
+
+def pubweb_edges_from_points(
+    pts: DataFrame, neighborhood_radius: float, max_neighbors: int
+) -> DataFrame:
+    """The PubWeb edge rule over an explicit (node, x, y) point table —
+    shared by the static generator and the dynamic (moving-points) twin."""
+    spark = pts.sparkSession
     ncell = max(1, int(1.0 / neighborhood_radius))
     cell = lambda c: F.least(  # noqa: E731
         F.floor(c * ncell).cast("long"), F.lit(ncell - 1)
@@ -1357,7 +1390,6 @@ def pubweb_graph(
         .filter(F.col("c") == 2)
         .select("src", "dst", (F.lit(_PUBWEB_BASE_W) / F.col("sq")).alias("weight"))
     )
-    pts.unpersist()
     return und.unionByName(
         und.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
     )

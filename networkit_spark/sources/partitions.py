@@ -287,3 +287,71 @@ def read_snap_cover(spark: SparkSession, path: str,
     else:
         members = members.select(F.col("orig").alias("node"), "subset")
     return members
+
+
+def read_edgelist_partition(
+    spark: SparkSession, path: str, first_node: int = 1, sep: str = "\t"
+) -> DataFrame:
+    """EdgeListPartitionReader (EdgeListPartitionReader.cpp:15-44): text
+    lines ``node<sep>subset``, comment lines start with a literal ``#``
+    token, node ids shifted down by ``first_node`` -> (node, label).
+
+    Order-free pairs, so the parse is a plain distributed line scan —
+    unlike the positional text Partition format this shards freely.
+    """
+    lines = spark.read.text(path)
+    toks = F.split(F.col("value"), sep)
+    # try_cast: ANSI mode may evaluate the projection cast before the
+    # comment filter once codegen collapses them into one stage
+    return (
+        lines.filter(F.trim(F.col("value")) != "")
+        .filter(toks.getItem(0) != "#")
+        .select(
+            (toks.getItem(0).try_cast("long") - first_node).alias("node"),
+            toks.getItem(1).try_cast("long").alias("label"),
+        )
+        .filter(F.col("node").isNotNull() & F.col("label").isNotNull())
+    )
+
+
+def read_mat(spark: SparkSession, path: str, key: str = "G"):
+    """MatReader (graphio.pyx:1388-1448): adjacency matrix stored in a
+    Matlab .mat file under ``key`` -> (src, dst, weight) upper-triangle
+    edges. Gated on scipy (not in this container): the .mat v5 container
+    is zlib-record packed and scipy.io owns that parsing; everything after
+    the load is distributed (createDataFrame over COO triples).
+    """
+    try:
+        from scipy.io import loadmat
+        from scipy.sparse import coo_matrix
+    except ImportError as e:  # pragma: no cover - container has no scipy
+        raise NotImplementedError(
+            "read_mat needs scipy.io (unavailable in this container)"
+        ) from e
+    mat = loadmat(path)[key]
+    coo = coo_matrix(mat)
+    rows = [
+        (int(r), int(c), float(v))
+        for r, c, v in zip(coo.row, coo.col, coo.data)
+        if r <= c
+    ]
+    return spark.createDataFrame(rows, "src long, dst long, weight double")
+
+
+def write_mat(und_edges: DataFrame, path: str, key: str = "G", n: int | None = None) -> None:
+    """MatWriter (graphio.pyx:1450-1489) twin — scipy-gated like read_mat."""
+    try:
+        from scipy.io import savemat
+        from scipy.sparse import coo_matrix
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError(
+            "write_mat needs scipy.io (unavailable in this container)"
+        ) from e
+    rows = und_edges.select("src", "dst").collect()
+    if n is None:
+        n = 1 + max((max(r["src"], r["dst"]) for r in rows), default=-1)
+    import numpy as np
+
+    src = np.array([r["src"] for r in rows] + [r["dst"] for r in rows])
+    dst = np.array([r["dst"] for r in rows] + [r["src"] for r in rows])
+    savemat(path, {key: coo_matrix((np.ones(len(src)), (src, dst)), shape=(n, n))})

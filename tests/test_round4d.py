@@ -383,3 +383,144 @@ def test_powerlaw_degree_sequence_contract(spark):
     g = _powerlaw_gamma_from_avg(4.0, 2, 16)
     got_avg = _powerlaw_expected_avg(_powerlaw_cumprob(2, 16, g), 16)
     assert abs(got_avg - 4.0) < 0.1
+
+
+# ---------------------------------------------------------------------------
+# NeighborhoodUtility / PredictionsSorter / TotalNeighborsIndex
+# ---------------------------------------------------------------------------
+
+
+def test_neighborhood_utility_and_sorter(spark):
+    from networkit_spark.operators.linkprediction import (
+        common_neighbors,
+        neighbors_union,
+        sort_predictions,
+    )
+
+    # path 0-1-2-3 plus edge 0-3: N(0)={1,3} N(2)={1,3}
+    edges = [(0, 1), (1, 2), (2, 3), (0, 3)]
+    und = spark.createDataFrame(
+        edges + [(b, a) for a, b in edges], "src long, dst long"
+    )
+    pairs = spark.createDataFrame([(0, 2)], "u long, v long")
+    cn = sorted(r["neighbor"] for r in common_neighbors(und, pairs).collect())
+    assert cn == [1, 3]
+    un = sorted(r["neighbor"] for r in neighbors_union(und, pairs).collect())
+    assert un == [1, 3]
+    scores = spark.createDataFrame(
+        [(0, 1, 2.0), (0, 2, 5.0), (1, 2, 5.0)], "u long, v long, s double"
+    )
+    got = [(r["u"], r["v"]) for r in sort_predictions(scores, "s").collect()]
+    assert got == [(0, 2), (1, 2), (0, 1)]
+
+
+def test_total_neighbors_column(spark):
+    from networkit_spark.operators.linkprediction import extended_link_prediction
+
+    edges = [(0, 1), (1, 2), (2, 3), (0, 3)]
+    und = spark.createDataFrame(
+        edges + [(b, a) for a, b in edges], "src long, dst long"
+    )
+    pairs = spark.createDataFrame([(0, 2), (1, 3)], "u long, v long")
+    rows = {(r["u"], r["v"]): r["total_neighbors"]
+            for r in extended_link_prediction(und, pairs, n_nodes=4).collect()}
+    assert rows == {(0, 2): 2, (1, 3): 2}  # N(0)uN(2)={1,3}; N(1)uN(3)={0,2}
+
+
+# ---------------------------------------------------------------------------
+# EdgeListPartitionReader / LineFileReader / Mat IO gate
+# ---------------------------------------------------------------------------
+
+
+def test_read_edgelist_partition(spark, tmp_path):
+    from networkit_spark.sources.partitions import read_edgelist_partition
+
+    p = tmp_path / "part.tsv"
+    p.write_text("# a comment line\n1\t3\n2\t3\n4\t7\n")
+    got = {(r["node"], r["label"])
+           for r in read_edgelist_partition(spark, str(p)).collect()}
+    assert got == {(0, 3), (1, 3), (3, 7)}  # firstNode=1 shift
+
+
+def test_read_lines(spark, tmp_path):
+    from networkit_spark.sources.edgelist import read_lines
+
+    p = tmp_path / "lines.txt"
+    p.write_text("alpha\n\nbeta\n")
+    rows = sorted(
+        (r["line_no"], r["line"]) for r in read_lines(spark, str(p)).collect()
+    )
+    assert rows == [(0, "alpha"), (1, ""), (2, "beta")]
+
+
+def test_mat_io_gate(spark, tmp_path):
+    import pytest
+
+    from networkit_spark.sources.partitions import read_mat, write_mat
+
+    try:
+        import scipy.io  # noqa: F401
+        have_scipy = True
+    except ImportError:
+        have_scipy = False
+    und = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (2, 1)], "src long, dst long"
+    )
+    if not have_scipy:
+        with pytest.raises(NotImplementedError):
+            read_mat(spark, str(tmp_path / "x.mat"))
+        with pytest.raises(NotImplementedError):
+            write_mat(und, str(tmp_path / "x.mat"))
+    else:  # pragma: no cover - scipy absent in this container
+        write_mat(und, str(tmp_path / "x.mat"), n=3)
+        got = {(r["src"], r["dst"]) for r in read_mat(spark, str(tmp_path / "x.mat")).collect()}
+        assert got == {(0, 1), (1, 2)}
+
+
+# ---------------------------------------------------------------------------
+# SpectralPartitioner
+# ---------------------------------------------------------------------------
+
+
+def _grouping(rows):
+    groups = {}
+    for r in rows:
+        groups.setdefault(r["label"], set()).add(r["node"])
+    return sorted(groups.values(), key=lambda s: min(s))
+
+
+def test_spectral_partition_two_cliques(spark):
+    from networkit_spark.operators.spectral import spectral_partition
+
+    # two 8-cliques joined by one bridge edge
+    triples = []
+    for base in (0, 8):
+        triples += [(base + a, base + b, 1.0)
+                    for a in range(8) for b in range(a + 1, 8)]
+    triples.append((0, 8, 1.0))
+    und = _und(spark, triples)
+    groups = _grouping(spectral_partition(und, 16, 2).collect())
+    assert groups == [set(range(8)), set(range(8, 16))]
+    # deterministic
+    groups2 = _grouping(spectral_partition(und, 16, 2).collect())
+    assert groups == groups2
+
+
+def test_spectral_partition_counts_and_balance(spark):
+    from networkit_spark.operators.spectral import spectral_partition
+
+    rng = random.Random(2)
+    triples = [(a, b, 1.0) for a in range(24) for b in range(a + 1, 24)
+               if rng.random() < 0.3]
+    # make sure it's connected: add a ring
+    triples += [(i, (i + 1) % 24, 1.0) for i in range(24)]
+    und = _und(spark, list(set(triples)))
+    for count in (2, 3, 4, 5):
+        rows = spectral_partition(und, 24, count).collect()
+        assert len(rows) == 24
+        groups = _grouping(rows)
+        assert len(groups) == count
+    # balanced bisection = floor-median split -> sizes 12/12
+    sizes = sorted(len(g) for g in _grouping(
+        spectral_partition(und, 24, 2, balanced=True).collect()))
+    assert sizes == [12, 12]
