@@ -560,3 +560,19 @@ def prefix_jaccard_score(und_edges: DataFrame, scored: DataFrame | None = None) 
             F.coalesce(F.col("score"), F.lit(0.0)).alias("score"),
         )
     )
+
+
+def constant_score(edges: DataFrame, value: float = 1.0) -> DataFrame:
+    """ConstantScore (sparsification.py reference :1599-1617): the same
+    value on every edge — the sanity-check attributizer."""
+    return edges.select("src", "dst", F.lit(float(value)).alias("score"))
+
+
+def jaccard_distance(und_edges: DataFrame) -> DataFrame:
+    """JaccardDistance (distance/JaccardDistance.cpp:39-41): per edge
+    1 - t/(deg(u)+deg(v)-t). ``jaccard_edge_score`` IS the similarity form
+    (JaccardSimilarityAttributizer = 1 - this), since for an edge the
+    common-neighbor count equals its triangle count."""
+    return jaccard_edge_score(und_edges).select(
+        "src", "dst", (F.lit(1.0) - F.col("score")).alias("score")
+    )
