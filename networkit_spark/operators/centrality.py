@@ -343,3 +343,26 @@ def local_partition_coverage(und_edges: DataFrame, labels: DataFrame) -> DataFra
         .join(per_node, "node", "left")
         .fillna({"score": 0.0})
     )
+
+
+def centralization(scores_df: DataFrame, theoretical_max: float) -> float:
+    """Freeman centralization (``Centrality.cpp:56-73``):
+    sum(center - c_v) / sum(theoretical_max - c_v) over nodes, where
+    center is the observed maximum score. One aggregation pass."""
+    row = scores_df.agg(
+        F.max("score").alias("mx"),
+        F.sum("score").alias("s"),
+        F.count("*").alias("n"),
+    ).first()
+    center, s, n = row["mx"], row["s"], row["n"]
+    diff1 = n * center - s
+    diff2 = n * theoretical_max - s
+    return diff1 / diff2 if diff2 else 0.0
+
+
+def betweenness_maximum(n: int, directed: bool = False, normalized: bool = False) -> float:
+    """Betweenness::maximum (``Betweenness.cpp:104-113``)."""
+    if normalized:
+        return 1.0
+    score = (n - 1) * (n - 2)
+    return float(score if directed else score / 2.0)

@@ -90,3 +90,23 @@ def test_karate_metis_shape(spark):
     assert edges.count() == 156  # 78 undirected edges, both directions
     res = ConnectedComponents().run(edges, nodes)
     assert res.number_of_components() == 1
+
+
+@needs_fixtures
+def test_betweenness_centralization_looptest2_anchor(spark):
+    """test_centrality.py:71-78: Betweenness on looptest2 (self-loops in)
+    has centralization 1.22 (2 decimals) and maximum() 28.0 — the
+    reference divides by the undirected pair max (n-1)(n-2)/2 while raw
+    scores stay on the ordered-pair scale; mirrored verbatim."""
+    from networkit_spark.operators.betweenness import betweenness
+    from networkit_spark.operators.centrality import (
+        betweenness_maximum,
+        centralization,
+    )
+
+    nodes, edges, _ = read_gml(spark, f"{INPUT}/looptest2.gml")
+    n = nodes.count()
+    assert betweenness_maximum(n) == 28.0
+    scores = betweenness(edges, nodes)
+    c = centralization(scores, betweenness_maximum(n))
+    assert abs(c - 1.22) < 5e-3

@@ -524,3 +524,20 @@ def test_spectral_partition_counts_and_balance(spark):
     sizes = sorted(len(g) for g in _grouping(
         spectral_partition(und, 24, 2, balanced=True).collect()))
     assert sizes == [12, 12]
+
+
+def test_powerlaw_reference_anchor():
+    """Mirrors the reference's own testPowerLawDegreeSequence
+    (test_generators.py:163-175): PowerlawDegreeSequence(2, 100),
+    setMinimumFromAverageDegree(12.0) -> minDeg 4, then gamma = 5.0 gives
+    expected average degree 86.139 (3 decimals)."""
+    from networkit_spark.sources.generators import (
+        _powerlaw_cumprob,
+        _powerlaw_expected_avg,
+        _powerlaw_min_from_avg,
+    )
+
+    m = _powerlaw_min_from_avg(12.0, 100, -2.0)
+    assert m == 4
+    avg = _powerlaw_expected_avg(_powerlaw_cumprob(m, 100, 5.0), 100)
+    assert abs(avg - 86.139) < 5e-4
