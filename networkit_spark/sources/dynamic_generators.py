@@ -437,3 +437,52 @@ def dynamic_hyperbolic_events(
         parts.append(ts)
         prev = new
     return _seq_events(parts)
+
+
+def dynamic_barabasi_albert_events(
+    spark: SparkSession, n_steps: int, k: int, seed: int = 42
+) -> DataFrame:
+    """DynamicBarabasiAlbertGenerator (``DynamicBarabasiAlbertGenerator.cpp:
+    14-78``): initial k-node path, then per step one new node with k
+    degree-proportional distinct targets — the reference's exact selection
+    walk (draw in [0, degSum], subtract degrees in node-id order, re-draw
+    on duplicates), TIME_STEP after each insertion. Driver-side seeded +
+    guarded like the other sequential streams; the scalable bulk analog is
+    ``generators.barabasi_albert``."""
+    if k < 1:
+        raise ValueError("k must be at least 1")
+    _guard_driver_n(n_steps, "dynamic_barabasi_albert_events", "barabasi_albert")
+    import random as _random
+
+    rng = _random.Random(seed)
+    rows = [(NODE_ADDITION, 0, None, None)]
+    deg = [0]
+    for i in range(1, k):
+        rows.append((NODE_ADDITION, i, None, None))
+        rows.append((EDGE_ADDITION, i, i - 1, 1.0))
+        deg.append(1)
+        deg[i - 1] += 1
+    deg_sum = sum(deg)
+    n = k
+    for _ in range(n_steps):
+        u = n
+        n += 1
+        deg.append(0)
+        rows.append((NODE_ADDITION, u, None, None))
+        targets: set[int] = set()
+        while len(targets) < k:
+            r = rng.randint(0, deg_sum)
+            for v in range(n):
+                if v == u:
+                    continue
+                if r <= deg[v]:
+                    targets.add(v)
+                    break
+                r -= deg[v]
+        for v in sorted(targets):
+            rows.append((EDGE_ADDITION, u, v, 1.0))
+            deg[u] += 1
+            deg[v] += 1
+            deg_sum += 2
+        rows.append((TIME_STEP, None, None, None))
+    return _df(spark, rows)

@@ -136,3 +136,28 @@ def test_dynamic_hyperbolic_replay_matches_final_recompute(spark):
         move_distance=0.05, seed=5,
     ).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_dynamic_barabasi_albert_events(spark):
+    from networkit_spark.sources.dynamic_generators import (
+        dynamic_barabasi_albert_events,
+    )
+
+    ev = dynamic_barabasi_albert_events(spark, 30, 3, seed=11)
+    rows = sorted(ev.collect(), key=lambda r: r["seq"])
+    nodes, edges = _replay(rows)
+    # initial path of 3 + 30 added nodes, each with exactly 3 new edges
+    assert len(nodes) == 33
+    assert len(edges) == 2 + 30 * 3
+    # simple graph: no duplicate edges either orientation, no self loops
+    canon = {tuple(sorted(e)) for e in edges}
+    assert len(canon) == len(edges)
+    assert all(u != v for u, v in edges)
+    # preferential attachment concentrates degree: max degree well above k
+    deg: dict = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    assert max(deg.values()) >= 8
+    rows2 = dynamic_barabasi_albert_events(spark, 30, 3, seed=11).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
