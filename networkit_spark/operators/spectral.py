@@ -120,3 +120,64 @@ def spectral_partition(
         rows.extend((int(v), label) for v in members)
         label += 1
     return spark.createDataFrame(rows, "node long, label long")
+
+
+def spectral_coloring(
+    und_edges: DataFrame,
+    n: int,
+    spark: SparkSession | None = None,
+) -> DataFrame:
+    """SpectralColoring (reference ``networkit/coloring.py:5-120``): start
+    with every node in color 0, recursively split a color class by the
+    *sign* of the next adjacency eigenvector (depth = recursion level,
+    exactly the reference's ``split``), until each class is an independent
+    set (the reference's ``valid``).  Returns (node, color) with the
+    reference's color-id allocation order (0 keeps the >= 0 side, a fresh
+    id takes the < 0 side).
+
+    Scale stance: same guarded dense-eigendecomposition path as
+    ``spectral_partition`` / ``algebraic.py`` — the reference itself is a
+    driver-side pure-python loop over scipy eigenvectors; the distributed
+    coloring for 100 TB graphs is ``mis_coloring.GreedyColoring``.
+    """
+    from networkit_spark.algebraic import adjacency_eigenvectors
+
+    spark = spark or und_edges.sparkSession
+    _vals, vecs = adjacency_eigenvectors(und_edges, n)
+    adj: dict[int, set[int]] = {v: set() for v in range(n)}
+    for r in und_edges.select("src", "dst").collect():
+        u, v = int(r[0]), int(r[1])
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+
+    colors: dict[int, set[int]] = {0: set(range(n))}
+    next_color = 1
+
+    def valid(c: int) -> bool:
+        cls = colors[c]
+        return all(not (adj[v] & cls) for v in cls)
+
+    def split(c: int, depth: int = 0) -> None:
+        nonlocal next_color
+        if depth >= len(vecs):
+            raise ValueError(
+                f"spectral_coloring: recursion exhausted the {len(vecs)} "
+                "computed eigenvectors (reference coloring.py would "
+                "IndexError here)"
+            )
+        other = next_color
+        next_color += 1
+        vs = colors[c]
+        colors[c] = {v for v in vs if vecs[depth][v] >= 0}
+        colors[other] = {v for v in vs if vecs[depth][v] < 0}
+        if not valid(c):
+            split(c, depth=depth + 1)
+        if not valid(other):
+            split(other, depth=depth + 1)
+
+    split(0)
+    rows = sorted(
+        (int(v), int(c)) for c, members in colors.items() for v in members
+    )
+    return spark.createDataFrame(rows, "node long, color long")

@@ -1601,3 +1601,124 @@ def powerlaw_degree_sequence(
         F.when(F.col("node") == fix_node, F.col("degree") - 1)
         .otherwise(F.col("degree")).alias("degree"),
     )
+
+
+def crg_cluster_col(node_col, k: int, seed: int = 42) -> F.Column:
+    """Cluster id of a node in :func:`clustered_random_graph` — a pure hash
+    column (uniform over 0..k-1), so membership never needs a join."""
+    return F.pmod(F.xxhash64(node_col, F.lit(seed), F.lit(0xC16)), F.lit(k))
+
+
+def clustered_random_graph(
+    spark: SparkSession,
+    n: int,
+    k: int,
+    p_intra: float,
+    p_inter: float,
+    seed: int = 42,
+    blocks: int = 64,
+) -> tuple[DataFrame, DataFrame]:
+    """ClusteredRandomGraphGenerator
+    (``cpp/generators/ClusteredRandomGraphGenerator.cpp:25-143``,
+    ``generators.pyx`` ClusteredRandomGraphGenerator): each node joins one
+    of ``k`` clusters uniformly at random; each unordered pair (u < v) is
+    an edge with probability ``p_intra`` when both endpoints share a
+    cluster, else ``p_inter``.
+
+    Distributed shape (the reference also skip-samples, sequentially): the
+    n(n-1)/2 linear pair-index space is cut into ``blocks`` ranges; each
+    range is Bernoulli *skip-sampled* (geometric gaps, one numpy pass per
+    Arrow batch) independently at both rates — never an O(n^2)
+    enumeration.  Cluster membership is the pure hash column
+    :func:`crg_cluster_col`, so the same-/different-cluster acceptance
+    test is a JVM column filter, no join or shuffle; the only shuffle in
+    the whole generator is none at all (union of narrow maps).  Sampling
+    cost is ~ P*(p_intra + p_inter) emitted candidates; for k clusters the
+    intra-rate stream discards ~(k-1)/k of its draws, which is the price
+    of avoiding the row_number shuffle a per-cluster pair space would
+    need — fine while p_intra*P/k dominates, documented here for the
+    1000-executor reading.
+
+    Returns ``(edges, truth)``: directed (src<dst, weight=1.0) rows and
+    the ground-truth (node, community) assignment.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    for p in (p_intra, p_inter):
+        if not (0.0 <= p <= 1.0):
+            raise ValueError("probabilities must be in [0, 1]")
+    import numpy as np
+    import pandas as pd
+
+    P = n * (n - 1) // 2
+    nb = max(1, min(blocks, P)) if P else 1
+    step = (P + nb - 1) // nb if P else 1
+
+    def gen(iterator):
+        for pdf in iterator:
+            for bid in pdf["id"].to_numpy():
+                lo = int(bid) * step
+                hi = min(lo + step, P)
+                if lo >= hi:
+                    continue
+                for tag, p in ((0, p_intra), (1, p_inter)):
+                    if p <= 0.0:
+                        continue
+                    if p >= 1.0:
+                        idx = np.arange(lo, hi, dtype=np.int64)
+                    else:
+                        rng = np.random.default_rng([seed, int(bid), tag, 0xC16])
+                        pos = lo - 1
+                        parts = []
+                        chunk = max(1024, int((hi - lo) * p * 1.25) + 16)
+                        while pos < hi - 1:
+                            draws = rng.geometric(p, size=chunk)
+                            steps = np.cumsum(draws, dtype=np.int64) + pos
+                            pos = int(steps[-1])
+                            parts.append(steps[steps < hi])
+                        idx = (
+                            np.concatenate(parts)
+                            if parts
+                            else np.empty(0, dtype=np.int64)
+                        )
+                    if idx.size == 0:
+                        continue
+                    # triangular decode t -> (u, v), u < v; float estimate
+                    # + exact integer correction (safe past 2^52 indices)
+                    t = idx
+                    u = (
+                        n
+                        - 2
+                        - np.floor(
+                            np.sqrt(-8.0 * t + 4.0 * n * (n - 1) - 7) / 2.0
+                            - 0.5
+                        )
+                    ).astype(np.int64)
+                    tstart = lambda w: w * (n - 1) - w * (w - 1) // 2  # noqa: E731
+                    for _ in range(2):
+                        u = np.where(t < tstart(u), u - 1, u)
+                        u = np.where(t >= tstart(u + 1), u + 1, u)
+                    start = tstart(u)
+                    v = t - start + u + 1
+                    yield pd.DataFrame(
+                        {
+                            "src": u,
+                            "dst": v,
+                            "tag": np.full(idx.size, tag, dtype=np.int32),
+                        }
+                    )
+
+    cand = spark.range(nb).repartition(nb).mapInPandas(
+        gen, "src long, dst long, tag int"
+    )
+    same = crg_cluster_col(F.col("src"), k, seed) == crg_cluster_col(
+        F.col("dst"), k, seed
+    )
+    edges = cand.filter(
+        ((F.col("tag") == 0) & same) | ((F.col("tag") == 1) & ~same)
+    ).select("src", "dst", F.lit(1.0).alias("weight"))
+    truth = spark.range(n).select(
+        F.col("id").alias("node"),
+        crg_cluster_col(F.col("id"), k, seed).alias("community"),
+    )
+    return edges, truth
