@@ -107,6 +107,81 @@ def local_max_matching_fixed(und_edges: DataFrame, rounds: int = 6) -> DataFrame
     return matched
 
 
+def path_growing_matching(und_edges: DataFrame, max_edges: int = 2_000_000) -> DataFrame:
+    """Drake-Hougardy path-growing 1/2-approx weighted matching — exact
+    replica of ``cpp/matching/PathGrowingMatcher.cpp:33-147``: repeatedly
+    take an alive vertex of maximum degree (the reference's BucketPQ on
+    -degree; ties pinned here to the smallest id), grow a path by the
+    heaviest alive incident edge (ties -> smallest neighbor id), assign
+    path edges alternately to matchings M1/M2, delete each visited vertex,
+    and return the heavier of the two matchings.
+
+    The path growth is inherently sequential, so this runs on the driver
+    behind an edge-count guard — the *distributed* 1/2-approximation twin
+    (same guarantee, O(log m) shuffle rounds) is
+    :func:`local_max_matching` / the ``max_matching`` gate query.
+
+    Input: symmetrized (src, dst, weight). Output: (u, v, weight), u < v.
+    """
+    import heapq
+
+    rows = und_edges.select("src", "dst", "weight").collect()
+    if len(rows) > max_edges:
+        raise ValueError(
+            f"path_growing_matching is a driver-side sequential replica; "
+            f"{len(rows)} symmetrized edges > guard {max_edges}. "
+            f"Use local_max_matching (distributed, same 1/2-approx bound)."
+        )
+    adj: dict[int, dict[int, float]] = {}
+    for r in rows:
+        u, v, w = int(r[0]), int(r[1]), float(r[2])
+        if u == v:
+            continue  # reference rejects self-loops; we drop them
+        adj.setdefault(u, {})[v] = w
+        adj.setdefault(v, {})[u] = w
+
+    degree = {u: len(nbrs) for u, nbrs in adj.items()}
+    alive = {u for u, d in degree.items() if d > 0}
+    num_edges = sum(degree.values()) // 2
+    # lazy-decrease-key max-degree PQ: (-deg, node) — equal degree pops
+    # the smallest id first (pins the reference's unspecified bucket order)
+    pq = [(-d, u) for u, d in degree.items() if d > 0]
+    heapq.heapify(pq)
+    m1: list[tuple[int, int, float]] = []
+    m2: list[tuple[int, int, float]] = []
+    take_m1 = True
+
+    while num_edges > 0:
+        negd, v = heapq.heappop(pq)
+        if v not in alive or -negd != degree[v]:
+            continue  # stale PQ entry
+        while degree.get(v, 0) > 0:
+            # heaviest alive incident edge; tie -> smallest neighbor id
+            best_u, best_w = None, float("-inf")
+            for u, w in adj[v].items():
+                if u in alive and (w > best_w or (w == best_w and u < best_u)):
+                    best_u, best_w = u, w
+            (m1 if take_m1 else m2).append(
+                (min(v, best_u), max(v, best_u), best_w)
+            )
+            take_m1 = not take_m1
+            # delete v: decrement alive neighbors, drop exhausted ones
+            for u in adj[v]:
+                if u in alive:
+                    degree[u] -= 1
+                    num_edges -= 1
+                    if degree[u] == 0:
+                        alive.discard(u)
+                    else:
+                        heapq.heappush(pq, (-degree[u], u))
+            alive.discard(v)
+            v = best_u
+    winner = m1 if sum(w for _, _, w in m1) >= sum(w for _, _, w in m2) else m2
+    return und_edges.sparkSession.createDataFrame(
+        winner, "u long, v long, weight double"
+    )
+
+
 def matching_weight(matched: DataFrame) -> float:
     row = matched.agg(F.sum("weight")).first()
     return float(row[0] or 0.0)
