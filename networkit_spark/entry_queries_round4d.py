@@ -27,7 +27,12 @@ from networkit_spark.entry_queries_graph import (
     _msf_oracle_sql,
 )
 from networkit_spark.graph import nodes_range
-from networkit_spark.testgraph import UEDGES_CTE, doc_edges_undirected
+from networkit_spark.testgraph import (
+    EDGES_CTE,
+    UEDGES_CTE,
+    doc_edges,
+    doc_edges_undirected,
+)
 
 
 def _n_docs(spark, sf_dir):
@@ -492,3 +497,115 @@ def q_maxent_layout(spark, sf_dir):
         F.round(F.element_at("x", 1), 7).alias("x0"),
         F.round(F.element_at("x", 2), 7).alias("x1"),
     ).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# stats.pyx / centrality.pyx module helpers (gini, rankPerNode,
+# relativeRankErrors) — reference stats.pyx:16, centrality.pyx:2691,2720.
+# All three are rank computations: the Spark side uses the distributed
+# range-sort rank (plans/ids.py), the oracle the equivalent SQL window.
+# Sums are integer-exact in doubles here, so round(…,7) matches bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def _deg_cte(direction: str) -> str:
+    col = "src" if direction == "out" else "dst"
+    return f"""
+{direction}deg AS (
+    SELECT d.doc_id AS node, CAST(coalesce(cnt, 0) AS DOUBLE) AS sc
+    FROM documents d
+    LEFT JOIN (SELECT {col}, count(*) AS cnt FROM edges GROUP BY {col}) t
+      ON d.doc_id = t.{col}
+)"""
+
+
+@register(
+    "degree_gini",
+    f"""
+WITH {EDGES_CTE},
+{_deg_cte('out')},
+r AS (SELECT sc, row_number() OVER (ORDER BY sc) AS j FROM outdeg)
+SELECT round(2.0*sum(j*sc)/(count(*)*sum(sc)) - (count(*)+1.0)/count(*), 7) AS gini
+FROM r
+""",
+)
+def q_degree_gini(spark, sf_dir):
+    """Gini coefficient of the out-degree distribution (stats.pyx:16)."""
+    from networkit_spark.plans.ids import dense_ids
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("node")
+    )
+    deg = doc_edges(spark, sf_dir).groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("cnt")
+    )
+    x = (
+        docs.join(deg, "node", "left")
+        .select(F.coalesce(F.col("cnt"), F.lit(0)).cast("double").alias("x"))
+    )
+    ranked = dense_ids(x, "x", id_col="j", distinct=False)
+    return ranked.agg(
+        F.round(
+            2.0 * F.sum((F.col("j") + 1) * F.col("x")) / (F.count("*") * F.sum("x"))
+            - (F.count("*") + 1.0) / F.count("*"),
+            7,
+        ).alias("gini")
+    )
+
+
+@register(
+    "degree_rank_per_node",
+    f"""
+WITH {EDGES_CTE},
+{_deg_cte('out')}
+SELECT node, CAST(rank() OVER (ORDER BY sc DESC) - 1 AS BIGINT) AS rk
+FROM outdeg
+""",
+)
+def q_degree_rank_per_node(spark, sf_dir):
+    """rankPerNode of the out-degree ranking (centrality.pyx:2691):
+    0-based position, ties share the first equal-score entry's rank."""
+    from networkit_spark.stats import rank_per_node
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("node")
+    )
+    deg = doc_edges(spark, sf_dir).groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("cnt")
+    )
+    ranking = docs.join(deg, "node", "left").select(
+        "node", F.coalesce(F.col("cnt"), F.lit(0)).cast("double").alias("score")
+    )
+    return rank_per_node(ranking).withColumnRenamed("rank", "rk")
+
+
+@register(
+    "rank_errors_out_vs_in",
+    f"""
+WITH {EDGES_CTE},
+{_deg_cte('out')},
+{_deg_cte('in')},
+rx AS (SELECT node, rank() OVER (ORDER BY sc DESC) AS r FROM outdeg),
+ry AS (SELECT node, rank() OVER (ORDER BY sc DESC) AS r FROM indeg)
+SELECT rx.node AS node, round(rx.r / CAST(ry.r AS DOUBLE), 7) AS error
+FROM rx JOIN ry ON rx.node = ry.node
+""",
+)
+def q_rank_errors_out_vs_in(spark, sf_dir):
+    """relativeRankErrors between the out- and in-degree rankings
+    (centrality.pyx:2720): (rank_x+1)/(rank_y+1) per node, 0-based ranks."""
+    from networkit_spark.stats import relative_rank_errors
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("node")
+    )
+    e = doc_edges(spark, sf_dir)
+
+    def ranking(col):
+        deg = e.groupBy(F.col(col).alias("node")).agg(F.count("*").alias("cnt"))
+        return docs.join(deg, "node", "left").select(
+            "node", F.coalesce(F.col("cnt"), F.lit(0)).cast("double").alias("score")
+        )
+
+    out = relative_rank_errors(ranking("src"), ranking("dst"))
+    return out.select("node", F.round("error", 7).alias("error"))
