@@ -373,3 +373,87 @@ def threshold_by_percentage(scores: DataFrame, score_col: str, pct: float) -> Da
     """LinkThresholder::byPercentage: byCount with k = pct * #predictions."""
     k = int(pct * scores.count())
     return threshold_by_count(scores, score_col, k)
+
+
+# ---------------------------------------------------------------------------
+# ML glue (linkprediction.pyx:985-1060: trainClassifier / getFeatures /
+# getLabels). The reference column-stacks predictor scores into numpy
+# features and fits an sklearn classifier; the Spark-first twin keeps the
+# features as DataFrame columns and fits a pyspark.ml estimator — the
+# feature table never leaves the cluster.
+# ---------------------------------------------------------------------------
+
+FEATURE_COLS = ("cn", "jaccard", "aa", "ra", "pa", "total_neighbors")
+
+
+def get_labels(pairs: DataFrame, und_edges: DataFrame) -> DataFrame:
+    """(u, v, label) — 1 if (u, v) is an edge of the ground-truth graph,
+    else 0 (``getLabels``, linkprediction.pyx:1036)."""
+    existing = (
+        und_edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+        .withColumn("label", F.lit(1))
+    )
+    return (
+        pairs.select("u", "v")
+        .join(existing, ["u", "v"], "left")
+        .fillna({"label": 0})
+    )
+
+
+def get_features(
+    pairs: DataFrame,
+    und_edges: DataFrame,
+    feature_cols: tuple[str, ...] = FEATURE_COLS,
+) -> DataFrame:
+    """(u, v, <feature columns>) for the given pairs — the reference's
+    per-predictor column stack (``getFeatures``, linkprediction.pyx:1016)
+    as one wedge-aggregation pass instead of p.runOn per predictor."""
+    scores = link_prediction_scores(und_edges, pairs=pairs)
+    return scores.select("u", "v", *feature_cols)
+
+
+def train_link_classifier(
+    training_pairs: DataFrame,
+    training_graph: DataFrame,
+    feature_cols: tuple[str, ...] = FEATURE_COLS,
+    estimator=None,
+):
+    """Fit a classifier on predictor features (``trainClassifier``,
+    linkprediction.pyx:985). ``training_graph`` is the symmetrized edge
+    table that provides BOTH the features and the 0/1 labels. Returns a
+    fitted ``pyspark.ml`` PipelineModel whose ``transform`` adds
+    ``probability``/``prediction`` to any (u, v, features) frame."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    data = get_features(training_pairs, training_graph, feature_cols).join(
+        get_labels(training_pairs, training_graph), ["u", "v"]
+    )
+    assembler = VectorAssembler(
+        inputCols=list(feature_cols), outputCol="features"
+    )
+    est = estimator or LogisticRegression(
+        featuresCol="features", labelCol="label", maxIter=50, regParam=0.01
+    )
+    return Pipeline(stages=[assembler, est]).fit(data)
+
+
+def predict_links(
+    model,
+    pairs: DataFrame,
+    und_edges: DataFrame,
+    feature_cols: tuple[str, ...] = FEATURE_COLS,
+) -> DataFrame:
+    """(u, v, score) — classifier P(link) for each pair, from the same
+    feature pipeline used in training."""
+    feats = get_features(pairs, und_edges, feature_cols)
+    out = model.transform(feats)
+    # element 1 of the probability vector = P(label=1)
+    from pyspark.ml.functions import vector_to_array
+
+    return out.select(
+        "u", "v", vector_to_array("probability")[1].alias("score")
+    )
