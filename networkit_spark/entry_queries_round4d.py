@@ -609,3 +609,47 @@ def q_rank_errors_out_vs_in(spark, sf_dir):
 
     out = relative_rank_errors(ranking("src"), ranking("dst"))
     return out.select("node", F.round("error", 7).alias("error"))
+
+
+@register(
+    "inspect_communities_mod10",
+    f"""
+WITH {UEDGES_CTE},
+lab AS (SELECT doc_id AS node, doc_id % 10 AS label FROM documents),
+sizes AS (SELECT label, count(*) AS sz FROM lab GROUP BY label),
+szagg AS (SELECT count(*) AS k, min(sz) AS mn, max(sz) AS mx, sum(sz) AS n FROM sizes),
+m AS (SELECT sum(weight)/2.0 AS w, count(*)/2.0 AS cnt FROM uedges),
+intra AS (
+  SELECT coalesce(sum(e.weight), 0)/2.0 AS w
+  FROM uedges e JOIN lab a ON e.src = a.node JOIN lab b ON e.dst = b.node
+  WHERE a.label = b.label
+),
+vols AS (
+  SELECT l.label, coalesce(sum(t.wdeg), 0) AS vol
+  FROM lab l LEFT JOIN (SELECT src, sum(weight) AS wdeg FROM uedges GROUP BY src) t
+    ON l.node = t.src
+  GROUP BY l.label
+),
+sv AS (SELECT sum(vol*vol) AS s FROM vols)
+SELECT '# communities' AS property, round(k*1.0, 7) AS val FROM szagg
+UNION ALL SELECT 'min community size', round(mn*1.0, 7) FROM szagg
+UNION ALL SELECT 'max community size', round(mx*1.0, 7) FROM szagg
+UNION ALL SELECT 'avg. community size', round(n*1.0/k, 7) FROM szagg
+UNION ALL SELECT 'imbalance', round(mx / ceil(n*1.0/k), 7) FROM szagg
+UNION ALL SELECT 'edge cut', round(m.w - intra.w, 7) FROM m, intra
+UNION ALL SELECT 'edge cut (portion)', round((m.w - intra.w)/m.cnt, 7) FROM m, intra
+UNION ALL SELECT 'modularity', round(intra.w/m.w - sv.s/(4*m.w*m.w), 7) FROM m, intra, sv
+""",
+)
+def q_inspect_communities_mod10(spark, sf_dir):
+    """inspectCommunities property battery (community.pyx:1673-1707) on the
+    deterministic node%10 partition of the undirected gate graph."""
+    from networkit_spark.operators.community import inspect_communities
+
+    ue = doc_edges_undirected(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    labels = docs.select(
+        F.col("doc_id").alias("node"), (F.col("doc_id") % 10).alias("label")
+    )
+    out = inspect_communities(ue, labels)
+    return out.select("property", F.round("value", 7).alias("val"))

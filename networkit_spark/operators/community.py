@@ -804,3 +804,67 @@ def cover_hub_dominance(und_edges: DataFrame, cover: DataFrame) -> DataFrame:
         .otherwise(F.lit(1.0))
         .alias("hub_dominance"),
     )
+
+
+# ---------------------------------------------------------------------------
+# community.pyx convenience layer (detectCommunities :1640,
+# inspectCommunities :1673, kCoreCommunityDetection :1831). communityGraph
+# == communication_graph above; compareCommunities == the similarity
+# battery; read/writeCommunities == sources/partitions.py.
+# ---------------------------------------------------------------------------
+
+def inspect_communities(und_edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """The ``inspectCommunities`` property table (community.pyx:1673-1707)
+    as a (property, value) DataFrame: community count, min/max/avg size,
+    imbalance, edge cut, edge-cut portion, modularity. ``und_edges``
+    symmetrized; values unrounded doubles."""
+    import math
+
+    sizes = labels.groupBy("label").count().agg(
+        F.count("*").alias("k"),
+        F.min("count").alias("mn"),
+        F.max("count").alias("mx"),
+        F.sum("count").alias("n"),
+    ).first()
+    k, n = int(sizes["k"]), int(sizes["n"])
+    e_cut = edge_cut(und_edges, labels)
+    n_edges = und_edges.count() / 2.0
+    mod = modularity(und_edges, labels)
+    rows = [
+        ("# communities", float(k)),
+        ("min community size", float(sizes["mn"])),
+        ("max community size", float(sizes["mx"])),
+        ("avg. community size", n / k),
+        ("imbalance", float(sizes["mx"]) / math.ceil(n / k)),
+        ("edge cut", e_cut),
+        ("edge cut (portion)", e_cut / n_edges if n_edges else 0.0),
+        ("modularity", mod),
+    ]
+    return und_edges.sparkSession.createDataFrame(
+        rows, "property string, value double"
+    )
+
+
+def detect_communities(und_edges: DataFrame, algo=None, inspect: bool = True):
+    """``detectCommunities`` (community.pyx:1640): run the detector
+    (default PLM, like the reference) and return (labels, properties) —
+    properties is the :func:`inspect_communities` table, or None when
+    ``inspect`` is False."""
+    if algo is None:
+        from networkit_spark.operators.plm import PLM
+
+        algo = PLM()
+    labels = algo.run(und_edges).labels_df
+    props = inspect_communities(und_edges, labels) if inspect else None
+    return labels, props
+
+
+def k_core_community_detection(und_edges: DataFrame, k: int, algo=None):
+    """``kCoreCommunityDetection`` (community.pyx:1831): community
+    detection restricted to the k-core. Returns (node, label) for k-core
+    nodes only (the reference's partition is over the core subgraph)."""
+    from networkit_spark.operators.kcore import k_core
+
+    core_edges = k_core(und_edges, k).withColumn("weight", F.lit(1.0))
+    labels, _ = detect_communities(core_edges, algo=algo, inspect=False)
+    return labels
