@@ -653,3 +653,68 @@ def q_inspect_communities_mod10(spark, sf_dir):
     )
     out = inspect_communities(ue, labels)
     return out.select("property", F.round("value", 7).alias("val"))
+
+
+# ---------------------------------------------------------------------------
+# ClusteringCoefficient::approxAvgLocal (global/ClusteringCoefficient.cpp:
+# 130-162) — Schank-Wagner wedge sampling with portable-md5 draws, so the
+# oracle replays the exact estimate (same node index, same neighbor pair).
+# ---------------------------------------------------------------------------
+
+_ACC_TRIALS = 500
+_ACC_SEED = 7
+
+
+def _acc_oracle_sql() -> str:
+    from networkit_spark.operators.sampling import draw_sql
+
+    d_node = draw_sql("cc", _ACC_SEED, "k")
+    d_u = draw_sql("ccu", _ACC_SEED, "k")
+    d_w = draw_sql("ccw", _ACC_SEED, "k")
+    return f"""
+WITH {UEDGES_CTE},
+deg AS (SELECT src AS node, count(*) AS d FROM uedges GROUP BY src),
+elig AS (
+  SELECT node, d, row_number() OVER (ORDER BY node) - 1 AS idx
+  FROM deg WHERE d >= 2
+),
+kk AS (SELECT count(*) AS c FROM elig),
+nbr AS (
+  SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rn
+  FROM uedges
+),
+tr AS (
+  SELECT k, {d_node} % (SELECT c FROM kk) AS ridx
+  FROM range({_ACC_TRIALS}) t(k)
+),
+tv AS (
+  SELECT tr.k, e.node AS v, e.d,
+         {d_u} % e.d AS i0,
+         {d_w} % (e.d - 1) AS j0
+  FROM tr JOIN elig e ON e.idx = tr.ridx
+),
+ij AS (
+  SELECT k, v, i0 AS i,
+         j0 + CASE WHEN j0 >= i0 THEN 1 ELSE 0 END AS j
+  FROM tv
+),
+uw AS (
+  SELECT ij.k, nu.dst AS u, nw.dst AS w
+  FROM ij
+  JOIN nbr nu ON nu.src = ij.v AND nu.rn = ij.i
+  JOIN nbr nw ON nw.src = ij.v AND nw.rn = ij.j
+)
+SELECT round(
+  sum(CASE WHEN e.src IS NOT NULL THEN 1.0 ELSE 0.0 END) / {_ACC_TRIALS}, 7
+) AS acc
+FROM uw LEFT JOIN uedges e ON e.src = uw.u AND e.dst = uw.w
+"""
+
+
+@register("approx_avg_local_cc", _acc_oracle_sql())
+def q_approx_avg_local_cc(spark, sf_dir):
+    from networkit_spark.operators.triangles import approx_avg_local_clustering
+
+    ue = doc_edges_undirected(spark, sf_dir)
+    est = approx_avg_local_clustering(ue, _ACC_TRIALS, seed=_ACC_SEED)
+    return spark.range(1).select(F.round(F.lit(est), 7).alias("acc"))

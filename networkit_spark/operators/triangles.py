@@ -269,3 +269,82 @@ def chiba_nishizeki_triangle_score(und_edges: DataFrame) -> DataFrame:
     the degree-oriented wedge join — so this IS ``triangle_edge_score``
     (equality asserted in tests/test_round4d.py)."""
     return triangle_edge_score(und_edges)
+
+
+def approx_avg_local_clustering(
+    und_edges: DataFrame, trials: int, seed: int = 42
+) -> float:
+    """Schank-Wagner sampled average local clustering coefficient
+    (``ClusteringCoefficient::approxAvgLocal``, global/
+    ClusteringCoefficient.cpp:130-162): sample a node v uniformly among
+    deg>=2 nodes, two distinct random neighbors of v, count the closure.
+    The reference's Mersenne retry loops are replaced by equivalent
+    deterministic portable-md5 draws (same distribution: uniform deg>=2
+    node via rank index, uniform distinct ordered neighbor pair via the
+    i / j0+(j0>=i) construction) — a pure function of (seed, trial), so
+    the DuckDB oracle replays the exact estimate.
+
+    Scale shape: trials-row probe table hash-joined against the
+    rank-indexed eligible-node table and the per-node neighbor-rank
+    table; no driver loop, no retry rounds.
+    """
+    from networkit_spark.operators.sampling import _draw
+    from networkit_spark.plans.ids import dense_ids
+    from pyspark.sql import Window
+
+    spark = und_edges.sparkSession
+    deg = und_edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("d")
+    )
+    elig = deg.filter(F.col("d") >= 2)
+    k_elig = elig.count()
+    if k_elig == 0:
+        return 0.0
+    idx = dense_ids(elig.select("node"), "node", id_col="idx")
+    elig = elig.join(idx, "node")
+    t = spark.range(trials).select(F.col("id").alias("k"))
+    t = t.withColumn("ridx", _draw("cc", seed, F.col("k")) % k_elig)
+    tv = t.join(elig, t["ridx"] == elig["idx"]).select("k", "node", "d")
+    tv = tv.withColumn("i", _draw("ccu", seed, F.col("k")) % F.col("d"))
+    tv = tv.withColumn("j0", _draw("ccw", seed, F.col("k")) % (F.col("d") - 1))
+    tv = tv.select(
+        "k",
+        "node",
+        "i",
+        (F.col("j0") + F.when(F.col("j0") >= F.col("i"), 1).otherwise(0)).alias("j"),
+    )
+    w = Window.partitionBy("src").orderBy("dst")
+    nbr = und_edges.select(
+        "src", "dst", (F.row_number().over(w) - 1).alias("rn")
+    )
+    uw = (
+        tv.join(
+            nbr.select(F.col("src").alias("node"), F.col("dst").alias("u"),
+                       F.col("rn").alias("i")),
+            ["node", "i"],
+        )
+        .join(
+            nbr.select(F.col("src").alias("node"), F.col("dst").alias("w"),
+                       F.col("rn").alias("j")),
+            ["node", "j"],
+        )
+    )
+    closed = uw.join(
+        und_edges.select(F.col("src").alias("u"), F.col("dst").alias("w")),
+        ["u", "w"],
+        "left_semi",
+    ).count()
+    return closed / trials
+
+
+def clustering(und_edges: DataFrame, error: float = 0.01, seed: int = 42) -> float:
+    """``networkit.globals.clustering`` (globals.pyx:107): exact average
+    local clustering below 100 nodes, else the Schank-Wagner estimate with
+    ceil(ln(10)/error^2) samples (fixed 90% confidence)."""
+    import math
+
+    n = und_edges.select("src").distinct().count()
+    if n < 100:
+        return avg_local_clustering_coefficient(und_edges)
+    trials = math.ceil(math.log(10) / (error**2))
+    return approx_avg_local_clustering(und_edges, trials, seed=seed)

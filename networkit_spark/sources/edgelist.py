@@ -694,3 +694,49 @@ def read_lines(spark: SparkSession, path: str) -> DataFrame:
         .select(F.regexp_replace(F.col("value"), "\n$", "").alias("value"))
         .select(F.posexplode(F.split(F.col("value"), "\n")).alias("line_no", "line"))
     )
+
+
+def read_graphs(
+    spark,
+    dir_path: str,
+    pattern: str,
+    reader=None,
+    some: int | None = None,
+    exclude: str | None = None,
+    **kwargs,
+) -> dict:
+    """``readGraphs`` (graphio.pyx:1347): read every graph file in
+    ``dir_path`` whose name matches the Unix-style ``pattern`` (minus
+    those matching ``exclude``), at most ``some`` of them, into a dict
+    of filename -> whatever the reader returns (for this module's
+    readers: a (nodes, edges) DataFrame pair). ``reader`` is any of this module's
+    read functions (default: dispatch per file via :func:`guess_format`);
+    extra kwargs are forwarded to the reader. The frames stay lazy —
+    nothing is scanned until a query runs."""
+    import fnmatch
+    import os
+
+    out: dict = {}
+    for name in sorted(os.listdir(dir_path)):
+        if not fnmatch.fnmatch(name, pattern):
+            continue
+        if exclude is not None and fnmatch.fnmatch(name, exclude):
+            continue
+        path = os.path.join(dir_path, name)
+        if reader is None:
+            fmt = guess_format(path)
+            fn = {
+                "edgelist-tab-zero": read_edge_list,
+                "snap": read_snap,
+                "konect": read_konect,
+                "metis": read_metis,
+                "rb": read_rb,
+            }.get(fmt)
+            if fn is None:
+                raise ValueError(f"no reader for guessed format {fmt!r}: {path}")
+        else:
+            fn = reader
+        out[name] = fn(spark, path, **kwargs)
+        if some is not None and len(out) >= some:
+            break
+    return out

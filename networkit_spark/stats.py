@@ -69,3 +69,25 @@ def relative_rank_errors(
         "node",
         ((F.col("_rx") + 1) / (F.col("_ry") + 1)).cast("double").alias("error"),
     )
+
+
+def rank_attribute(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    reverse: bool = False,
+) -> DataFrame:
+    """``getRankAttribute`` (sparsification.pyx:972): (id, rank) with
+    rank = 0-based position under value-ascending order (descending when
+    ``reverse``); ties broken by id — the distributed analog of the
+    reference's stable sort by original index. Uses the range-sort rank,
+    no global window."""
+    v = F.col(value_col)
+    key = F.struct(
+        (-v if reverse else v).alias("v"), F.col(id_col).alias("i")
+    )
+    rows = df.select(F.col(id_col).alias("_id"), key.alias("_key"))
+    ranked = global_min_rank(rows, "_key", rank_col="_rk")
+    return ranked.select(
+        F.col("_id").alias(id_col), (F.col("_rk") - 1).cast("long").alias("rank")
+    )

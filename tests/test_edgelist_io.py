@@ -260,3 +260,18 @@ def test_read_rb_symmetric_pattern(spark, tmp_path):
         (0, 1, 1.0), (0, 2, 1.0),
     }
     assert got == want
+
+
+def test_read_graphs_directory(spark, tmp_path):
+    from networkit_spark.sources.edgelist import read_graphs
+
+    (tmp_path / "a.txt").write_text("# snap\n0\t1\n1\t2\n")
+    (tmp_path / "b.txt").write_text("# snap\n0\t1\n")
+    (tmp_path / "skip.csv").write_text("x\n")
+    got = read_graphs(spark, str(tmp_path), "*.txt")
+    assert sorted(got) == ["a.txt", "b.txt"]
+    assert got["a.txt"][1].count() == 2
+    only_one = read_graphs(spark, str(tmp_path), "*.txt", some=1)
+    assert list(only_one) == ["a.txt"]
+    excl = read_graphs(spark, str(tmp_path), "*.txt", exclude="b*")
+    assert sorted(excl) == ["a.txt"]

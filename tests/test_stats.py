@@ -77,3 +77,16 @@ def test_relative_rank_errors_mismatch_empty(spark):
     dx = spark.createDataFrame([(0, 1.0)], "node long, score double")
     dy = spark.createDataFrame([(0, 1.0), (1, 2.0)], "node long, score double")
     assert relative_rank_errors(dx, dy).count() == 0
+
+
+def test_rank_attribute(spark):
+    # sparsification.pyx docstring example: [0.1, 0.05, 0.9, 0.2] -> [1,0,3,2]
+    df = spark.createDataFrame(
+        [(0, 0.1), (1, 0.05), (2, 0.9), (3, 0.2)], "id long, v double"
+    )
+    from networkit_spark.stats import rank_attribute
+
+    got = {r["id"]: r["rank"] for r in rank_attribute(df, "id", "v").collect()}
+    assert got == {0: 1, 1: 0, 2: 3, 3: 2}
+    rev = {r["id"]: r["rank"] for r in rank_attribute(df, "id", "v", reverse=True).collect()}
+    assert rev == {0: 2, 1: 3, 2: 0, 3: 1}
