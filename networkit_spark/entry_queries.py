@@ -262,6 +262,7 @@ PRIORITY = [
     # (positions 51+ below in case the gate window widens)
     "events_sessions", "events_tumbling_1h", "ivf_topk", "near_dup_clusters",
     "subgraph_nodes_lt100", "compact_subgraph_ids", "scc_labels",
+    "inspect_communities_mod10", "degree_gini", "approx_avg_local_cc",
 ]
 
 

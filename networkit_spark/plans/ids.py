@@ -118,3 +118,23 @@ def global_min_rank(
         .withColumn(rank_col, (F.col("_off") + F.col("_rk")).cast("long"))
         .select(*out_cols, rank_col)
     )
+
+
+def random_dense_ids(
+    keys: DataFrame, key_col: str, seed: int = 42, id_col: str = "id"
+) -> DataFrame:
+    """``GraphTools::getRandomContinuousNodeIds`` (graphtools.pyx:590):
+    dense [0, n) ids assigned in seeded-random order — the same
+    range-sort + offset plan as :func:`dense_ids`, ranked by the portable
+    md5 draw of the key (draw ties broken by the key itself), so the
+    permutation is deterministic under any partitioning."""
+    from networkit_spark.operators.sampling import _draw
+
+    keyed = keys.select(key_col).distinct().select(
+        F.struct(
+            _draw("perm", seed, F.col(key_col)).alias("d"),
+            F.col(key_col).alias("k"),
+        ).alias("_pk")
+    )
+    ranked = dense_ids(keyed, "_pk", id_col=id_col, distinct=False)
+    return ranked.select(id_col, F.col("_pk.k").alias(key_col))

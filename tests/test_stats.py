@@ -90,3 +90,17 @@ def test_rank_attribute(spark):
     assert got == {0: 1, 1: 0, 2: 3, 3: 2}
     rev = {r["id"]: r["rank"] for r in rank_attribute(df, "id", "v", reverse=True).collect()}
     assert rev == {0: 2, 1: 3, 2: 0, 3: 1}
+
+
+def test_random_dense_ids_permutation(spark):
+    from networkit_spark.plans.ids import random_dense_ids
+
+    nodes = spark.createDataFrame([(n,) for n in range(50)], "node long")
+    a = random_dense_ids(nodes, "node", seed=5)
+    rows = {r["node"]: r["id"] for r in a.collect()}
+    assert sorted(rows.values()) == list(range(50))      # bijection onto [0, n)
+    b = {r["node"]: r["id"] for r in random_dense_ids(nodes, "node", seed=5).collect()}
+    assert rows == b                                     # deterministic
+    c = {r["node"]: r["id"] for r in random_dense_ids(nodes, "node", seed=6).collect()}
+    assert rows != c                                     # seed changes the permutation
+    assert rows != {n: n for n in range(50)}             # actually shuffled
