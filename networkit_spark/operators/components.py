@@ -215,11 +215,16 @@ class ConnectedComponents:
                     F.col("label").alias("prev"),
                 )
             )
-            new = new.localCheckpoint(eager=True)
+            # lazy checkpoint: the changed-count action below materializes it
+            # (one job instead of eager-checkpoint + count); _checkpointed
+            # tells the runner not to re-materialize the state a second time
+            new = new.localCheckpoint(eager=False)
             changed_df = new.filter(F.col("label") != F.col("prev")).select("node")
             changed = changed_df.count()
             frontier["df"] = changed_df if changed else None
-            return new.select("node", "label"), {"changed": changed, "edges_processed": m}
+            return new.select("node", "label"), {
+                "changed": changed, "edges_processed": m, "_checkpointed": True,
+            }
 
         res = runner.run(
             init,

@@ -242,7 +242,11 @@ class PageRank:
                 # pure throughput mode (bench/scaling): no convergence probe,
                 # maxIterations governs — saves one scalar agg per superstep
                 return new.select("node", "score"), info
-            new = new.localCheckpoint(eager=True)
+            # lazy checkpoint: the delta agg below is the action that
+            # materializes it — one job per superstep instead of
+            # eager-checkpoint + agg; _checkpointed stops the runner from
+            # copying the state a second time
+            new = new.localCheckpoint(eager=False)
             delta_expr = (
                 F.sqrt(F.sum(F.pow(F.col("score") - F.col("prev"), 2)))
                 if self.norm == "l2"
@@ -260,6 +264,7 @@ class PageRank:
             else:
                 delta = new.agg(delta_expr).first()[0]
             info["delta"] = float(delta or 0.0)
+            info["_checkpointed"] = True
             return new.select("node", "score"), info
 
         res = runner.run(

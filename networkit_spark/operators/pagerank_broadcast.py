@@ -105,7 +105,10 @@ class PageRankBroadcast:
                     # runner's checkpoint isn't enough here: the broadcast-
                     # hinted plan leaks lineage through localCheckpoint
                     # (growth appears after ~20 iterations) — hard-truncate
-                    return truncate_lineage(new), {"edges_processed": m}
+                    # (_checkpointed: truncate_lineage already materialized)
+                    return truncate_lineage(new), {
+                        "edges_processed": m, "_checkpointed": True,
+                    }
                 joined = truncate_lineage(
                     new.withColumnRenamed("score", "snew").join(state, "node")
                 )
@@ -114,7 +117,8 @@ class PageRankBroadcast:
                 ).first()[0]
                 return (
                     joined.select("node", F.col("snew").alias("score")),
-                    {"edges_processed": m, "delta": float(delta or 0.0)},
+                    {"edges_processed": m, "delta": float(delta or 0.0),
+                     "_checkpointed": True},
                 )
 
             res = runner.run(

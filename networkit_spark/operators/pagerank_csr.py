@@ -123,13 +123,16 @@ class PageRankCSR:
                 )
                 if self.tol <= 0:
                     return new.select("node", "score"), {"edges_processed": m}
-                new = new.localCheckpoint(eager=True)
+                # lazy checkpoint materialized by the delta agg (one job);
+                # _checkpointed skips the runner's redundant state copy
+                new = new.localCheckpoint(eager=False)
                 delta = new.agg(
                     F.sqrt(F.sum(F.pow(F.col("score") - F.col("prev"), 2)))
                 ).first()[0]
                 return new.select("node", "score"), {
                     "edges_processed": m,
                     "delta": float(delta or 0.0),
+                    "_checkpointed": True,
                 }
 
             res = runner.run(

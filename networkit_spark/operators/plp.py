@@ -144,12 +144,16 @@ class PLP:
                     F.coalesce(F.col("nlabel"), F.col("label")).alias("label"),
                     F.col("label").alias("prev"),
                 )
-                .localCheckpoint(eager=True)
+                # lazy: the changed-count action materializes the checkpoint
+                # (one job); _checkpointed skips the runner's re-copy
+                .localCheckpoint(eager=False)
             )
             changed_df = new.filter(F.col("label") != F.col("prev")).select("node")
             changed = changed_df.count()
             frontier["df"] = changed_df if changed else None
-            return new.select("node", "label"), {"changed": changed, "edges_processed": m}
+            return new.select("node", "label"), {
+                "changed": changed, "edges_processed": m, "_checkpointed": True,
+            }
 
         res = runner.run(
             init,

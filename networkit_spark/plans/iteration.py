@@ -205,12 +205,20 @@ class SuperstepRunner:
         while i < max_iterations:
             t0 = time.monotonic()
             state_next, info = step_fn(state, i)
+            # step functions that must materialize state themselves (e.g. to
+            # fold the convergence agg / changed-count into the same action)
+            # signal it with info["_checkpointed"]=True — the runner then
+            # skips its own checkpoint, avoiding a REDUNDANT second
+            # materialization + block-store copy of the full state per
+            # superstep (state is O(n) rows: at web scale that copy is the
+            # single largest avoidable per-superstep cost).
+            already_ckpt = bool(info.pop("_checkpointed", False))
             durable = (self.state_dir or self.catalog is not None) and (
                 (i + 1) % self.checkpoint_every == 0 or i + 1 == max_iterations
             )
             if durable:
                 state_next = self._commit(state_next, i)
-            elif self.use_local_checkpoint:
+            elif self.use_local_checkpoint and not already_ckpt:
                 state_next = state_next.localCheckpoint(eager=True)
             wall = time.monotonic() - t0
             rec = {
