@@ -261,14 +261,19 @@ RESULT: dict = {
 _EMITTED = False
 
 
-def write_full_and_print_compact(result: dict) -> None:
-    """Write the verbose record to BENCH/bench_full.json and print ONE compact
-    JSON line (<2KB) LAST — the driver's tail capture truncated the round-1/2
-    giant single line (BENCH_r02.json: parsed null)."""
+def write_full_and_print_compact(result: dict, final: bool = True) -> None:
+    """Write the verbose record to BENCH/bench_full.json and print a compact
+    JSON line — the FINAL one printed last (the driver's tail capture is only
+    ~1.5KB and parses the last complete line; BENCH_r02.json went parsed-null
+    because one giant line outgrew the capture). Intermediate calls
+    (``final=False``) emit the same-schema line after each stage so a hard
+    kill mid-stage still leaves a parseable record in the tail; later lines
+    simply evict earlier ones from the capture window."""
     global _EMITTED
     if _EMITTED:
         return
-    _EMITTED = True
+    if final:
+        _EMITTED = True
     bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
     try:
         os.makedirs(bench_dir, exist_ok=True)
@@ -315,7 +320,21 @@ def write_full_and_print_compact(result: dict) -> None:
     if result.get("partial"):
         compact["partial"] = result["partial"]
     compact["full_record"] = "BENCH/bench_full.json"
-    print(json.dumps(compact), flush=True)
+    # Hard size cap: the driver keeps only the last ~1.5KB of output, and a
+    # line cut from the left is unparseable (the r02 failure mode). Shed the
+    # least-load-bearing keys until the line fits with margin.
+    line = json.dumps(compact)
+    for victim in ("partial", "pagerank_csr_kernel", "triangles", "plp",
+                   "connected_components"):
+        if len(line) <= 1300:
+            break
+        compact.pop(victim, None)
+        line = json.dumps(compact)
+    if len(line) > 1300 and "scaling" in compact:
+        compact["scaling"].pop("pair_efficiencies_median_superstep", None)
+        compact["scaling"].pop("secondary_same_box_pair", None)
+        line = json.dumps(compact)
+    print(line, flush=True)
 
 
 def _emergency_emit(signum, frame):
@@ -348,6 +367,7 @@ def main():
     queries["pagerank_conv_1e6"] = pr["wall_sec"]
     RESULT["pagerank"] = pr
     RESULT["value"] = pr["edges_per_sec_per_superstep"]
+    write_full_and_print_compact(RESULT, final=False)
 
     # -- secondary kernels at full parallelism ------------------------------
     from pyspark.sql import functions as F
@@ -414,6 +434,7 @@ def main():
     }
     RESULT["edges"] = m
     spark.stop()
+    write_full_and_print_compact(RESULT, final=False)
 
     # -- scaling evidence: N vs 4N cores, fixed supersteps ------------------
     # Same input + same job at two parallelism levels (local[N] pinned to N
@@ -449,19 +470,22 @@ def main():
     max_trials = int(os.environ.get("SPARK_GRAFT_SCALE_MAX_TRIALS", "3"))
     # pre-materialize the shared input once (tmpfs parquet) so worker wall
     # time is dominated by the measured supersteps, maximizing the number of
-    # noise-window samples per unit of bench time
-    pre = subprocess.run(
-        [sys.executable, "-c",
-         "import sys; sys.path.insert(0, %r); import bench; "
-         "from networkit_spark.session import get_spark; "
-         "s = get_spark(cores=%d, shuffle_partitions=%d, app_name='gen'); "
-         "bench.bench_graph_cached(s, %d).count(); s.stop()"
-         % (os.path.dirname(os.path.abspath(__file__)), CPUS, CPUS, scale_pages)],
-        capture_output=True, text=True,
-        timeout=max(120.0, min(1200.0, remaining() - 600.0)),
-    )
-    if pre.returncode != 0:
-        print(pre.stderr[-1000:], file=sys.stderr)
+    # noise-window samples per unit of bench time. In-process and NON-FATAL
+    # (the round-4/08-20 post-mortem: a 120s-subprocess-timeout here raised
+    # uncaught and killed the whole bench before the scaling stage; if the
+    # cache can't be built the workers just generate the graph themselves).
+    try:
+        if remaining() > 240.0 and not os.path.exists(
+            os.path.join(f"/dev/shm/bench_graph_{scale_pages}", "_SUCCESS")
+        ):
+            gs = get_spark(cores=CPUS, shuffle_partitions=CPUS, app_name="gen",
+                           extra_conf=ITER_CACHE_CONF)
+            bench_graph_cached(gs, scale_pages).count()
+            gs.stop()
+    except Exception as e:  # noqa: BLE001 — cache miss only costs worker time
+        RESULT.setdefault("partial", []).append(
+            f"pregen_failed: {type(e).__name__}: {str(e)[:100]}"
+        )
     # Decoupled per-level retry loops (round-4 post-mortem of the 0.202
     # secondary record: retries were structured as full PAIRS, so one noisy
     # 2-core lo worker — the expensive side, 5-9 min under host noise —
@@ -536,6 +560,40 @@ def main():
                 e_med = hi_r["edges_per_sec_per_superstep"] / (
                     4.0 * lo_r["edges_per_sec_per_superstep"])
                 pairs.append((e_med, lo_r, hi_r))
+    if not pairs:
+        write_full_and_print_compact(RESULT)
+        return
+    RESULT["scaling"] = scaling = {
+        "cores_lo": lo_cores,
+        "cores_hi": hi_cores,
+        "pages": scale_pages,
+        "edges": pairs[0][1]["edges"],
+        "throughput_lo": cap_lo,
+        "throughput_hi": cap_hi,
+        "scaling_efficiency": round(eff, 3),
+        "protocol": (
+            "taskset-pinned cores, ParallelGC; IDENTICAL job at both levels — "
+            "shuffle partitions sized by data (~2M edges/task), so N and 4N run "
+            "the same task DAG at different concurrency (the real-cluster "
+            "semantics of adding executors); capability = max over trials of "
+            "edges/min-superstep (host noise only ever slows a superstep); "
+            "efficiency = cap(4N)/(4*cap(N)); primary pair 2->8 pinned cores "
+            "keeps per-core memory bandwidth constant (executor-scaling "
+            "stand-in); secondary same-box pair below shares one memory "
+            "controller across all threads"
+        ),
+        "pair_efficiencies_median_superstep": [round(p[0], 3) for p in pairs],
+        "trials": {
+            lvl: [
+                {k: r[k] for k in ("superstep_walls", "min_superstep_sec",
+                                   "mean_superstep_sec", "runs") if k in r}
+                for r in runs_
+            ]
+            for lvl, runs_ in (("lo", lo_runs), ("hi", hi_runs))
+        },
+    }
+    write_full_and_print_compact(RESULT, final=False)
+
     # secondary same-box pair at (CPUS/4 -> CPUS): records the saturated-
     # box view (shared memory controller). Same capability protocol (max
     # over trials of edges/min-superstep; noise only ever slows a
@@ -578,38 +636,6 @@ def main():
             break
     if not sec_hi_runs:
         sec_cap_lo = sec_cap_hi = sec_eff = None
-    if not pairs:
-        write_full_and_print_compact(RESULT)
-        return
-    RESULT["scaling"] = scaling = {
-        "cores_lo": lo_cores,
-        "cores_hi": hi_cores,
-        "pages": scale_pages,
-        "edges": pairs[0][1]["edges"],
-        "throughput_lo": cap_lo,
-        "throughput_hi": cap_hi,
-        "scaling_efficiency": round(eff, 3),
-        "protocol": (
-            "taskset-pinned cores, ParallelGC; IDENTICAL job at both levels — "
-            "shuffle partitions sized by data (~2M edges/task), so N and 4N run "
-            "the same task DAG at different concurrency (the real-cluster "
-            "semantics of adding executors); capability = max over trials of "
-            "edges/min-superstep (host noise only ever slows a superstep); "
-            "efficiency = cap(4N)/(4*cap(N)); primary pair 2->8 pinned cores "
-            "keeps per-core memory bandwidth constant (executor-scaling "
-            "stand-in); secondary same-box pair below shares one memory "
-            "controller across all threads"
-        ),
-        "pair_efficiencies_median_superstep": [round(p[0], 3) for p in pairs],
-        "trials": {
-            lvl: [
-                {k: r[k] for k in ("superstep_walls", "min_superstep_sec",
-                                   "mean_superstep_sec", "runs") if k in r}
-                for r in runs_
-            ]
-            for lvl, runs_ in (("lo", lo_runs), ("hi", hi_runs))
-        },
-    }
     if sec_hi_runs:
         scaling["secondary_same_box_pair"] = {
             "cores_lo": sec_lo_cores,

@@ -1235,3 +1235,124 @@ def q_planarity_checks(spark, sf_dir):
         ("doc_msf", bool(is_planar(forest))),
     ]
     return spark.createDataFrame(rows, "graph string, planar boolean")
+
+
+# ---------------------------------------------------------------------------
+# KADABRA pilot phase (centrality/KadabraBetweenness.cpp) — oracle twin
+# ---------------------------------------------------------------------------
+
+_M31 = 2_147_483_647
+
+
+def _lcg_sql(col: str, salt: int, seed: int) -> str:
+    """SQL twin of approx_betweenness._lcg — portable uniform in
+    [0, 2^31-1). (col % M) * 1103515245 stays within int64."""
+    return (f"((({col}) % {_M31}) * 1103515245 + {salt * 12345 + seed})"
+            f" % {_M31}")
+
+
+def _kadabra_pilot_oracle_sql(samples: int, seed: int, rounds: int = 8) -> str:
+    """Full SQL replay of KADABRA's sampling engine for a FIXED pilot batch
+    (the tau phase of ``KadabraBetweenness.cpp:305-330`` before the
+    adaptive stopping rule takes over): the identical LCG pair draws
+    (``approx_betweenness.sample_pairs``), a level-synchronous forward
+    Brandes BFS with path counts from the sampled sources, and the
+    sigma-weighted backward walk that picks ONE uniformly-random shortest
+    path per pair (``_path_sample_walk`` — cumulative-sigma threshold with
+    the per-step LCG draw), unrolled level by level."""
+    parts = [
+        f"WITH {UEDGES_CTE}",
+        f""", dr AS (
+    SELECT i AS sid, {_lcg_sql('i', 1, seed)} % n AS u,
+           ({_lcg_sql('i', 1, seed)} % n + 1 + {_lcg_sql('i', 2, seed)} % (n - 1)) % n AS v
+    FROM range({samples}) t(i), nn)
+, srcs AS (SELECT DISTINCT u AS s FROM dr)
+, k0 AS (SELECT s AS source, s AS node, 0 AS dist, CAST(1.0 AS DOUBLE) AS sigma FROM srcs)""",
+    ]
+    for k in range(1, rounds + 1):
+        prev = f"k{k - 1}"
+        parts.append(
+            f""", k{k} AS MATERIALIZED (
+  SELECT source, node, dist, sigma FROM {prev}
+  UNION ALL
+  SELECT nw.source, nw.node, {k} AS dist, nw.sigma FROM (
+    SELECT p.source, e.dst AS node, sum(p.sigma) AS sigma
+    FROM uedges e JOIN {prev} p ON e.src = p.node AND p.dist = {k - 1}
+    GROUP BY p.source, e.dst
+  ) nw LEFT JOIN {prev} old ON old.source = nw.source AND old.node = nw.node
+  WHERE old.node IS NULL)"""
+        )
+    parts.append(
+        f""", sig AS (SELECT * FROM k{rounds})
+, kpreds AS (
+    SELECT a.source, a.node, e.src AS pred, b.sigma AS sigma_pred
+    FROM sig a JOIN uedges e ON e.dst = a.node
+    JOIN sig b ON b.source = a.source AND b.node = e.src AND b.dist = a.dist - 1)
+, w0 AS (
+    SELECT p.sid, p.u, p.v AS t
+    FROM dr p JOIN sig x ON x.source = p.u AND x.node = p.v
+    WHERE p.u <> p.v)"""
+    )
+    for k in range(1, rounds + 1):
+        prev = f"w{k - 1}"
+        parts.append(
+            f""", w{k} AS MATERIALIZED (
+  SELECT sid, u, pred AS t FROM (
+    SELECT sid, u, pred,
+           row_number() OVER (PARTITION BY sid ORDER BY pred) AS rk
+    FROM (
+      SELECT w.sid, w.u, p.pred,
+             sum(p.sigma_pred) OVER (PARTITION BY w.sid ORDER BY p.pred) AS cum,
+             sum(p.sigma_pred) OVER (PARTITION BY w.sid) AS tot,
+             CAST({_lcg_sql('w.sid * 31 + w.t', 3, seed)} AS DOUBLE)
+               / {_M31} AS ur
+      FROM {prev} w JOIN kpreds p ON p.source = w.u AND p.node = w.t
+      WHERE w.t <> w.u
+    ) WHERE cum > ur * tot
+  ) WHERE rk = 1)"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT sid, t AS node FROM w{k} WHERE t <> u" for k in range(1, rounds + 1)
+    )
+    parts.append(
+        f""", hits AS (SELECT node, count(*) AS h FROM ({union}) GROUP BY node)
+SELECT d.doc_id AS node,
+       round(coalesce(h.h, 0)::DOUBLE / {samples}, 6) AS score
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.node"""
+    )
+    return "\n".join(parts)
+
+
+@register("kadabra_pilot_tau64", _kadabra_pilot_oracle_sql(64, 11))
+def q_kadabra_pilot_tau64(spark, sf_dir):
+    """Oracle twin for the adaptive `kadabra_betweenness` query: the exact
+    sampling engine KADABRA iterates (LCG pair draws -> batched forward
+    Brandes BFS -> sigma-weighted uniform shortest-path walk,
+    ``KadabraBetweenness.cpp:330-380`` randomPath) run for one FIXED pilot
+    batch of tau=64 samples, scores = hits/tau.  The adaptive variant only
+    repeats this engine with a data-dependent stopping rule
+    (``checkConvergence:447-479``), which is what keeps it rows-only; this
+    twin pins the engine itself against a fully unrolled SQL replay
+    (draws + sigma BFS + cumulative-threshold walk), the same pattern
+    plm_fixed2 uses for PLM."""
+    from networkit_spark.operators.approx_betweenness import (
+        path_sample_hits,
+        sample_pairs,
+    )
+
+    n = _n_docs(spark, sf_dir)
+    e = doc_edges_undirected(spark, sf_dir).select("src", "dst")
+    nodes = nodes_range(spark, n)
+    nd = nodes.select(F.col("id").alias("idx"), F.col("id").alias("id"))
+    samples = sample_pairs(nd, n, 0, 64, seed=11)
+    hits = path_sample_hits(e, samples, seed=11)
+    return (
+        nodes.select(F.col("id").alias("node"))
+        .join(hits, "node", "left")
+        .select(
+            "node",
+            F.round(
+                F.coalesce(F.col("hits"), F.lit(0)).cast("double") / 64, 6
+            ).alias("score"),
+        )
+    )
