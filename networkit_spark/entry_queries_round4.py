@@ -1356,3 +1356,71 @@ def q_kadabra_pilot_tau64(spark, sf_dir):
             ).alias("score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# GCE fixed-round engine twin (scd/GCE.cpp greedy objective-M expansion)
+# ---------------------------------------------------------------------------
+
+
+def _gce_fixed_oracle_sql(rounds: int, sub: int = 60) -> str:
+    """Full SQL replay of the GCE greedy engine (``GCE.cpp:40-110``) for a
+    FIXED number of add-rounds from seed 0 on the <``sub``-node undirected
+    doc subgraph: per round, community stats (intw = internal weight, cut),
+    shell-node gains dQ = (intw + intDeg)/(cut - intDeg + extDeg) - intw/cut
+    (den <= 0 -> +inf, the reference's double-division absorb case), argmax
+    with min-id tiebreak, unrolled round by round. Rounds where no shell
+    node has dQ > 0 add nothing (stationary), matching the early break in
+    ``operators/scd.gce``."""
+    parts = [
+        f"WITH {UEDGES_CTE}",
+        f""", su AS (SELECT src, dst, weight FROM uedges
+             WHERE src < {sub} AND dst < {sub})
+, c1 AS (SELECT CAST(0 AS BIGINT) AS node)""",
+    ]
+    for k in range(1, rounds + 1):
+        c, nxt = f"c{k}", f"c{k + 1}"
+        parts.append(
+            f""", s{k} AS (
+    SELECT coalesce(sum(CASE WHEN d.node IS NOT NULL THEN e.weight END) / 2, 0) AS intw,
+           coalesce(sum(CASE WHEN d.node IS NULL THEN e.weight END), 0) AS cut
+    FROM su e JOIN {c} m ON e.src = m.node LEFT JOIN {c} d ON e.dst = d.node)
+, g{k} AS (
+    SELECT e.src AS cand,
+           sum(CASE WHEN d.node IS NOT NULL THEN e.weight END) AS intd,
+           coalesce(sum(CASE WHEN d.node IS NULL THEN e.weight END), 0) AS extd
+    FROM su e LEFT JOIN {c} m ON e.src = m.node LEFT JOIN {c} d ON e.dst = d.node
+    WHERE m.node IS NULL
+    GROUP BY e.src
+    HAVING sum(CASE WHEN d.node IS NOT NULL THEN e.weight END) > 0)
+, p{k} AS (
+    SELECT cand FROM g{k}, s{k}
+    WHERE cut > 0
+      AND (CASE WHEN cut - intd + extd > 0
+                THEN (intw + intd) / (cut - intd + extd) - intw / cut
+                ELSE 1e308 END) > 0
+    ORDER BY (CASE WHEN cut - intd + extd > 0
+                   THEN (intw + intd) / (cut - intd + extd) - intw / cut
+                   ELSE 1e308 END) DESC, cand ASC
+    LIMIT 1)
+, {nxt} AS (SELECT node FROM {c} UNION SELECT cand AS node FROM p{k})"""
+        )
+    parts.append(f"\nSELECT node FROM c{rounds + 1} ORDER BY node")
+    return "\n".join(parts)
+
+
+@register("gce_expand4_seed0", _gce_fixed_oracle_sql(4))
+def q_gce_expand4_seed0(spark, sf_dir):
+    """Oracle twin for the adaptive `gce_community_seed0` query: the exact
+    greedy engine GCE iterates (community stats -> shell dQ scan -> argmax
+    add with min-id ties, ``GCE.cpp:40-110``) run for a FIXED 4 add-rounds
+    from seed 0, against a fully unrolled SQL replay. The adaptive variant
+    only repeats this engine until no positive-dQ shell node remains, which
+    is what keeps it rows-only."""
+    from networkit_spark.operators.scd import gce
+
+    e = doc_edges_undirected(spark, sf_dir).filter(
+        (F.col("src") < 60) & (F.col("dst") < 60)
+    )
+    com = gce(e, {0}, max_additions=4)
+    return spark.createDataFrame([(int(v),) for v in sorted(com)], "node long")
