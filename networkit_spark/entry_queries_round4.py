@@ -1424,3 +1424,71 @@ def q_gce_expand4_seed0(spark, sf_dir):
     )
     com = gce(e, {0}, max_additions=4)
     return spark.createDataFrame([(int(v),) for v in sorted(com)], "node long")
+
+
+# ---------------------------------------------------------------------------
+# PivotMDS centered-matrix pilot twin (viz/PivotMDS.cpp:49-71)
+# ---------------------------------------------------------------------------
+
+
+def _pivot_centered_oracle_sql(k: int, seed: int, rounds: int = 10) -> str:
+    """SQL replay of everything PivotMDS computes before the (k x k,
+    driver-side) eigensolve: the seeded portable-md5 pivot draw
+    (``sampling._draw``), a multi-source BFS from the k pivots unrolled
+    level by level, and the double centering over the full node x pivot
+    grid with unreached entries as zeros."""
+    parts = [
+        f"WITH {UEDGES_CTE}",
+        f""", drw AS (
+    SELECT doc_id AS id,
+           ('0x' || substr(md5('pmds_pivot|{seed}|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS dr
+    FROM documents)
+, piv AS (
+    SELECT id AS s, ROW_NUMBER() OVER (ORDER BY dr, id) - 1 AS j
+    FROM drw ORDER BY dr, id LIMIT {k})
+, b0 AS (SELECT j, s AS node, 0 AS dist FROM piv)""",
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"b{r - 1}"
+        parts.append(
+            f""", b{r} AS MATERIALIZED (
+  SELECT j, node, dist FROM {prev}
+  UNION ALL
+  SELECT nw.j, nw.node, {r} AS dist FROM (
+    SELECT DISTINCT p.j, e.dst AS node
+    FROM uedges e JOIN {prev} p ON e.src = p.node AND p.dist = {r - 1}) nw
+  LEFT JOIN {prev} old ON old.j = nw.j AND old.node = nw.node
+  WHERE old.node IS NULL)"""
+        )
+    parts.append(
+        f""", dd AS (SELECT j, node, CAST(dist AS DOUBLE) AS v FROM b{rounds})
+, rm AS (SELECT node, sum(v) / {k} AS rm FROM dd GROUP BY node)
+, cmx AS (SELECT j, sum(v) AS sv FROM dd GROUP BY j)
+, cm AS (SELECT t.j, coalesce(c.sv, 0) / n AS cm
+         FROM range({k}) t(j) LEFT JOIN cmx c ON c.j = t.j, nn)
+, gr AS (SELECT (SELECT sum(rm) FROM rm) / (2.0 * n)
+              + (SELECT sum(cm) FROM cm) / (2.0 * {k}) AS grand FROM nn)
+SELECT g.node, g.j,
+       round(coalesce(dd.v, 0) - coalesce(rm.rm, 0) - g.cm + gr.grand, 6) AS c
+FROM (SELECT doc_id AS node, cm.j, cm.cm FROM documents CROSS JOIN cm) g
+LEFT JOIN dd ON dd.node = g.node AND dd.j = g.j
+LEFT JOIN rm ON rm.node = g.node
+CROSS JOIN gr"""
+    )
+    return "\n".join(parts)
+
+
+@register("pivot_mds_centered16", _pivot_centered_oracle_sql(16, 42))
+def q_pivot_mds_centered16(spark, sf_dir):
+    """Oracle twin for the rows-only `pivot_mds_coords` query: pins the
+    whole PivotMDS pipeline up to the k x k eigensolve — seeded pivot draw,
+    multi-source BFS hop distances, double centering with zero-filled
+    unreached entries (``viz/PivotMDS.cpp:49-71``) — against a fully
+    unrolled SQL replay. Only the (driver-side, 16 x 16, numpy) eigensolve
+    and the resulting coordinates stay rows-only."""
+    from networkit_spark.operators.layout import pivot_centered_matrix
+
+    e = doc_edges_undirected(spark, sf_dir).select("src", "dst")
+    n = _n_docs(spark, sf_dir)
+    C, _k = pivot_centered_matrix(e, nodes_range(spark, n), num_pivots=16, seed=42)
+    return C.select("node", "j", F.round("c", 6).alias("c"))

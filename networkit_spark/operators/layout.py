@@ -26,18 +26,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def pivot_mds(
+def pivot_centered_matrix(
     und_edges: DataFrame,
     nodes: DataFrame,
-    dim: int = 2,
     num_pivots: int = 16,
     seed: int = 42,
-) -> DataFrame:
-    """-> (node, x0 .. x{dim-1}) coordinates. ``und_edges``: symmetric
-    unweighted rows (hop distances, matching the reference's BFS on
-    unweighted graphs)."""
-    import numpy as np
-
+) -> tuple[DataFrame, int]:
+    """-> (C(node, j, c), k): the double-centered node x pivot hop-distance
+    matrix PivotMDS eigensolves (``viz/PivotMDS.cpp:49-71``) — seeded
+    portable-hash pivot draw, one multi-source BFS, centering over the full
+    grid with unreached entries as zeros. Factored out so the oracle twin
+    query can pin everything up to the (driver-side, k x k) eigensolve."""
     from networkit_spark.operators.distance import multi_source_bfs
     from networkit_spark.operators.sampling import _draw
 
@@ -97,6 +96,23 @@ def pivot_mds(
     )
     C.count()
     d.unpersist()
+    return C, k
+
+
+def pivot_mds(
+    und_edges: DataFrame,
+    nodes: DataFrame,
+    dim: int = 2,
+    num_pivots: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """-> (node, x0 .. x{dim-1}) coordinates. ``und_edges``: symmetric
+    unweighted rows (hop distances, matching the reference's BFS on
+    unweighted graphs)."""
+    import numpy as np
+
+    spark = und_edges.sparkSession
+    C, k = pivot_centered_matrix(und_edges, nodes, num_pivots, seed)
     # gram = C^T C (k x k), one self-join + agg
     gram_rows = (
         C.alias("a")
