@@ -1492,3 +1492,123 @@ def q_pivot_mds_centered16(spark, sf_dir):
     n = _n_docs(spark, sf_dir)
     C, _k = pivot_centered_matrix(e, nodes_range(spark, n), num_pivots=16, seed=42)
     return C.select("node", "j", F.round("c", 6).alias("c"))
+
+
+# ---------------------------------------------------------------------------
+# GroupClosenessLocalSearch one-swap engine twin
+# ---------------------------------------------------------------------------
+
+_GCLS_BIG = 1 << 40
+
+
+def _gcls_swap1_oracle_sql(group: list[int], rounds: int = 10) -> str:
+    """SQL replay of ONE exact-evaluation swap round of
+    ``GroupClosenessLocalSearch.cpp`` (the engine `group_closeness_local_
+    search` iterates): |S|-source BFS -> per-node (d1, owner, d2), shell
+    candidates, per-candidate BFS, exact new_far(v, u) = base(v) +
+    delta(v, u), best strictly-improving swap with (nf, v, u) min
+    tiebreak, group after the swap."""
+    g = ", ".join(f"({m})" for m in group)
+    big = _GCLS_BIG
+    parts = [
+        f"WITH {UEDGES_CTE}",
+        f""", grp AS (SELECT CAST(m AS BIGINT) AS m FROM (VALUES {g}) t(m))
+, s0 AS (SELECT m AS source, m AS node, 0 AS dist FROM grp)""",
+    ]
+    # BFS from the group members
+    for r in range(1, rounds + 1):
+        prev = f"s{r - 1}"
+        parts.append(
+            f""", s{r} AS MATERIALIZED (
+  SELECT source, node, dist FROM {prev}
+  UNION ALL
+  SELECT nw.source, nw.node, {r} AS dist FROM (
+    SELECT DISTINCT p.source, e.dst AS node
+    FROM uedges e JOIN {prev} p ON e.src = p.node AND p.dist = {r - 1}) nw
+  LEFT JOIN {prev} old ON old.source = nw.source AND old.node = nw.node
+  WHERE old.node IS NULL)"""
+        )
+    parts.append(
+        f""", ds AS (SELECT source, node, dist FROM s{rounds})
+, m1 AS (
+    SELECT node, dist AS d1, source AS owner FROM (
+      SELECT node, dist, source,
+             row_number() OVER (PARTITION BY node ORDER BY dist, source) AS rk
+      FROM ds) WHERE rk = 1)
+, st AS (
+    SELECT m1.node, m1.d1, m1.owner, coalesce(d2.d2, {big}) AS d2
+    FROM m1 LEFT JOIN (
+      SELECT ds.node, min(ds.dist) AS d2
+      FROM ds JOIN m1 ON m1.node = ds.node AND ds.source <> m1.owner
+      GROUP BY ds.node) d2 ON d2.node = m1.node)
+, farv AS (SELECT sum(d1) AS far FROM st)
+, shell AS (
+    SELECT DISTINCT e.dst AS v FROM uedges e
+    JOIN grp ON grp.m = e.src
+    WHERE e.dst NOT IN (SELECT m FROM grp))
+, v0 AS (SELECT v AS source, v AS node, 0 AS dist FROM shell)""",
+    )
+    # BFS from every shell candidate
+    for r in range(1, rounds + 1):
+        prev = f"v{r - 1}"
+        parts.append(
+            f""", v{r} AS MATERIALIZED (
+  SELECT source, node, dist FROM {prev}
+  UNION ALL
+  SELECT nw.source, nw.node, {r} AS dist FROM (
+    SELECT DISTINCT p.source, e.dst AS node
+    FROM uedges e JOIN {prev} p ON e.src = p.node AND p.dist = {r - 1}) nw
+  LEFT JOIN {prev} old ON old.source = nw.source AND old.node = nw.node
+  WHERE old.node IS NULL)"""
+        )
+    parts.append(
+        f""", dv AS (SELECT source AS v, node, dist AS dvx FROM v{rounds})
+, joined AS (
+    SELECT sh.v, st.owner,
+           least(st.d1, coalesce(dv.dvx, {big})) AS n1,
+           least(st.d2, coalesce(dv.dvx, {big})) AS n2
+    FROM st CROSS JOIN shell sh
+    LEFT JOIN dv ON dv.v = sh.v AND dv.node = st.node)
+, base AS (SELECT v, sum(n1) AS base FROM joined WHERE n1 < {big} GROUP BY v)
+, delta AS (
+    SELECT v, owner, sum(n2 - n1) AS delta FROM joined
+    WHERE n2 < {big} GROUP BY v, owner)
+, nf AS (
+    SELECT sh.v, grp.m AS u, base.base + coalesce(delta.delta, 0) AS nf
+    FROM shell sh CROSS JOIN grp
+    JOIN base ON base.v = sh.v
+    LEFT JOIN delta ON delta.v = sh.v AND delta.owner = grp.m)
+, best AS (
+    SELECT v, u, nf FROM nf, farv WHERE nf < farv.far
+    ORDER BY nf, v, u LIMIT 1)
+SELECT CAST(coalesce(b.u, -1) AS BIGINT) AS swap_u,
+       CAST(coalesce(b.v, -1) AS BIGINT) AS swap_v,
+       CAST(f.far AS BIGINT) AS far0
+FROM farv f LEFT JOIN best b ON TRUE"""
+    )
+    return "\n".join(parts)
+
+
+@register("gcls_swap1_012", _gcls_swap1_oracle_sql([0, 1, 2]))
+def q_gcls_swap1_012(spark, sf_dir):
+    """Oracle twin for the rows-only `group_closeness_local_search_k3`
+    query: ONE exact swap round of the identical engine (multi-source BFS
+    stats, shell scan, batched exact new_far evaluation, strict-improvement
+    argmin swap) from group {0,1,2}, against a fully unrolled SQL replay.
+    The adaptive variant only repeats this round until a 1-swap local
+    optimum, which is what keeps it rows-only."""
+    from networkit_spark.operators.group_centrality import (
+        group_closeness_local_search,
+    )
+
+    e = doc_edges_undirected(spark, sf_dir).select("src", "dst")
+    n = _n_docs(spark, sf_dir)
+    S0 = [0, 1, 2]
+    S1, far0 = group_closeness_local_search(
+        e, nodes_range(spark, n), S0, max_swaps=1, batch=256
+    )
+    swapped = [(u, v) for u, v in zip(S0, S1) if u != v]
+    u, v = swapped[0] if swapped else (-1, -1)
+    return spark.createDataFrame(
+        [(int(u), int(v), int(far0))], "swap_u long, swap_v long, far0 long"
+    )
