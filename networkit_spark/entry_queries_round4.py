@@ -1612,3 +1612,84 @@ def q_gcls_swap1_012(spark, sf_dir):
     return spark.createDataFrame(
         [(int(u), int(v), int(far0))], "swap_u long, swap_v long, far0 long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Articulation points: independent brute-force oracle for the biconnected
+# engine (components/BiconnectedComponents.cpp)
+# ---------------------------------------------------------------------------
+
+
+def _artic_oracle_sql(sub: int = 60, rounds: int = 8) -> str:
+    """INDEPENDENT brute-force oracle: v is an articulation point iff
+    removing v increases the connected-component count. Per candidate v,
+    min-label propagation with pointer jumping (l' = least(l, min neighbor
+    l, l[l])) over G\\v, all candidates in one unrolled recursion; base
+    count from the same machinery on G."""
+    parts = [
+        f"WITH {UEDGES_CTE}",
+        f""", su AS (SELECT src, dst FROM uedges WHERE src < {sub} AND dst < {sub})
+, vn AS (SELECT DISTINCT src AS node FROM su)
+, bl0 AS (SELECT node, node AS lab FROM vn)""",
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"bl{r - 1}"
+        parts.append(
+            f""", bl{r} AS MATERIALIZED (
+  SELECT a.node, least(a.lab, coalesce(nb.ml, a.lab), ll.lab) AS lab
+  FROM {prev} a
+  LEFT JOIN (SELECT e.dst AS node, min(p.lab) AS ml
+             FROM su e JOIN {prev} p ON p.node = e.src
+             GROUP BY e.dst) nb ON nb.node = a.node
+  JOIN {prev} ll ON ll.node = a.lab)"""
+        )
+    parts.append(
+        f""", basec AS (SELECT count(DISTINCT lab) AS c FROM bl{rounds})
+, l0 AS (SELECT c.node AS v, n.node, n.node AS lab
+         FROM vn c JOIN vn n ON n.node <> c.node)"""
+    )
+    for r in range(1, rounds + 1):
+        prev = f"l{r - 1}"
+        parts.append(
+            f""", l{r} AS MATERIALIZED (
+  SELECT a.v, a.node, least(a.lab, coalesce(nb.ml, a.lab), ll.lab) AS lab
+  FROM {prev} a
+  LEFT JOIN (SELECT p.v, e.dst AS node, min(p.lab) AS ml
+             FROM su e JOIN {prev} p ON p.node = e.src AND e.src <> p.v AND e.dst <> p.v
+             GROUP BY p.v, e.dst) nb ON nb.v = a.v AND nb.node = a.node
+  JOIN {prev} ll ON ll.v = a.v AND ll.node = a.lab)"""
+        )
+    parts.append(
+        f"""
+SELECT x.v AS node, (x.c > basec.c) AS is_articulation
+FROM (SELECT v, count(DISTINCT lab) AS c FROM l{rounds} GROUP BY v) x, basec
+ORDER BY node"""
+    )
+    return "\n".join(parts)
+
+
+@register("articulation_points_sub60", _artic_oracle_sql())
+def q_articulation_points_sub60(spark, sf_dir):
+    """Independent cross-check of the biconnected engine: articulation
+    points derived from the edge partition (a non-isolated node is a cut
+    vertex iff its incident edges span >= 2 biconnected components —
+    the block-tree theorem), verified against a brute-force remove-v
+    component-count SQL oracle that shares NO machinery with the engine."""
+    from networkit_spark.operators.biconnected import BiconnectedComponents
+
+    e = doc_edges_undirected(spark, sf_dir).filter(
+        (F.col("src") < 60) & (F.col("dst") < 60)
+    )
+    nodes = (
+        e.select(F.col("src").alias("id")).distinct()
+    )
+    res = BiconnectedComponents().run(e, nodes)
+    ep = res.get_edge_partition()
+    inc = ep.select(F.col("u").alias("node"), "label").union(
+        ep.select(F.col("v").alias("node"), "label")
+    )
+    return (
+        inc.groupBy("node")
+        .agg((F.count_distinct("label") >= 2).alias("is_articulation"))
+        .orderBy("node")
+    )
