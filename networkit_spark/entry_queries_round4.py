@@ -1693,3 +1693,169 @@ def q_articulation_points_sub60(spark, sf_dir):
         .agg((F.count_distinct("label") >= 2).alias("is_articulation"))
         .orderBy("node")
     )
+
+
+# ---------------------------------------------------------------------------
+# Push-relabel 2-superstep engine twin (flow/EdmondsKarp.cpp semantics via
+# Goldberg-Tarjan; operators/flow._push_relabel_multi)
+# ---------------------------------------------------------------------------
+
+
+def _push_relabel_oracle_sql(sub: int = 120, t: int = 119,
+                             bfs_rounds: int = 24, supersteps: int = 2) -> str:
+    """Full SQL replay of the synchronous push-relabel engine for a FIXED
+    number of supersteps from s=0: canonical pair state with net flow,
+    source-saturating preflow, one exact global relabel (dual-target
+    residual BFS, unrolled), then per superstep the admissible-arc scan,
+    the deterministic cumulative-excess push allocation (cumsum over v
+    asc), net-flow pair updates, excess deltas, and the min-neighbor+1
+    relabel lift. Unit-free integer capacities 1+(src+dst)%5 keep every
+    quantity exactly representable, so the value hash is stable."""
+    parts = [
+        f"WITH {EDGES_CTE}",
+        f""", arcs AS (
+    SELECT src, dst, 1.0 + (src + dst) % 5 AS capacity
+    FROM edges WHERE src < {sub} AND dst < {sub})
+, pp0 AS (
+    SELECT lo, hi, sum(cfw) AS cap_fw, sum(cbw) AS cap_bw FROM (
+      SELECT least(src, dst) AS lo, greatest(src, dst) AS hi,
+             CASE WHEN src < dst THEN capacity ELSE 0 END AS cfw,
+             CASE WHEN src > dst THEN capacity ELSE 0 END AS cbw
+      FROM arcs WHERE src <> dst)
+    GROUP BY lo, hi)
+, nd AS (SELECT DISTINCT node FROM
+         (SELECT lo AS node FROM pp0 UNION ALL SELECT hi FROM pp0))
+, nc AS (SELECT count(*) AS n FROM nd)
+, pf0 AS (
+    SELECT lo, hi, cap_fw, cap_bw,
+           CASE WHEN lo = 0 THEN cap_fw WHEN hi = 0 THEN -cap_bw
+                ELSE 0.0 END AS flow
+    FROM pp0)
+, ex0 AS (
+    SELECT node, -sum(o) AS ex FROM (
+      SELECT lo AS node, flow AS o FROM pf0
+      UNION ALL SELECT hi, -flow FROM pf0) GROUP BY node)
+, st0 AS (
+    SELECT nd.node, CAST(CASE WHEN nd.node = 0 THEN n ELSE 0 END AS BIGINT) AS h,
+           coalesce(ex0.ex, 0.0) AS ex
+    FROM nd LEFT JOIN ex0 ON ex0.node = nd.node, nc)
+, r0 AS (
+    SELECT u, v, res FROM (
+      SELECT lo AS u, hi AS v, cap_fw - flow AS res FROM pf0
+      UNION ALL SELECT hi, lo, cap_bw + flow FROM pf0)
+    WHERE res > 1e-12)
+, g0 AS (SELECT CAST({t} AS BIGINT) AS node, 0 AS src, 0 AS dist
+         UNION ALL SELECT 0, 1, 0)""",
+    ]
+    for d in range(1, bfs_rounds + 1):
+        prev = f"g{d - 1}"
+        parts.append(
+            f""", g{d} AS MATERIALIZED (
+  SELECT node, src, dist FROM {prev}
+  UNION ALL
+  SELECT nw.node, nw.src, {d} AS dist FROM (
+    SELECT DISTINCT r.u AS node, f.src
+    FROM r0 r JOIN {prev} f ON f.node = r.v AND f.dist = {d - 1}) nw
+  LEFT JOIN {prev} old ON old.node = nw.node AND old.src = nw.src
+  WHERE old.node IS NULL)"""
+        )
+    parts.append(
+        f""", d2 AS (SELECT node,
+           min(CASE WHEN src = 0 THEN dist END) AS dt,
+           min(CASE WHEN src = 1 THEN dist END) AS ds
+    FROM g{bfs_rounds} GROUP BY node)
+, ss0 AS (
+    SELECT s.node,
+           greatest(s.h, CASE WHEN s.node = 0 THEN n
+                              WHEN d2.dt IS NOT NULL THEN d2.dt
+                              WHEN d2.ds IS NOT NULL THEN n + d2.ds
+                              ELSE 2 * n END) AS h,
+           s.ex
+    FROM st0 s LEFT JOIN d2 ON d2.node = s.node, nc)"""
+    )
+    for i in range(1, supersteps + 1):
+        pp, st = f"pf{i - 1}", f"ss{i - 1}"
+        parts.append(
+            f""", r{i} AS (
+    SELECT u, v, res FROM (
+      SELECT lo AS u, hi AS v, cap_fw - flow AS res FROM {pp}
+      UNION ALL SELECT hi, lo, cap_bw + flow FROM {pp})
+    WHERE res > 1e-12)
+, act{i} AS (
+    SELECT node, h, ex FROM {st}, nc
+    WHERE ex > 1e-12 AND node <> 0 AND node <> {t} AND h < 2 * n)
+, psh{i} AS (
+    SELECT u, v, greatest(0, least(res, ex - (cum - res))) AS amt FROM (
+      SELECT a.node AS u, r.v, r.res AS res, a.ex AS ex,
+             sum(r.res) OVER (PARTITION BY a.node ORDER BY r.v) AS cum
+      FROM r{i} r
+      JOIN act{i} a ON a.node = r.u
+      JOIN {st} sv ON sv.node = r.v
+      WHERE a.h = sv.h + 1)
+    WHERE greatest(0, least(res, ex - (cum - res))) > 1e-12)
+, del{i} AS (
+    SELECT least(u, v) AS lo, greatest(u, v) AS hi,
+           sum(CASE WHEN u < v THEN amt ELSE -amt END) AS d
+    FROM psh{i} GROUP BY 1, 2)
+, pf{i} AS (
+    SELECT p.lo, p.hi, p.cap_fw, p.cap_bw,
+           p.flow + coalesce(d.d, 0.0) AS flow
+    FROM {pp} p LEFT JOIN del{i} d ON d.lo = p.lo AND d.hi = p.hi)
+, exd{i} AS (
+    SELECT node, sum(d) AS d FROM (
+      SELECT u AS node, -amt AS d FROM psh{i}
+      UNION ALL SELECT v, amt FROM psh{i}) GROUP BY node)
+, lift{i} AS (
+    SELECT a.node, min(sv.h) + 1 AS newh
+    FROM act{i} a
+    JOIN r{i} r ON r.u = a.node
+    JOIN {st} sv ON sv.node = r.v
+    WHERE a.node NOT IN (SELECT u FROM psh{i})
+    GROUP BY a.node)
+, ss{i} AS (
+    SELECT s.node,
+           least(greatest(coalesce(l.newh, s.h), s.h), 2 * n) AS h,
+           s.ex + coalesce(e.d, 0.0) AS ex
+    FROM {st} s
+    LEFT JOIN exd{i} e ON e.node = s.node
+    LEFT JOIN lift{i} l ON l.node = s.node, nc)"""
+        )
+    parts.append(
+        f"""
+SELECT lo, hi, CAST(flow AS BIGINT) AS flow FROM pf{supersteps} ORDER BY lo, hi"""
+    )
+    return "\n".join(parts)
+
+
+@register("push_relabel_2rounds_0_119", _push_relabel_oracle_sql())
+def q_push_relabel_2rounds(spark, sf_dir):
+    """Oracle twin for the rows-only `max_flow_value` query (and the
+    cut-clustering family built on the same engine): the exact synchronous
+    push-relabel superstep loop (`operators/flow._push_relabel_multi`) run
+    for a FIXED 2 supersteps — preflow, one exact global relabel,
+    deterministic cumulative push allocation, relabel lifts — with the
+    resulting per-pair net flows pinned against a fully unrolled SQL
+    replay. The adaptive variant only repeats this superstep until no
+    excess remains, which is what keeps it rows-only."""
+    from networkit_spark.operators.flow import _push_relabel_multi
+
+    e = (
+        doc_edges(spark, sf_dir)
+        .filter((F.col("src") < 120) & (F.col("dst") < 120))
+        .select(
+            "src", "dst",
+            (1.0 + (F.col("src") + F.col("dst")) % 5).alias("capacity"),
+        )
+        .coalesce(2)
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        res = _push_relabel_multi(e, [0], 119, max_rounds=2, relabel_every=8)
+        out = res.pairs_df.select(
+            "lo", "hi", F.col("flow").cast("long").alias("flow")
+        ).orderBy("lo", "hi")
+        out = out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return out
