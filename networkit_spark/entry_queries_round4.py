@@ -1859,3 +1859,102 @@ def q_push_relabel_2rounds(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return out
+
+
+# ---------------------------------------------------------------------------
+# TwoPhaseL phase-1 add-round engine twin (scd/TwoPhaseL.cpp:13-89)
+# ---------------------------------------------------------------------------
+
+
+def _tpl_add1_oracle_sql(seeds: list[int]) -> str:
+    """SQL replay of ONE phase-1 greedy add round of TwoPhaseL for a seed
+    batch: member int/ext degrees -> per-seed (W, C, B, size), the
+    boundary-size correction (members whose ONLY external neighbor is the
+    candidate), shell candidate L = Lin/Lex gains with the reference's
+    +-inf edge cases, and the per-seed argmax pick (ties -> smallest
+    node)."""
+    sv = ", ".join(f"({s})" for s in seeds)
+    inf = "CAST('infinity' AS DOUBLE)"
+    return f"""WITH {UEDGES_CTE}
+, mem AS (SELECT CAST(s AS BIGINT) AS seed, CAST(s AS BIGINT) AS node
+          FROM (VALUES {sv}) t(s))
+, wdeg AS (SELECT src AS node, sum(weight) AS wdeg FROM uedges GROUP BY src)
+, mcon AS (
+    SELECT m.seed, e.src AS node,
+           sum(CASE WHEN md.node IS NOT NULL THEN e.weight ELSE 0 END) AS intdeg,
+           sum(CASE WHEN md.node IS NULL THEN e.weight ELSE 0 END) AS extdeg
+    FROM uedges e
+    JOIN mem m ON m.node = e.src
+    LEFT JOIN mem md ON md.seed = m.seed AND md.node = e.dst
+    GROUP BY m.seed, e.src)
+, ps AS (
+    SELECT seed, sum(intdeg) / 2 AS W, sum(extdeg) AS C,
+           sum(CASE WHEN extdeg > 0 THEN 1 ELSE 0 END) AS B,
+           count(*) AS size
+    FROM mcon GROUP BY seed)
+, extp AS (
+    SELECT m.seed, e.src AS member, e.dst AS x
+    FROM uedges e JOIN mem m ON m.node = e.src
+    WHERE NOT EXISTS (SELECT 1 FROM mem md
+                      WHERE md.seed = m.seed AND md.node = e.dst))
+, unq AS (
+    SELECT seed, onlyx AS node, count(*) AS uniq_cnt FROM (
+      SELECT seed, member, count(DISTINCT x) AS k, max(x) AS onlyx
+      FROM extp GROUP BY seed, member)
+    WHERE k = 1 GROUP BY seed, onlyx)
+, sh AS (
+    SELECT s.seed, s.node, s.intdeg, w.wdeg - s.intdeg AS extdeg,
+           coalesce(u.uniq_cnt, 0) AS uniq_cnt
+    FROM (SELECT m.seed, e.dst AS node, sum(e.weight) AS intdeg
+          FROM uedges e JOIN mem m ON m.node = e.src
+          WHERE NOT EXISTS (SELECT 1 FROM mem md
+                            WHERE md.seed = m.seed AND md.node = e.dst)
+          GROUP BY m.seed, e.dst) s
+    JOIN wdeg w ON w.node = s.node
+    LEFT JOIN unq u ON u.seed = s.seed AND u.node = s.node)
+, cands AS (
+    SELECT seed, node, n_lin, cur_lin,
+           CASE WHEN n_lex > 0 THEN n_lin / n_lex
+                WHEN lex_den <= 0 THEN -{inf} ELSE {inf} END AS nl,
+           CASE WHEN cur_lex > 0 THEN cur_lin / cur_lex ELSE {inf} END AS cur_l
+    FROM (
+      SELECT sh.seed, sh.node,
+             2.0 * (ps.W + sh.intdeg) / (ps.size + 1) AS n_lin,
+             CAST(ps.B + (CASE WHEN sh.extdeg > 0 THEN 1 ELSE 0 END)
+                  - sh.uniq_cnt AS DOUBLE) AS lex_den,
+             (ps.C - sh.intdeg + sh.extdeg)
+               / CAST(ps.B + (CASE WHEN sh.extdeg > 0 THEN 1 ELSE 0 END)
+                      - sh.uniq_cnt AS DOUBLE) AS n_lex,
+             2.0 * ps.W / ps.size AS cur_lin,
+             CASE WHEN ps.B > 0 THEN ps.C / ps.B ELSE 0.0 END AS cur_lex
+      FROM sh JOIN ps ON ps.seed = sh.seed))
+SELECT seed, node AS first_add FROM (
+    SELECT seed, node,
+           row_number() OVER (PARTITION BY seed ORDER BY nl DESC, node ASC) AS rk
+    FROM cands WHERE n_lin > cur_lin AND nl > cur_l)
+WHERE rk = 1 ORDER BY seed"""
+
+
+@register("tpl_add1_hubs", _tpl_add1_oracle_sql([0, 1, 2, 3]))
+def q_tpl_add1_hubs(spark, sf_dir):
+    """Oracle twin for the rows-only `two_phase_l_hubs` query: ONE phase-1
+    greedy add round of the identical engine (`operators/scd.tpl_add_round`
+    — the exact code `two_phase_l` iterates), seeds {0,1,2,3}, against a
+    SQL replay of the L = Lin/Lex gain scan and argmax pick. Phase 2's
+    community-sized removal sweep and the data-dependent round count are
+    what keep the full query rows-only."""
+    from networkit_spark.operators.scd import tpl_add_round
+
+    e = doc_edges_undirected(spark, sf_dir).select("src", "dst", "weight")
+    wdeg_df = e.groupBy(F.col("src").alias("node")).agg(
+        F.sum("weight").alias("wdeg")
+    )
+    seeds = [0, 1, 2, 3]
+    members = spark.createDataFrame(
+        [(s, s) for s in seeds], "seed long, node long"
+    )
+    picks = tpl_add_round(e, wdeg_df, members, set(seeds))
+    return spark.createDataFrame(
+        sorted([(int(r["seed"]), int(r["node"])) for r in picks]),
+        "seed long, first_add long",
+    )

@@ -488,6 +488,96 @@ def scd_ground_truth_comparison(
     )
 
 
+def tpl_add_round(e, wdeg_df, members, active):
+    """One phase-1 greedy add round of TwoPhaseL (``TwoPhaseL.cpp:13-89``),
+    batched over seeds: shell gains, boundary-size correction, L = Lin/Lex
+    candidate filter, per-seed argmax pick (ties -> smallest node id).
+    Shared by :func:`two_phase_l` and the `tpl_add1_hubs` oracle-twin
+    query so the engine and its SQL replay cannot drift. Returns the
+    picked (seed, node) rows (empty when no seed can improve)."""
+    spark = e.sparkSession
+    mem_src = members.select("seed", F.col("node").alias("src"))
+    mem_dst = members.select("seed", F.col("node").alias("dst"))
+    # member contributions: intdeg/extdeg per member
+    mcontrib = (
+        e.join(mem_src, "src")
+        .join(mem_dst.withColumn("in_c", F.lit(1)), ["seed", "dst"], "left")
+        .groupBy("seed", F.col("src").alias("node"))
+        .agg(
+            F.sum(F.when(F.col("in_c").isNotNull(), F.col("weight")).otherwise(0.0)).alias("intdeg"),
+            F.sum(F.when(F.col("in_c").isNull(), F.col("weight")).otherwise(0.0)).alias("extdeg"),
+        )
+    )
+    per_seed = mcontrib.groupBy("seed").agg(
+        (F.sum("intdeg") / 2).alias("W"),
+        F.sum("extdeg").alias("C"),
+        F.sum(F.when(F.col("extdeg") > 0, 1).otherwise(0)).alias("B"),
+        F.count("*").alias("size"),
+    )
+    stats = {
+        r["seed"]: (r["W"], r["C"], int(r["B"]), int(r["size"]))
+        for r in per_seed.collect()
+    }
+    # members whose ONLY external neighbor is x -> uniq_cnt(seed, x)
+    ext_pairs = (
+        e.join(mem_src, "src")
+        .join(mem_dst, ["seed", "dst"], "left_anti")
+        .select("seed", F.col("src").alias("member"), F.col("dst").alias("x"))
+    )
+    uniq = (
+        ext_pairs.groupBy("seed", "member")
+        .agg(F.count_distinct("x").alias("k"), F.max("x").alias("only"))
+        .filter(F.col("k") == 1)
+        .groupBy("seed", F.col("only").alias("node"))
+        .agg(F.count("*").alias("uniq_cnt"))
+    )
+    # shell infos
+    shell = (
+        e.join(mem_src, "src")
+        .join(mem_dst, ["seed", "dst"], "left_anti")
+        .groupBy("seed", F.col("dst").alias("node"))
+        .agg(F.sum("weight").alias("intdeg"))
+        .join(wdeg_df, "node")
+        .select(
+            "seed", "node", "intdeg",
+            (F.col("wdeg") - F.col("intdeg")).alias("extdeg"),
+        )
+        .join(uniq, ["seed", "node"], "left")
+        .fillna({"uniq_cnt": 0})
+    )
+    sdf = spark.createDataFrame(
+        [(s, *stats[s]) for s in active if s in stats],
+        "seed long, W double, C double, B int, size int",
+    )
+    bc = (
+        F.when(F.col("extdeg") > 0, 1).otherwise(0) - F.col("uniq_cnt")
+    )
+    n_lin = 2.0 * (F.col("W") + F.col("intdeg")) / (F.col("size") + 1)
+    lex_den = (F.col("B") + bc).cast("double")
+    n_lex = (F.col("C") - F.col("intdeg") + F.col("extdeg")) / lex_den
+    cur_lin = 2.0 * F.col("W") / F.col("size")
+    cur_lex = F.when(F.col("B") > 0, F.col("C") / F.col("B")).otherwise(F.lit(0.0))
+    cur_l = F.when(cur_lex > 0, cur_lin / cur_lex).otherwise(F.lit(float("inf")))
+    n_l = F.when(n_lex > 0, n_lin / n_lex).otherwise(
+        F.when(lex_den <= 0, F.lit(float("-inf"))).otherwise(F.lit(float("inf")))
+    )
+    cands = (
+        shell.join(F.broadcast(sdf), "seed")
+        .filter((n_lin > cur_lin) & (n_l > cur_l))
+        .select("seed", "node", n_l.alias("nl"))
+    )
+    picks = (
+        cands.groupBy("seed")
+        .agg(
+            F.max_by(
+                "node", F.struct(F.col("nl"), (-F.col("node")).alias("nn"))
+            ).alias("node")
+        )
+        .collect()
+    )
+    return picks
+
+
 def two_phase_l(
     und_edges: DataFrame,
     seeds: list[int],
@@ -527,85 +617,7 @@ def two_phase_l(
     for _ in range(max_rounds):
         if not active:
             break
-        mem_src = members.select("seed", F.col("node").alias("src"))
-        mem_dst = members.select("seed", F.col("node").alias("dst"))
-        # member contributions: intdeg/extdeg per member
-        mcontrib = (
-            e.join(mem_src, "src")
-            .join(mem_dst.withColumn("in_c", F.lit(1)), ["seed", "dst"], "left")
-            .groupBy("seed", F.col("src").alias("node"))
-            .agg(
-                F.sum(F.when(F.col("in_c").isNotNull(), F.col("weight")).otherwise(0.0)).alias("intdeg"),
-                F.sum(F.when(F.col("in_c").isNull(), F.col("weight")).otherwise(0.0)).alias("extdeg"),
-            )
-        )
-        per_seed = mcontrib.groupBy("seed").agg(
-            (F.sum("intdeg") / 2).alias("W"),
-            F.sum("extdeg").alias("C"),
-            F.sum(F.when(F.col("extdeg") > 0, 1).otherwise(0)).alias("B"),
-            F.count("*").alias("size"),
-        )
-        stats = {
-            r["seed"]: (r["W"], r["C"], int(r["B"]), int(r["size"]))
-            for r in per_seed.collect()
-        }
-        # members whose ONLY external neighbor is x -> uniq_cnt(seed, x)
-        ext_pairs = (
-            e.join(mem_src, "src")
-            .join(mem_dst, ["seed", "dst"], "left_anti")
-            .select("seed", F.col("src").alias("member"), F.col("dst").alias("x"))
-        )
-        uniq = (
-            ext_pairs.groupBy("seed", "member")
-            .agg(F.count_distinct("x").alias("k"), F.max("x").alias("only"))
-            .filter(F.col("k") == 1)
-            .groupBy("seed", F.col("only").alias("node"))
-            .agg(F.count("*").alias("uniq_cnt"))
-        )
-        # shell infos
-        shell = (
-            e.join(mem_src, "src")
-            .join(mem_dst, ["seed", "dst"], "left_anti")
-            .groupBy("seed", F.col("dst").alias("node"))
-            .agg(F.sum("weight").alias("intdeg"))
-            .join(wdeg_df, "node")
-            .select(
-                "seed", "node", "intdeg",
-                (F.col("wdeg") - F.col("intdeg")).alias("extdeg"),
-            )
-            .join(uniq, ["seed", "node"], "left")
-            .fillna({"uniq_cnt": 0})
-        )
-        sdf = spark.createDataFrame(
-            [(s, *stats[s]) for s in active if s in stats],
-            "seed long, W double, C double, B int, size int",
-        )
-        bc = (
-            F.when(F.col("extdeg") > 0, 1).otherwise(0) - F.col("uniq_cnt")
-        )
-        n_lin = 2.0 * (F.col("W") + F.col("intdeg")) / (F.col("size") + 1)
-        lex_den = (F.col("B") + bc).cast("double")
-        n_lex = (F.col("C") - F.col("intdeg") + F.col("extdeg")) / lex_den
-        cur_lin = 2.0 * F.col("W") / F.col("size")
-        cur_lex = F.when(F.col("B") > 0, F.col("C") / F.col("B")).otherwise(F.lit(0.0))
-        cur_l = F.when(cur_lex > 0, cur_lin / cur_lex).otherwise(F.lit(float("inf")))
-        n_l = F.when(n_lex > 0, n_lin / n_lex).otherwise(
-            F.when(lex_den <= 0, F.lit(float("-inf"))).otherwise(F.lit(float("inf")))
-        )
-        cands = (
-            shell.join(F.broadcast(sdf), "seed")
-            .filter((n_lin > cur_lin) & (n_l > cur_l))
-            .select("seed", "node", n_l.alias("nl"))
-        )
-        picks = (
-            cands.groupBy("seed")
-            .agg(
-                F.max_by(
-                    "node", F.struct(F.col("nl"), (-F.col("node")).alias("nn"))
-                ).alias("node")
-            )
-            .collect()
-        )
+        picks = tpl_add_round(e, wdeg_df, members, active)
         if not picks:
             break
         picked = {r["seed"]: r["node"] for r in picks}
