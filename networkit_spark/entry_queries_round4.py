@@ -1958,3 +1958,45 @@ def q_tpl_add1_hubs(spark, sf_dir):
         sorted([(int(r["seed"]), int(r["node"])) for r in picks]),
         "seed long, first_add long",
     )
+
+
+@register(
+    "planarity_euler_bounds",
+    f"""WITH {UEDGES_CTE}
+, canon AS (
+    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+    FROM uedges WHERE src <> dst)
+, g AS (
+    SELECT 'doc_graph' AS graph,
+           (SELECT count(DISTINCT x) FROM
+             (SELECT a AS x FROM canon UNION ALL SELECT b FROM canon)) AS n,
+           (SELECT count(*) FROM canon) AS m
+    UNION ALL
+    SELECT 'doc_sub40',
+           (SELECT count(DISTINCT x) FROM
+             (SELECT a AS x FROM canon WHERE a < 40 AND b < 40
+              UNION ALL SELECT b FROM canon WHERE a < 40 AND b < 40)),
+           (SELECT count(*) FROM canon WHERE a < 40 AND b < 40))
+SELECT graph, CAST(n AS BIGINT) AS n, CAST(m AS BIGINT) AS m,
+       (n > 2 AND m > 3 * n - 6) AS euler_reject
+FROM g ORDER BY graph""",
+)
+def q_planarity_euler_bounds(spark, sf_dir):
+    """Oracle twin for the distributed half of the rows-only
+    `planarity_checks` query: the O(1)-aggregate Euler-bound pre-check
+    (``planarity/LeftRightPlanarityCheck.cpp`` via
+    `operators/planarity.euler_precheck`) on the doc graph and its <40-node
+    subgraph — exactly the path that rejects a 10^12-edge crawl graph
+    without collecting anything. Only the per-component LR conflict-pair
+    core (driver-side, Euler-bounded to O(n) rows) stays rows-only."""
+    from networkit_spark.operators.planarity import euler_precheck
+
+    full = doc_edges_undirected(spark, sf_dir)
+    sub = full.filter((F.col("src") < 40) & (F.col("dst") < 40))
+    rows = []
+    for name, g in (("doc_graph", full), ("doc_sub40", sub)):
+        n, m, rej = euler_precheck(g)
+        rows.append((name, n, m, rej))
+    return spark.createDataFrame(
+        sorted(rows), "graph string, n long, m long, euler_reject boolean"
+    )

@@ -221,6 +221,24 @@ def _lr_planar_component(adj: dict[int, list[int]]) -> bool:
     return dfs2(root)
 
 
+def euler_precheck(und_edges: DataFrame) -> tuple[int, int, bool]:
+    """(n, m, reject): the distributed O(1)-aggregate Euler-bound pre-check
+    ``m > 3n - 6`` shared by :func:`is_planar` — two aggregates over the
+    canonicalized simple edge set, no collect."""
+    e = und_edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    canon = e.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    m = canon.count()
+    n = (
+        canon.select(F.col("a").alias("n"))
+        .union(canon.select(F.col("b").alias("n")))
+        .distinct()
+        .count()
+    )
+    return n, m, bool(n > 2 and m > 3 * n - 6)
+
+
 def is_planar(und_edges: DataFrame, max_nodes: int = 200_000) -> bool:
     """LR planarity of the whole graph (``LeftRightPlanarityCheck.cpp``).
 
@@ -230,26 +248,19 @@ def is_planar(und_edges: DataFrame, max_nodes: int = 200_000) -> bool:
     (the conflict-pair stack machinery is inherently sequential — but the
     Euler bound caps the collected volume at O(n)).
     """
-    e = und_edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
-    canon = e.select(
-        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-    ).distinct().persist()
-    m = canon.count()
-    nodes = canon.select(F.col("a").alias("n")).union(
-        canon.select(F.col("b").alias("n"))
-    ).distinct()
-    n = nodes.count()
-    if n > 2 and m > 3 * n - 6:
-        canon.unpersist()
+    n, m, reject = euler_precheck(und_edges)
+    if reject:
         return False
     if n > max_nodes:
-        canon.unpersist()
         raise ValueError(
             f"is_planar collects the (Euler-bounded) edge list to the "
             f"driver; guarded at {max_nodes} nodes, got {n}"
         )
+    e = und_edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    canon = e.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
     rows = canon.collect()
-    canon.unpersist()
     adj: dict[int, list[int]] = {}
     for r in rows:
         adj.setdefault(r["a"], []).append(r["b"])
