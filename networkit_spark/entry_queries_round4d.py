@@ -718,3 +718,104 @@ def q_approx_avg_local_cc(spark, sf_dir):
     ue = doc_edges_undirected(spark, sf_dir)
     est = approx_avg_local_clustering(ue, _ACC_TRIALS, seed=_ACC_SEED)
     return spark.range(1).select(F.round(F.lit(est), 7).alias("acc"))
+
+
+# ---------------------------------------------------------------------------
+# Dinic max flow (flow/Dinic.cpp — level graph + blocking flow;
+# operators/dinic.py). Two gate lines: the rows-only full run (adaptive
+# phase count is not SQL-expressible) and an oracle-checked engine twin
+# pinning the phase-1 level-graph construction the phases iterate.
+# ---------------------------------------------------------------------------
+
+_DINIC_SUB = 80
+_DINIC_T = 79
+
+
+def _dinic_arcs(spark, sf_dir):
+    return (
+        doc_edges(spark, sf_dir)
+        .filter((F.col("src") < _DINIC_SUB) & (F.col("dst") < _DINIC_SUB))
+        .select(
+            "src", "dst",
+            (1.0 + (F.col("src") + F.col("dst")) % 5).alias("capacity"),
+        )
+        .coalesce(2)
+    )
+
+
+@register("dinic_max_flow_0_79")  # no SQL oracle: the phase loop is
+# adaptive (shortest-path length strictly increases until disconnection);
+# value/feasibility/min-cut pinned by tests/test_dinic.py vs networkx AND
+# vs the independent push-relabel kernel; the level-graph engine is
+# oracle-pinned by `dinic_level_graph_0_79` below
+def q_dinic_max_flow(spark, sf_dir):
+    """Dinic max s-t flow on the deterministic doc-subgraph (nodes < 80,
+    capacity = 1 + (src+dst) % 5, s=0, t=79): single row
+    (value, source_set_size, phases)."""
+    from networkit_spark.operators.dinic import dinic_max_flow
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        res = dinic_max_flow(_dinic_arcs(spark, sf_dir), s=0, t=_DINIC_T)
+        ss = res.source_set_df.count()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.createDataFrame(
+        [(float(res.value), int(ss), int(res.phases))],
+        "value double, source_set_size long, phases long",
+    )
+
+
+def _dinic_levels_oracle_sql(rounds: int = 12) -> str:
+    parts = [
+        f"WITH {EDGES_CTE}",
+        f", sub AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges"
+        f"  WHERE src < {_DINIC_SUB} AND dst < {_DINIC_SUB})",
+        # all capacities are >= 1 > tol, so the flow-0 residual graph the
+        # engine BFS walks is exactly the (deduped) directed arc set
+        f", d0 AS (SELECT CAST(0 AS BIGINT) AS node, 0 AS dist)",
+    ]
+    for k in range(1, rounds + 1):
+        prev = f"d{k - 1}"
+        seen = " UNION ALL ".join(f"SELECT node FROM d{j}" for j in range(k))
+        parts.append(
+            f", d{k} AS MATERIALIZED ("
+            f" SELECT e.dst AS node, {k} AS dist FROM sub e"
+            f" JOIN {prev} p ON e.src = p.node"
+            f" WHERE e.dst NOT IN ({seen}) GROUP BY e.dst)"
+        )
+    alld = " UNION ALL ".join(f"SELECT * FROM d{j}" for j in range(rounds + 1))
+    parts.append(
+        f", lv AS (SELECT node, dist FROM ({alld}))"
+        f" SELECT node, CAST(dist AS BIGINT) AS level FROM lv"
+        f" WHERE dist <= (SELECT dist FROM lv WHERE node = {_DINIC_T})"
+    )
+    return "\n".join(parts)
+
+
+@register("dinic_level_graph_0_79", _dinic_levels_oracle_sql())
+def q_dinic_level_graph(spark, sf_dir):
+    """Engine twin for `dinic_max_flow_0_79`: the phase-1 BFS level table
+    (node, level) the Dinic phases are built on — the engine's
+    `_residual` + `_bfs_levels` (target-layer truncated) on the same
+    subgraph, vs a fully unrolled min-dist BFS SQL replay truncated at
+    the target's distance."""
+    from networkit_spark.operators.dinic import (
+        RELATIVE_TOLERANCE, _bfs_levels, _residual,
+    )
+    from networkit_spark.operators.flow import _pairs_from_arcs
+
+    arcs = _dinic_arcs(spark, sf_dir)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        pairs = _pairs_from_arcs(arcs).withColumn("flow", F.lit(0.0))
+        tol = 5.0 * RELATIVE_TOLERANCE  # max capacity is 5.0
+        levels = _bfs_levels(
+            _residual(pairs, tol), 0, _DINIC_T, _DINIC_SUB + 2
+        ).select("node", F.col("level").cast("long").alias("level"))
+        levels = levels.localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return levels
