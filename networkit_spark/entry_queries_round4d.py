@@ -819,3 +819,104 @@ def q_dinic_level_graph(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return levels
+
+
+# ---------------------------------------------------------------------------
+# plot.py chart-series data producers (networkit/plot.py — the data side of
+# degreeDistribution / connectedComponentsSizes / coreDecompositionSequence /
+# clusteringPerDegree; hopPlot's series is the existing `hop_distribution`).
+# Rendering is presentation layer; the SERIES are distributed aggregates
+# (networkit_spark/plotdata.py) and each gets its own oracle line.
+# ---------------------------------------------------------------------------
+
+from networkit_spark.entry_queries_graph import (  # noqa: E402
+    CC_ITERS,
+    TRI_CTE,
+    _cc_oracle_sql,
+    _coreness_oracle_sql,
+    q_connected_components,
+)
+
+
+@register(
+    "degree_distribution",
+    f"""
+WITH {UEDGES_CTE},
+deg AS (SELECT d.doc_id AS node, coalesce(c.d, 0) AS degree
+        FROM documents d LEFT JOIN
+        (SELECT src, count(*) AS d FROM uedges GROUP BY src) c
+        ON d.doc_id = c.src),
+hist AS (SELECT degree, count(*) AS c FROM deg GROUP BY degree),
+grid AS (SELECT unnest(generate_series(0, (SELECT max(degree) FROM deg))) AS degree)
+SELECT g.degree, CAST(coalesce(h.c, 0) AS BIGINT) AS num_nodes
+FROM grid g LEFT JOIN hist h ON g.degree = h.degree
+""",
+)
+def q_degree_distribution(spark, sf_dir):
+    from networkit_spark.plotdata import degree_distribution
+
+    n = _n_docs(spark, sf_dir)
+    return degree_distribution(
+        doc_edges_undirected(spark, sf_dir), nodes_range(spark, n)
+    )
+
+
+@register(
+    "component_size_distribution",
+    _cc_oracle_sql(
+        CC_ITERS,
+        "SELECT CAST(row_number() OVER (ORDER BY s.size DESC, s.label) AS BIGINT) AS rnk,"
+        " s.size FROM (SELECT label, CAST(count(*) AS BIGINT) AS size"
+        " FROM {last} GROUP BY label) s",
+    ),
+)
+def q_component_size_distribution(spark, sf_dir):
+    from networkit_spark.plotdata import component_size_distribution
+
+    return component_size_distribution(q_connected_components(spark, sf_dir))
+
+
+@register(
+    "core_shell_sizes",
+    "SELECT core, CAST(count(*) AS BIGINT) AS size FROM ("
+    + _coreness_oracle_sql(8)
+    + ") GROUP BY core",
+)
+def q_core_shell_sizes(spark, sf_dir):
+    from networkit_spark.operators.kcore import coreness_fixed
+    from networkit_spark.plotdata import core_decomposition_sequence
+
+    n = _n_docs(spark, sf_dir)
+    c = coreness_fixed(doc_edges_undirected(spark, sf_dir),
+                       nodes_range(spark, n), iterations=8)
+    return core_decomposition_sequence(c)
+
+
+@register(
+    "clustering_per_degree",
+    f"""
+WITH {TRI_CTE},
+corners AS (
+    SELECT ta AS node FROM tri UNION ALL SELECT tb FROM tri UNION ALL SELECT tc FROM tri
+),
+tc AS (SELECT node, count(*) AS c FROM corners GROUP BY node),
+lccd AS (
+    SELECT coalesce(u.d, 0) AS deg,
+           CASE WHEN coalesce(u.d, 0) >= 2
+                THEN CAST(2.0 AS DOUBLE) * coalesce(t.c, 0) / (u.d * (u.d - 1))
+                ELSE CAST(0.0 AS DOUBLE) END AS lcc
+    FROM documents d
+    LEFT JOIN udeg u ON d.doc_id = u.node
+    LEFT JOIN tc t ON d.doc_id = t.node
+)
+SELECT CAST(deg AS BIGINT) AS deg, round(avg(lcc), 7) AS mean_lcc
+FROM lccd GROUP BY deg
+""",
+)
+def q_clustering_per_degree(spark, sf_dir):
+    from networkit_spark.plotdata import clustering_per_degree
+
+    n = _n_docs(spark, sf_dir)
+    return clustering_per_degree(
+        doc_edges_undirected(spark, sf_dir), nodes_range(spark, n)
+    )
