@@ -920,3 +920,97 @@ def q_clustering_per_degree(spark, sf_dir):
     return clustering_per_degree(
         doc_edges_undirected(spark, sf_dir), nodes_range(spark, n)
     )
+
+
+# ---------------------------------------------------------------------------
+# FloydWarshall (distance/FloydWarshall.cpp — negative-weight APSP with
+# hop tie-breaks and negative-cycle tagging; operators/floydwarshall.py).
+# Gate output maps the reference's -inf pairs to (NULL dist, NULL hops,
+# in_neg=1) so both engines hash identically (no IEEE infinities in the
+# compare protocol).
+# ---------------------------------------------------------------------------
+
+_FW_SUB = 24
+
+
+def _fw_oracle_sql(n: int = _FW_SUB) -> str:
+    parts = [
+        f"WITH {EDGES_CTE}",
+        f", arcs AS MATERIALIZED (SELECT src, dst,"
+        f"   CAST((src * 7 + dst * 3) % 11 - 2 AS DOUBLE) AS w"
+        f"  FROM edges WHERE src < {n} AND dst < {n})",
+        f", grid AS (SELECT unnest(generate_series(0, {n - 1})) AS node)",
+        f", r0 AS (SELECT node AS source, node, CAST(0 AS DOUBLE) AS dist,"
+        f"   CAST(0 AS BIGINT) AS hops FROM grid)",
+    ]
+    for k in range(1, n + 1):
+        prev = f"r{k - 1}"
+        parts.append(
+            f", r{k} AS MATERIALIZED ("
+            f" SELECT source, node, dist, hops FROM ("
+            f"  SELECT source, node, dist, hops, row_number() OVER ("
+            f"    PARTITION BY source, node ORDER BY dist, hops) AS rn"
+            f"  FROM (SELECT source, node, dist, hops FROM {prev}"
+            f"        UNION ALL"
+            f"        SELECT p.source, a.dst AS node, p.dist + a.w AS dist,"
+            f"               p.hops + 1 AS hops"
+            f"        FROM {prev} p JOIN arcs a ON a.src = p.node)"
+            f" ) WHERE rn = 1)"
+        )
+    last = f"r{n}"
+    parts.append(
+        f", cyc AS (SELECT node AS w FROM {last} WHERE source = node AND dist < 0)"
+        f", rin AS (SELECT DISTINCT r.source AS u, r.node AS w"
+        f"          FROM {last} r JOIN cyc c ON r.node = c.w)"
+        f", rout AS (SELECT DISTINCT r.source AS w, r.node AS v"
+        f"           FROM {last} r JOIN cyc c ON r.source = c.w)"
+        f", bad AS (SELECT DISTINCT i.u AS source, o.v AS node"
+        f"          FROM rin i JOIN rout o ON i.w = o.w)"
+        f" SELECT r.source, r.node AS target,"
+        f"   CASE WHEN b.source IS NOT NULL THEN NULL"
+        f"        ELSE round(r.dist, 7) END AS dist,"
+        f"   CASE WHEN b.source IS NOT NULL THEN NULL ELSE r.hops END AS hops,"
+        f"   CAST(CASE WHEN b.source IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)"
+        f"     AS in_neg"
+        f" FROM {last} r LEFT JOIN bad b"
+        f"   ON r.source = b.source AND r.node = b.node"
+    )
+    return "\n".join(parts)
+
+
+@register("floyd_warshall_neg", _fw_oracle_sql())
+def q_floyd_warshall_neg(spark, sf_dir):
+    """Negative-weight APSP on the deterministic doc-subgraph (nodes < 24,
+    weight = (src*7 + dst*3) % 11 - 2, so some arcs are negative): per
+    reachable pair (source, target, dist, hops, in_neg), where pairs the
+    reference marks -inf (through a negative cycle) carry NULLs + in_neg=1.
+    The oracle is a fully unrolled lexicographic (dist, hops) min-plus
+    relaxation + the tagNegativeCycles replay."""
+    from networkit_spark.operators.floydwarshall import floyd_warshall
+
+    e = (
+        doc_edges(spark, sf_dir)
+        .filter((F.col("src") < _FW_SUB) & (F.col("dst") < _FW_SUB))
+        .select(
+            "src", "dst",
+            ((F.col("src") * 7 + F.col("dst") * 3) % 11 - 2)
+            .cast("double").alias("weight"),
+        )
+        .coalesce(2)
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        res = floyd_warshall(e, nodes_range(spark, _FW_SUB),
+                             max_rounds=_FW_SUB)
+        neg = F.col("dist") == float("-inf")
+        out = res.distances.select(
+            "source", "target",
+            F.when(neg, F.lit(None).cast("double"))
+            .otherwise(F.round("dist", 7)).alias("dist"),
+            "hops",
+            neg.cast("long").alias("in_neg"),
+        ).localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return out
