@@ -63,24 +63,39 @@ def floyd_warshall(
     ``nodes``: (id) dense node table."""
     spark = edges.sparkSession
     with aqe_disabled(spark):
-        arcs = (
-            edges.groupBy("src", "dst")
-            .agg(F.min("weight").alias("w"))
-            .filter(F.col("src") != F.col("dst"))
+        merged = edges.groupBy("src", "dst").agg(F.min("weight").alias("w"))
+        arcs = merged.filter(F.col("src") != F.col("dst")).persist()
+        # FloydWarshall.cpp:51-57 runs the neighbor init AFTER the diagonal
+        # init, so a self-loop weight OVERWRITES dist[u][u] (hops 1) — a
+        # negative self-loop thereby becomes a tagged negative cycle.
+        selfw = merged.filter(F.col("src") == F.col("dst")).select(
+            F.col("src").alias("node"), F.col("w").alias("sw")
         )
-        arcs = arcs.persist()
         n = nodes.count()
         rounds = int(max_rounds) if max_rounds is not None else max(int(n), 1)
 
-        state = truncate_lineage(
-            nodes.select(
+        diag = (
+            nodes.join(selfw, nodes["id"] == selfw["node"], "left")
+            .select(
                 F.col("id").alias("source"),
                 F.col("id").alias("node"),
-                F.lit(0.0).alias("dist"),
-                F.lit(0).cast("long").alias("hops"),
+                F.coalesce("sw", F.lit(0.0)).alias("dist"),
+                F.when(F.col("sw").isNotNull(), F.lit(1)).otherwise(F.lit(0))
+                .cast("long").alias("hops"),
                 F.col("id").alias("next_hop"),
             )
         )
+        # direct-arc seeds (FloydWarshall.cpp:51-57's neighbor init) — the
+        # diagonal no longer carries dist 0 when a self-loop overwrote it,
+        # so one-edge rows must be seeded explicitly, not derived from it
+        direct = arcs.select(
+            F.col("src").alias("source"),
+            F.col("dst").alias("node"),
+            F.col("w").alias("dist"),
+            F.lit(1).cast("long").alias("hops"),
+            F.col("dst").alias("next_hop"),
+        )
+        state = truncate_lineage(diag.union(direct))
         done = 0
         for _ in range(rounds):
             cand = (
@@ -177,8 +192,8 @@ def nodes_on_shortest_path(result: FloydWarshallResult, source: int,
             F.col("target") == int(target)
         ).collect()
     }
-    if int(source) not in hop_map:
-        return []
+    if hop_map.get(int(source)) is None:
+        return []  # unreachable, or pathMatrix[source][target] == none
     cur, path = int(source), [int(source)]
     for _ in range(len(hop_map) + 1):
         if cur == int(target):

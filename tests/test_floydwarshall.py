@@ -27,7 +27,16 @@ def _replica(n, arcs):
     for u in range(n):
         dist[u][u] = 0.0
         hops[u][u] = 0
+    # FloydWarshall.cpp:51-57 — the neighbor init runs after the diagonal
+    # init, so a self-loop weight OVERWRITES dist[u][u] (min across
+    # parallel self-arcs, matching the operator's arc merge)
     for u, v, w in arcs:
+        if u == v and (hops[u][u] == 0 or w < dist[u][u]):
+            dist[u][u] = float(w)
+            hops[u][u] = 1
+    for u, v, w in arcs:
+        if u == v:
+            continue
         if w < dist[u][v] or (w == dist[u][v] and (hops[u][v] is None or 1 < hops[u][v])):
             dist[u][v] = float(w)
             hops[u][v] = 1
@@ -130,6 +139,18 @@ def test_random_graphs_exact(spark):
                     arcs.append((u, v, rng.randint(-3, 9)))
         res = _run(spark, n, arcs)
         _assert_match(res, n, arcs)
+
+
+def test_random_with_self_loops_exact(spark):
+    rng = random.Random(7)
+    n = 7
+    arcs = [(1, 1, -2.0), (4, 4, 3.0)]  # negative + positive self-loop
+    for u in range(n):
+        for v in range(n):
+            if u != v and rng.random() < 0.3:
+                arcs.append((u, v, rng.randint(-1, 9)))
+    res = _run(spark, n, arcs)
+    _assert_match(res, n, arcs)
 
 
 def test_path_reconstruction(spark):
