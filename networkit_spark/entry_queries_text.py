@@ -540,3 +540,76 @@ def q_near_dup_clusters(spark, sf_dir):
 
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return near_dup_clusters(df, num_hashes=8, bands=4)
+
+
+# ---------------------------------------------------------------------------
+# corpus hygiene: benchmark decontamination + domain stats/caps
+# (functions/corpus.py)
+# ---------------------------------------------------------------------------
+
+_DECONTAM_MOD = 97  # docs with doc_id % 97 == 0 play the held-out benchmark
+
+
+def _decontam_sql(k: int = 3, min_overlap: int = 1) -> str:
+    return f"""
+WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+shing AS (SELECT doc_id, list_distinct({_sql_shingles(k)}) AS sh FROM t),
+bench AS (SELECT DISTINCT unnest(sh) AS s FROM shing
+          WHERE doc_id % {_DECONTAM_MOD} = 0),
+docsh AS (SELECT doc_id, unnest(sh) AS s FROM shing),
+shared AS (SELECT d.doc_id, count(*) AS c
+           FROM docsh d JOIN bench b ON d.s = b.s GROUP BY d.doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(s.c, 0) AS BIGINT) AS shared_ngrams,
+       CAST(CASE WHEN coalesce(s.c, 0) >= {min_overlap} THEN 1 ELSE 0 END
+            AS BIGINT) AS contaminated
+FROM documents d LEFT JOIN shared s ON d.doc_id = s.doc_id
+"""
+
+
+@register("benchmark_decontam", _decontam_sql())
+def q_benchmark_decontam(spark, sf_dir):
+    """Benchmark decontamination: per-document count of distinct 3-gram
+    shingles shared with the held-out set (doc_id % 97 == 0) and the
+    contamination flag. Plan: broadcast the benchmark shingle set, join,
+    partial-agg per doc — the corpus side never shuffles its shingles."""
+    from networkit_spark.functions.corpus import decontaminate
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = df.filter(F.col("doc_id") % _DECONTAM_MOD == 0)
+    return decontaminate(df, bench, k=3, min_overlap=1)
+
+
+@register(
+    "domain_stats",
+    """
+SELECT source AS domain, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       round(avg(length(text)), 7) AS mean_chars
+FROM documents GROUP BY source
+""",
+)
+def q_domain_stats(spark, sf_dir):
+    from networkit_spark.functions.corpus import domain_stats
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return domain_stats(df)
+
+
+@register(
+    "domain_capped_survivors",
+    """
+SELECT doc_id, source, CAST(rk AS BIGINT) AS domain_rank
+FROM (SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+      FROM documents)
+WHERE rk <= 10
+""",
+)
+def q_domain_capped_survivors(spark, sf_dir):
+    """First 10 docs per source domain — the deterministic domain cap a
+    crawl pipeline applies before training-mix assembly."""
+    from networkit_spark.functions.corpus import cap_per_domain
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return cap_per_domain(df, cap=10).select("doc_id", "source", "domain_rank")
