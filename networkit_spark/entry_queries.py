@@ -263,6 +263,9 @@ PRIORITY = [
     "events_sessions", "events_tumbling_1h", "ivf_topk", "near_dup_clusters",
     "subgraph_nodes_lt100", "compact_subgraph_ids", "scc_labels",
     "inspect_communities_mod10", "degree_gini", "approx_avg_local_cc",
+    "floyd_warshall_neg", "dinic_level_graph_0_79", "benchmark_decontam",
+    "domain_stats", "domain_capped_survivors", "degree_distribution",
+    "clustering_per_degree", "core_shell_sizes", "component_size_distribution",
 ]
 
 
