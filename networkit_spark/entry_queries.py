@@ -208,6 +208,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         entry_queries_round4d,
         entry_queries_sparsify,
         entry_queries_text,
+        entry_queries_webtext,
     )
 
     return _prioritized(QUERIES)
@@ -222,6 +223,7 @@ def all_oracles() -> dict[str, str]:
         entry_queries_round4d,
         entry_queries_sparsify,
         entry_queries_text,
+        entry_queries_webtext,
     )
 
     return _prioritized(ORACLES)
@@ -243,10 +245,10 @@ PRIORITY = [
     "triangle_total", "local_clustering_coefficient", "triangle_edge_score",
     # centrality
     "degree_centrality_normalized", "eigenvector_fixed10", "katz_fixed10",
-    "betweenness_sampled", "closeness_fixed8", "harmonic_fixed8",
+    "betweenness_sampled", "closeness_fixed8",
     "coreness_fixed8", "kcore3_edges",
     # distance
-    "bfs_from0_fixed10", "diameter_exact", "eccentricity_fixed8",
+    "bfs_from0_fixed10", "diameter_exact",
     "hop_distribution", "spsp_sources8", "pll_distances_sub40",
     # community / partitions
     "scc_labels", "map_equation_fixed3", "partition_quality",
@@ -259,6 +261,8 @@ PRIORITY = [
     "doc_stats", "lang_id", "doc_fingerprints", "exact_dup_groups",
     "minhash_lsh_pairs", "ngram_jaccard_dups", "simhash_signatures",
     "embedding_topk", "embedding_near_dup",
+    # webtext/Common-Crawl family: host-graph ranking + chunk dedup
+    "host_pagerank_fixed10", "paragraph_dedup_stats",
     # (positions 51+ below in case the gate window widens)
     "events_sessions", "events_tumbling_1h", "ivf_topk", "near_dup_clusters",
     "subgraph_nodes_lt100", "compact_subgraph_ids", "scc_labels",
@@ -266,6 +270,8 @@ PRIORITY = [
     "floyd_warshall_neg", "dinic_level_graph_0_79", "benchmark_decontam",
     "domain_stats", "domain_capped_survivors", "degree_distribution",
     "clustering_per_degree", "core_shell_sizes", "component_size_distribution",
+    "host_graph", "host_harmonic", "canonical_urls", "gopher_repetition",
+    "gopher_quality_flags", "eccentricity_fixed8", "harmonic_fixed8",
 ]
 
 
