@@ -31,8 +31,8 @@ from networkit_spark.functions.webgraph import (
     surt_key,
     url_host,
 )
-from networkit_spark.sources.pages import extract_links, synth_pages
-from networkit_spark.testgraph import EDGES_CTE
+from networkit_spark.sources.pages import build_edges, extract_links, synth_pages
+from networkit_spark.testgraph import EDGES_BODY, EDGES_CTE, NN_CTE
 
 # -- shared SQL fragments ----------------------------------------------------
 
@@ -161,6 +161,42 @@ def q_host_harmonic(spark, sf_dir):
     n = _n_docs(spark, sf_dir)
     hg = host_graph(extract_links(synth_pages(spark, n)))
     return host_harmonic(hg).select("host", F.round("score", 7).alias("score"))
+
+
+@register(
+    "warc_ingest_edges",
+    f"""
+WITH {NN_CTE},
+urls AS (
+    SELECT doc_id AS id,
+           'https://site' || (doc_id % 97) || '.example/p/' || doc_id AS url
+    FROM documents
+),
+dict AS (SELECT id, dense_rank() OVER (ORDER BY url) - 1 AS nid FROM urls),
+{EDGES_BODY}
+SELECT d1.nid AS src, d2.nid AS dst, CAST(1.0 AS DOUBLE) AS weight
+FROM edges e JOIN dict d1 ON e.src = d1.id JOIN dict d2 ON e.dst = d2.id
+""",
+)
+def q_warc_ingest_edges(spark, sf_dir):
+    """Full WARC ingest chain under the oracle: synthesize pages, serialize
+    them as WARC segment files (`sources/warc.py`), parse the segments back
+    (binaryFile + mapInPandas, one task per segment), re-extract text and
+    hrefs, dictionary-encode — the edge table must equal the arithmetic
+    replay exactly, proving WARC bytes are a lossless transport for the
+    pages contract."""
+    import tempfile
+
+    from networkit_spark.sources.warc import read_warc, write_warc
+
+    n = _n_docs(spark, sf_dir)
+    with tempfile.TemporaryDirectory(prefix="warc_gate_") as td:
+        write_warc(synth_pages(spark, n), td)
+        pages = read_warc(spark, td)
+        _nodes, edges = build_edges(pages)
+        # materialize before the tempdir vanishes (the gate collects later)
+        edges = edges.localCheckpoint(eager=True)
+    return edges
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,181 @@
+"""WARC source: read Common-Crawl-style WARC segment files into the
+``pages(url, warc_ts, html, text, lang)`` table (BASELINE.json input_hint),
+and write pages back out as WARC for roundtrips.
+
+Format (public, ISO 28500): a WARC file is a concatenation of records
+``WARC/1.0\\r\\n<headers>\\r\\n\\r\\n<Content-Length bytes>\\r\\n\\r\\n``.
+``response`` records carry an HTTP response as payload (status line +
+headers + \\r\\n\\r\\n + body); the page html is the HTTP body,
+``WARC-Target-URI`` is the url, ``WARC-Date`` the capture timestamp.
+
+Scale shape: Common Crawl ships ~10^5 segment files of ~1 GB per crawl; the
+unit of parallelism is the FILE (gzip members are not splittable), exactly
+what ``binaryFile`` + ``mapInPandas`` gives — one task per segment, Arrow
+batches out, no driver involvement. A 100 TB crawl is ~10^5 tasks, which is
+the same task granularity the real cc-pyspark pipeline uses. Parsing is
+bytes-level scanning per record (no per-char Python loops); gzip members are
+handled transparently by zlib when the file is compressed.
+
+The ``text`` column is filled by the frozen extractor
+(``sources/pages.py:extract_text``) so WARC-ingested pages satisfy the same
+per-url byte-identity invariant as synthesized ones.
+
+Reference analog: the reference reads graphs from files via format readers
+(``cpp/io/*Reader.cpp``); WARC is the webtext-tier equivalent of those
+connectors — the crawl archive IS the edge-source format here.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import os
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from networkit_spark.sources.pages import extract_text
+
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+_CRLF2 = b"\r\n\r\n"
+
+
+def _parse_warc_bytes(data: bytes):
+    """Yield (url, iso_date, html_bytes) for every response record."""
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # skip inter-record blank lines
+        while pos < n and data[pos : pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            break
+        head_end = data.find(_CRLF2, pos)
+        if head_end < 0:
+            break
+        header_block = data[pos:head_end].decode("utf-8", "replace")
+        lines = header_block.split("\r\n")
+        if not lines or not lines[0].startswith("WARC/"):
+            break
+        hdr: dict[str, str] = {}
+        for line in lines[1:]:
+            k, _, v = line.partition(":")
+            hdr[k.strip().lower()] = v.strip()
+        length = int(hdr.get("content-length", "0"))
+        payload = data[head_end + 4 : head_end + 4 + length]
+        pos = head_end + 4 + length
+        if hdr.get("warc-type") != "response":
+            continue
+        url = hdr.get("warc-target-uri", "")
+        date = hdr.get("warc-date", "")
+        # payload = HTTP response; body follows the first CRLFCRLF
+        http_end = payload.find(_CRLF2)
+        body = payload[http_end + 4 :] if http_end >= 0 else payload
+        yield url, date, body
+
+
+def _maybe_decompress(raw: bytes) -> bytes:
+    if raw[:2] == b"\x1f\x8b":
+        # multi-member gzip (one member per record is the CC convention):
+        # gzip.decompress handles concatenated members
+        return gzip.decompress(raw)
+    return raw
+
+
+def read_warc(spark: SparkSession, path: str, lang: str | None = None) -> DataFrame:
+    """pages DataFrame from a WARC file/dir/glob (plain or .gz segments).
+
+    One task per segment file; html = HTTP response body bytes; text = the
+    frozen extractor over the utf-8 decode (input_hint invariant); lang is a
+    constant tag (CC stores language in separate metadata records — pass it
+    through ``lang`` or leave null and run ``functions.text.lang_id``)."""
+
+    def parse(batches):
+        for pdf in batches:
+            rows = []
+            for raw, fpath in zip(pdf["content"], pdf["path"]):
+                data = _maybe_decompress(bytes(raw))
+                for url, date, body in _parse_warc_bytes(data):
+                    rows.append(
+                        (
+                            url,
+                            pd.Timestamp(date).tz_localize(None)
+                            if date
+                            else pd.NaT,
+                            body,
+                            extract_text(body.decode("utf-8", "replace")),
+                            lang,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
+
+    files = spark.read.format("binaryFile").load(path)
+    return files.select("path", "content").mapInPandas(parse, PAGES_SCHEMA)
+
+
+def write_warc(pages: DataFrame, path: str) -> None:
+    """Write pages as WARC segment files, one per partition (the CC layout).
+
+    Records are ``response`` records with a minimal HTTP/1.1 200 header so
+    :func:`read_warc` roundtrips byte-identically on the html column."""
+    os.makedirs(path, exist_ok=True)
+
+    def dump(batches):
+        import uuid as _uuid
+
+        buf = io.BytesIO()
+        n_rec = 0
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                body = bytes(r.html)
+                http = (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                    + b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+                    + body
+                )
+                ts = (
+                    pd.Timestamp(r.warc_ts).strftime("%Y-%m-%dT%H:%M:%SZ")
+                    if r.warc_ts is not None and not pd.isna(r.warc_ts)
+                    else "1970-01-01T00:00:00Z"
+                )
+                rec_head = (
+                    "WARC/1.0\r\n"
+                    "WARC-Type: response\r\n"
+                    f"WARC-Target-URI: {r.url}\r\n"
+                    f"WARC-Date: {ts}\r\n"
+                    f"WARC-Record-ID: <urn:uuid:{_uuid.uuid5(_uuid.NAMESPACE_URL, r.url)}>\r\n"
+                    f"Content-Length: {len(http)}\r\n\r\n"
+                ).encode()
+                buf.write(rec_head)
+                buf.write(http)
+                buf.write(b"\r\n\r\n")
+                n_rec += 1
+        # deterministic shard name from content hash (no task-id dependence
+        # in the bytes themselves)
+        import hashlib
+
+        shard = hashlib.md5(buf.getvalue()).hexdigest()[:12]
+        if n_rec:
+            with open(os.path.join(path, f"part-{shard}.warc"), "wb") as f:
+                f.write(buf.getvalue())
+        yield pd.DataFrame({"records": [n_rec]})
+
+    pages.select("url", "warc_ts", "html").mapInPandas(
+        dump, "records long"
+    ).collect()
+
+
+__all__ = ["read_warc", "write_warc", "PAGES_SCHEMA"]

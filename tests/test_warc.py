@@ -1,0 +1,63 @@
+"""WARC segment reader/writer: roundtrip byte-identity on html, frozen-text
+invariant, gzip member handling, and the full WARC -> edges ingest chain."""
+
+import gzip
+import os
+
+from pyspark.sql import functions as F
+
+from networkit_spark.sources.pages import build_edges, extract_text, synth_pages
+from networkit_spark.sources.warc import read_warc, write_warc
+
+
+def _roundtrip(spark, tmp_path, n=40):
+    pages = synth_pages(spark, n)
+    out = str(tmp_path / "warc")
+    write_warc(pages, out)
+    return pages, read_warc(spark, out, lang="en")
+
+
+def test_warc_roundtrip_html_bytes(spark, tmp_path):
+    pages, back = _roundtrip(spark, tmp_path)
+    a = {r.url: bytes(r.html) for r in pages.select("url", "html").collect()}
+    b = {r.url: bytes(r.html) for r in back.select("url", "html").collect()}
+    assert a == b
+
+
+def test_warc_text_invariant(spark, tmp_path):
+    _, back = _roundtrip(spark, tmp_path)
+    for r in back.select("html", "text").collect():
+        assert r.text == extract_text(bytes(r.html).decode("utf-8"))
+
+
+def test_warc_timestamps_preserved(spark, tmp_path):
+    pages, back = _roundtrip(spark, tmp_path)
+    a = {r.url: r.warc_ts for r in pages.select("url", "warc_ts").collect()}
+    b = {r.url: r.warc_ts for r in back.select("url", "warc_ts").collect()}
+    assert a == b
+
+
+def test_warc_gzip_members(spark, tmp_path):
+    pages, _ = _roundtrip(spark, tmp_path)
+    src = str(tmp_path / "warc")
+    gzdir = tmp_path / "warcgz"
+    gzdir.mkdir()
+    for fn in os.listdir(src):
+        with open(os.path.join(src, fn), "rb") as f:
+            (gzdir / (fn + ".gz")).write_bytes(gzip.compress(f.read()))
+    back = read_warc(spark, str(gzdir))
+    assert back.count() == pages.count()
+    a = {r.url: bytes(r.html) for r in pages.select("url", "html").collect()}
+    b = {r.url: bytes(r.html) for r in back.select("url", "html").collect()}
+    assert a == b
+
+
+def test_warc_to_edges_chain(spark, tmp_path):
+    """WARC-ingested pages produce the identical edge table as the direct
+    synthesized pages (the whole ingest contract, end to end)."""
+    pages, back = _roundtrip(spark, tmp_path)
+    _, e_direct = build_edges(pages)
+    _, e_warc = build_edges(back)
+    a = sorted((r.src, r.dst) for r in e_direct.collect())
+    b = sorted((r.src, r.dst) for r in e_warc.collect())
+    assert a == b and len(a) > 0
