@@ -126,18 +126,27 @@ def read_warc(spark: SparkSession, path: str, lang: str | None = None) -> DataFr
     return files.select("path", "content").mapInPandas(parse, PAGES_SCHEMA)
 
 
-def write_warc(pages: DataFrame, path: str) -> None:
-    """Write pages as WARC segment files, one per partition (the CC layout).
+INDEX_SCHEMA = (
+    "url string, warc_file string, record_offset long, record_length long"
+)
+
+
+def write_warc(pages: DataFrame, path: str) -> DataFrame:
+    """Write pages as WARC segment files, one per partition (the CC layout),
+    and return the record index (url, warc_file, record_offset,
+    record_length) — the raw material of a CDX lookup index.
 
     Records are ``response`` records with a minimal HTTP/1.1 200 header so
-    :func:`read_warc` roundtrips byte-identically on the html column."""
+    :func:`read_warc` roundtrips byte-identically on the html column. The
+    write is EAGER (the returned index is localCheckpoint'ed) so the files
+    exist exactly once regardless of how the index is re-used."""
     os.makedirs(path, exist_ok=True)
 
     def dump(batches):
         import uuid as _uuid
 
         buf = io.BytesIO()
-        n_rec = 0
+        rows = []  # (url, offset, length)
         for pdf in batches:
             for r in pdf.itertuples(index=False):
                 body = bytes(r.html)
@@ -159,23 +168,81 @@ def write_warc(pages: DataFrame, path: str) -> None:
                     f"WARC-Record-ID: <urn:uuid:{_uuid.uuid5(_uuid.NAMESPACE_URL, r.url)}>\r\n"
                     f"Content-Length: {len(http)}\r\n\r\n"
                 ).encode()
+                off = buf.tell()
                 buf.write(rec_head)
                 buf.write(http)
                 buf.write(b"\r\n\r\n")
-                n_rec += 1
+                rows.append((r.url, off, buf.tell() - off))
         # deterministic shard name from content hash (no task-id dependence
         # in the bytes themselves)
         import hashlib
 
         shard = hashlib.md5(buf.getvalue()).hexdigest()[:12]
-        if n_rec:
-            with open(os.path.join(path, f"part-{shard}.warc"), "wb") as f:
+        fname = f"part-{shard}.warc"
+        if rows:
+            with open(os.path.join(path, fname), "wb") as f:
                 f.write(buf.getvalue())
-        yield pd.DataFrame({"records": [n_rec]})
+        yield pd.DataFrame(
+            [(u, os.path.join(path, fname), o, ln) for u, o, ln in rows],
+            columns=["url", "warc_file", "record_offset", "record_length"],
+        )
 
-    pages.select("url", "warc_ts", "html").mapInPandas(
-        dump, "records long"
-    ).collect()
+    idx = pages.select("url", "warc_ts", "html").mapInPandas(dump, INDEX_SCHEMA)
+    return idx.localCheckpoint(eager=True)
 
 
-__all__ = ["read_warc", "write_warc", "PAGES_SCHEMA"]
+def cdx_index(index: DataFrame) -> DataFrame:
+    """CDX(J)-style lookup index from :func:`write_warc`'s output: SURT sort
+    key first, range-sorted so a 10^12-record index is binary-searchable by
+    key range from parquet/Iceberg row groups (the cc-index layout)."""
+    from networkit_spark.functions.webgraph import surt_key
+
+    return index.select(
+        surt_key(F.col("url")).alias("surt"),
+        "url",
+        "warc_file",
+        "record_offset",
+        "record_length",
+    ).sort("surt")
+
+
+def read_warc_records(spark: SparkSession, index: DataFrame, lang: str | None = None) -> DataFrame:
+    """Random-access fetch: pages for exactly the records named by an index
+    subset (url, warc_file, record_offset, record_length) — the CDX-driven
+    point-lookup path (seek + bounded read per record; tasks fan out over
+    the index, never scanning whole segments)."""
+
+    def fetch(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                with open(r.warc_file, "rb") as f:
+                    f.seek(int(r.record_offset))
+                    data = f.read(int(r.record_length))
+                for url, date, body in _parse_warc_bytes(data):
+                    rows.append(
+                        (
+                            url,
+                            pd.Timestamp(date).tz_localize(None)
+                            if date
+                            else pd.NaT,
+                            body,
+                            extract_text(body.decode("utf-8", "replace")),
+                            lang,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
+
+    cols = ["url", "warc_file", "record_offset", "record_length"]
+    return index.select(*cols).mapInPandas(fetch, PAGES_SCHEMA)
+
+
+__all__ = [
+    "read_warc",
+    "write_warc",
+    "cdx_index",
+    "read_warc_records",
+    "PAGES_SCHEMA",
+]

@@ -61,3 +61,27 @@ def test_warc_to_edges_chain(spark, tmp_path):
     a = sorted((r.src, r.dst) for r in e_direct.collect())
     b = sorted((r.src, r.dst) for r in e_warc.collect())
     assert a == b and len(a) > 0
+
+
+def test_cdx_index_and_random_access(spark, tmp_path):
+    """write_warc returns a record index; cdx_index SURT-sorts it; a
+    CDX-driven point lookup fetches exactly the requested records."""
+    from networkit_spark.sources.warc import cdx_index, read_warc_records
+
+    pages = synth_pages(spark, 40)
+    out = str(tmp_path / "warc_idx")
+    idx = write_warc(pages, out)
+    assert idx.count() == 40
+    cdx = cdx_index(idx)
+    surts = [r.surt for r in cdx.collect()]
+    assert surts == sorted(surts) and surts[0].startswith("example,site")
+    # point-fetch 5 urls through the index
+    want = {r.url for r in pages.select("url").limit(5).collect()}
+    sub = idx.filter(F.col("url").isin(list(want)))
+    got = read_warc_records(spark, sub)
+    fetched = {r.url: bytes(r.html) for r in got.collect()}
+    direct = {
+        r.url: bytes(r.html)
+        for r in pages.filter(F.col("url").isin(list(want))).collect()
+    }
+    assert fetched == direct
