@@ -239,10 +239,206 @@ def read_warc_records(spark: SparkSession, index: DataFrame, lang: str | None = 
     return index.select(*cols).mapInPandas(fetch, PAGES_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# WET (conversion: extracted text) and WAT (metadata: out-links) siblings —
+# the other two per-segment artifacts Common Crawl ships. WET records carry
+# the plain text (Content-Type: text/plain, WARC-Type: conversion); WAT
+# records carry JSON metadata whose link list is what the public cc-pyspark
+# webgraph jobs consume (no HTML parsing on the read side).
+# ---------------------------------------------------------------------------
+
+
+def _write_records(df: DataFrame, path: str, warc_type: str, payload_fn, extra_cols):
+    """Shared record writer: one segment per partition, returns record count."""
+    os.makedirs(path, exist_ok=True)
+
+    def dump(batches):
+        import hashlib
+        import uuid as _uuid
+
+        buf = io.BytesIO()
+        n = 0
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                payload = payload_fn(r)
+                ts = (
+                    pd.Timestamp(r.warc_ts).strftime("%Y-%m-%dT%H:%M:%SZ")
+                    if r.warc_ts is not None and not pd.isna(r.warc_ts)
+                    else "1970-01-01T00:00:00Z"
+                )
+                head = (
+                    "WARC/1.0\r\n"
+                    f"WARC-Type: {warc_type}\r\n"
+                    f"WARC-Target-URI: {r.url}\r\n"
+                    f"WARC-Date: {ts}\r\n"
+                    f"WARC-Record-ID: <urn:uuid:{_uuid.uuid5(_uuid.NAMESPACE_URL, r.url)}>\r\n"
+                    f"Content-Length: {len(payload)}\r\n\r\n"
+                ).encode()
+                buf.write(head)
+                buf.write(payload)
+                buf.write(b"\r\n\r\n")
+                n += 1
+        shard = hashlib.md5(buf.getvalue()).hexdigest()[:12]
+        ext = "wet" if warc_type == "conversion" else "wat"
+        if n:
+            with open(os.path.join(path, f"part-{shard}.warc.{ext}"), "wb") as f:
+                f.write(buf.getvalue())
+        yield pd.DataFrame({"records": [n]})
+
+    df.mapInPandas(dump, "records long").collect()
+
+
+def write_wet(pages: DataFrame, path: str) -> None:
+    """WET segments: ``conversion`` records whose payload is the extracted
+    ``text`` column verbatim (utf-8) — the frozen-extractor invariant rides
+    along byte-identically."""
+    _write_records(
+        pages.select("url", "warc_ts", "text"),
+        path,
+        "conversion",
+        lambda r: (r.text or "").encode("utf-8"),
+        (),
+    )
+
+
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """(url, warc_ts, text) from WET segments — one task per segment."""
+
+    def parse(batches):
+        for pdf in batches:
+            rows = []
+            for raw in pdf["content"]:
+                data = _maybe_decompress(bytes(raw))
+                for url, date, hdr, payload in _iter_records(data):
+                    if hdr.get("warc-type") != "conversion":
+                        continue
+                    rows.append(
+                        (
+                            url,
+                            pd.Timestamp(date).tz_localize(None) if date else pd.NaT,
+                            payload.decode("utf-8", "replace"),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=["url", "warc_ts", "text"])
+
+    files = spark.read.format("binaryFile").load(path)
+    return files.select("content").mapInPandas(
+        parse, "url string, warc_ts timestamp, text string"
+    )
+
+
+def write_wat(pages: DataFrame, path: str) -> None:
+    """WAT segments: ``metadata`` records with a minimal JSON payload
+    carrying the page's out-links (href list extracted JVM-side BEFORE the
+    writer, so the hot path stays in codegen)."""
+    from networkit_spark.sources.pages import HREF_PATTERN
+
+    with_links = pages.select(
+        "url",
+        "warc_ts",
+        F.regexp_extract_all(
+            F.decode(F.col("html"), "UTF-8"), F.lit(HREF_PATTERN), F.lit(1)
+        ).alias("links"),
+    )
+
+    def payload(r):
+        import json
+
+        return json.dumps(
+            {
+                "Envelope": {
+                    "WARC-Header-Metadata": {"WARC-Target-URI": r.url},
+                    "Payload-Metadata": {
+                        "HTTP-Response-Metadata": {
+                            "HTML-Metadata": {
+                                "Links": [
+                                    {"url": u}
+                                    for u in (
+                                        list(r.links) if r.links is not None else []
+                                    )
+                                ]
+                            }
+                        }
+                    },
+                }
+            },
+            sort_keys=True,
+        ).encode("utf-8")
+
+    _write_records(with_links, path, "metadata", payload, ())
+
+
+def read_wat_links(spark: SparkSession, path: str) -> DataFrame:
+    """(src_url, dst_url) straight from WAT metadata — the cc-pyspark
+    webgraph input path (no HTML in sight). Self-links dropped, pairs
+    deduplicated, matching ``pages.extract_links`` semantics."""
+
+    def parse(batches):
+        import json
+
+        for pdf in batches:
+            rows = []
+            for raw in pdf["content"]:
+                data = _maybe_decompress(bytes(raw))
+                for url, _date, hdr, payload in _iter_records(data):
+                    if hdr.get("warc-type") != "metadata":
+                        continue
+                    meta = json.loads(payload.decode("utf-8", "replace"))
+                    links = (
+                        meta.get("Envelope", {})
+                        .get("Payload-Metadata", {})
+                        .get("HTTP-Response-Metadata", {})
+                        .get("HTML-Metadata", {})
+                        .get("Links", [])
+                    )
+                    for l in links:
+                        rows.append((url, l.get("url", "")))
+            yield pd.DataFrame(rows, columns=["src_url", "dst_url"])
+
+    files = spark.read.format("binaryFile").load(path)
+    out = files.select("content").mapInPandas(
+        parse, "src_url string, dst_url string"
+    )
+    return (
+        out.filter(F.col("src_url") != F.col("dst_url"))
+        .dropDuplicates(["src_url", "dst_url"])
+    )
+
+
+def _iter_records(data: bytes):
+    """Yield (url, date, headers, payload) for EVERY record type."""
+    pos = 0
+    n = len(data)
+    while pos < n:
+        while pos < n and data[pos : pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            break
+        head_end = data.find(_CRLF2, pos)
+        if head_end < 0:
+            break
+        header_block = data[pos:head_end].decode("utf-8", "replace")
+        lines = header_block.split("\r\n")
+        if not lines or not lines[0].startswith("WARC/"):
+            break
+        hdr: dict[str, str] = {}
+        for line in lines[1:]:
+            k, _, v = line.partition(":")
+            hdr[k.strip().lower()] = v.strip()
+        length = int(hdr.get("content-length", "0"))
+        payload = data[head_end + 4 : head_end + 4 + length]
+        pos = head_end + 4 + length
+        yield hdr.get("warc-target-uri", ""), hdr.get("warc-date", ""), hdr, payload
+
+
 __all__ = [
     "read_warc",
     "write_warc",
     "cdx_index",
     "read_warc_records",
+    "write_wet",
+    "read_wet",
+    "write_wat",
+    "read_wat_links",
     "PAGES_SCHEMA",
 ]

@@ -85,3 +85,28 @@ def test_cdx_index_and_random_access(spark, tmp_path):
         for r in pages.filter(F.col("url").isin(list(want))).collect()
     }
     assert fetched == direct
+
+
+def test_wet_roundtrip_text(spark, tmp_path):
+    from networkit_spark.sources.warc import read_wet, write_wet
+
+    pages = synth_pages(spark, 30)
+    out = str(tmp_path / "wet")
+    write_wet(pages, out)
+    back = read_wet(spark, out)
+    a = {r.url: r.text for r in pages.select("url", "text").collect()}
+    b = {r.url: r.text for r in back.select("url", "text").collect()}
+    assert a == b
+
+
+def test_wat_links_match_extract_links(spark, tmp_path):
+    from networkit_spark.sources.pages import extract_links
+    from networkit_spark.sources.warc import read_wat_links, write_wat
+
+    pages = synth_pages(spark, 30)
+    out = str(tmp_path / "wat")
+    write_wat(pages, out)
+    links_wat = read_wat_links(spark, out)
+    a = sorted((r.src_url, r.dst_url) for r in extract_links(pages).collect())
+    b = sorted((r.src_url, r.dst_url) for r in links_wat.collect())
+    assert a == b and len(a) > 0
