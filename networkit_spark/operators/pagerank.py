@@ -99,14 +99,25 @@ class PageRank:
         runner: SuperstepRunner | None = None,
         resume: bool = False,
         shuffle_partitions: int | None = None,
+        init_scores: DataFrame | None = None,
     ) -> PageRankResult:
         """``edges(src, dst, weight)`` directed as stored; undirected input
-        must already be symmetrized (both directions present)."""
+        must already be symmetrized (both directions present).
+
+        ``init_scores`` (node, score): warm start — e.g. the previous
+        crawl batch's converged scores. Nodes absent from it start at 1/n
+        and the whole vector is renormalized to sum 1; the fixpoint is
+        unchanged (power iteration converges to the same vector from any
+        stochastic start), only iterations-to-convergence shrink."""
         spark = edges.sparkSession
         with aqe_disabled(spark):
-            return self._run(edges, nodes, directed, runner, resume, shuffle_partitions)
+            return self._run(
+                edges, nodes, directed, runner, resume, shuffle_partitions,
+                init_scores,
+            )
 
-    def _run(self, edges, nodes, directed, runner, resume, shuffle_partitions):
+    def _run(self, edges, nodes, directed, runner, resume, shuffle_partitions,
+             init_scores=None):
         spark = edges.sparkSession
         runner = runner or SuperstepRunner(spark, run_id="pagerank")
         nodes = nodes if nodes is not None else nodes_from_edges(edges)
@@ -154,9 +165,26 @@ class PageRank:
             sinks.count()
 
         node_id = F.col("id").cast("int") if narrow else F.col("id")
-        init = nodes.select(
-            node_id.alias("node"), F.lit(1.0 / n).alias("score")
-        ).repartition(P, "node")
+        if init_scores is not None:
+            prev = init_scores.select(
+                (F.col("node").cast("int") if narrow else F.col("node")).alias(
+                    "node"
+                ),
+                F.col("score").alias("prev_score"),
+            )
+            raw = nodes.select(node_id.alias("node")).join(
+                prev, "node", "left"
+            ).select(
+                "node", F.coalesce("prev_score", F.lit(1.0 / n)).alias("score")
+            )
+            total = float(raw.agg(F.sum("score")).first()[0] or 1.0)
+            init = raw.select(
+                "node", (F.col("score") / total).alias("score")
+            ).repartition(P, "node")
+        else:
+            init = nodes.select(
+                node_id.alias("node"), F.lit(1.0 / n).alias("score")
+            ).repartition(P, "node")
         if sinks is not None and narrow:
             sinks = sinks.select(F.col("id").cast("int").alias("id"))
 

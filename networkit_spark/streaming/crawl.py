@@ -148,6 +148,33 @@ def run_crawl_ingest(
     return writer.start()
 
 
+def refresh_pagerank(
+    spark: SparkSession,
+    state_dir: str,
+    tol: float = 1e-8,
+    damp: float = 0.85,
+):
+    """Warm PageRank refresh over the current crawl state: seeds the power
+    iteration with the previous batch's converged scores (new urls start at
+    1/n, vector renormalized), so each refresh pays only the iterations the
+    BATCH perturbed, not a cold start. Persists scores back into the state
+    dir and returns the PageRankResult."""
+    from networkit_spark.operators.pagerank import PageRank
+
+    scores_path = os.path.join(state_dir, "pagerank")
+    d, e, _ = crawl_state(spark, state_dir)
+    prev = _load(spark, scores_path, "node long, score double")
+    init = prev if not prev.isEmpty() else None
+    res = PageRank(damp=damp, tol=tol).run(
+        e, nodes=d.select(F.col("nid").alias("id")), init_scores=init
+    )
+    out = res.scores().select(
+        F.col("node").cast("long").alias("node"), "score"
+    ).localCheckpoint(eager=True)
+    _store(spark, out, scores_path, -1)
+    return res
+
+
 def crawl_state(spark: SparkSession, state_dir: str):
     """(url_dict, edges, labels) current state tables."""
     return (
