@@ -1014,3 +1014,32 @@ def q_floyd_warshall_neg(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return out
+
+
+@register(
+    "fractional_degree_ranks",
+    f"""
+WITH {EDGES_CTE},
+{_deg_cte('out')}
+SELECT node,
+       CAST(rank() OVER (ORDER BY sc)
+            + (count(*) OVER (PARTITION BY sc) - 1) / 2.0 AS DOUBLE) AS frank
+FROM outdeg
+""",
+)
+def q_fractional_degree_ranks(spark, sf_dir):
+    """helpers.ranked twin (helpers.pyx:19): fractional average-tie 1-based
+    ranks of the out-degree distribution — min-rank via the distributed
+    range-sort plan + one tie-count join, no global window."""
+    from networkit_spark.stats import fractional_ranks
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("node")
+    )
+    deg = doc_edges(spark, sf_dir).groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("cnt")
+    )
+    x = docs.join(deg, "node", "left").select(
+        "node", F.coalesce(F.col("cnt"), F.lit(0)).cast("double").alias("sc")
+    )
+    return fractional_ranks(x, "node", "sc")

@@ -91,3 +91,20 @@ def rank_attribute(
     return ranked.select(
         F.col("_id").alias(id_col), (F.col("_rk") - 1).cast("long").alias("rank")
     )
+
+
+def fractional_ranks(
+    df: DataFrame, id_col: str, value_col: str
+) -> DataFrame:
+    """``helpers.ranked`` (helpers.pyx:19): fractional (average-tie)
+    1-based ranks — (id, frank) with frank = min_rank + (ties - 1)/2.
+
+    Distributed as min-rank via the range-sort plan (no global window) plus
+    one tie-count aggregation joined back on the value."""
+    rows = df.select(F.col(id_col).alias("_id"), F.col(value_col).alias("_v"))
+    mr = global_min_rank(rows, "_v", rank_col="_rk")
+    ties = rows.groupBy("_v").agg(F.count("*").alias("_ties"))
+    return mr.join(ties, "_v").select(
+        F.col("_id").alias(id_col),
+        (F.col("_rk") + (F.col("_ties") - 1) / 2.0).cast("double").alias("frank"),
+    )

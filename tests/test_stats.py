@@ -104,3 +104,17 @@ def test_random_dense_ids_permutation(spark):
     c = {r["node"]: r["id"] for r in random_dense_ids(nodes, "node", seed=6).collect()}
     assert rows != c                                     # seed changes the permutation
     assert rows != {n: n for n in range(50)}             # actually shuffled
+
+
+def test_fractional_ranks_reference_semantics(spark):
+    """helpers.pyx:19 ranked(): average-tie 1-based ranks."""
+    from networkit_spark.stats import fractional_ranks
+
+    df = spark.createDataFrame(
+        [(0, 5.0), (1, 3.0), (2, 5.0), (3, 1.0), (4, 5.0)], ["id", "v"]
+    )
+    got = dict(
+        (r.id, r.frank) for r in fractional_ranks(df, "id", "v").collect()
+    )
+    # sorted: 1(r1), 3(r2), 5,5,5 (r3..5 -> avg 4.0)
+    assert got == {3: 1.0, 1: 2.0, 0: 4.0, 2: 4.0, 4: 4.0}
