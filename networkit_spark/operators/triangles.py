@@ -348,3 +348,40 @@ def clustering(und_edges: DataFrame, error: float = 0.01, seed: int = 42) -> flo
         return avg_local_clustering_coefficient(und_edges)
     trials = math.ceil(math.log(10) / (error**2))
     return approx_avg_local_clustering(und_edges, trials, seed=seed)
+
+
+def new_triangles(und_edges: DataFrame, new_und_edges: DataFrame) -> DataFrame:
+    """Incremental triangle enumeration: triangles of the UPDATED graph that
+    contain >= 1 edge of ``new_und_edges`` — exactly the triangles the batch
+    created, since a triangle absent before the batch must contain a new
+    edge. ``count(new_triangles) == T(G') - T(G)`` when the new edges were
+    truly absent from G. Returns one row per triangle (a < b < c).
+
+    Plan: each new undirected edge (u, v) joins the updated adjacency twice
+    (common neighbors w); the sorted-triple ``distinct`` dedupes triangles
+    that contain 2 or 3 new edges. Cost is O(|batch| x avg-degree) + one
+    dedup shuffle — independent of |E|. A hub endpoint in the batch fans out
+    its neighborhood; for hub-heavy batches pre-orient the adjacency the
+    same way ``enumerate_triangles`` does.
+
+    Both inputs symmetrized (both directions present), loop-free.
+    """
+    adj = und_edges.select("src", "dst")
+    ne = (
+        new_und_edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+    )
+    wu = ne.join(
+        adj.select(F.col("src").alias("u"), F.col("dst").alias("w")), "u"
+    )
+    tri = wu.join(
+        adj.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+        ["v", "w"],
+    ).filter((F.col("w") != F.col("u")) & (F.col("w") != F.col("v")))
+    trip = tri.select(
+        F.array_sort(F.array("u", "v", "w")).alias("t")
+    ).distinct()
+    return trip.select(
+        F.col("t")[0].alias("a"), F.col("t")[1].alias("b"), F.col("t")[2].alias("c")
+    )

@@ -101,7 +101,10 @@ def apply_pages_batch(
         url_dict2.select(F.col("url").alias("dst_url"), F.col("nid").alias("dst")),
         "dst_url",
     ).select("src", "dst", F.lit(1.0).alias("weight"))
-    new_edges = enc.join(edges.select("src", "dst"), ["src", "dst"], "left_anti")
+    new_edges = enc.join(
+        edges.select("src", "dst"), ["src", "dst"], "left_anti"
+    ).localCheckpoint(eager=True)  # materialize BEFORE the state overwrite
+    # below breaks this lineage's source files
     edges2 = edges.union(new_edges).localCheckpoint(eager=True)
 
     new_nodes = appended.select(
@@ -114,6 +117,9 @@ def apply_pages_batch(
     _store(spark, url_dict2, dict_path, batch_id)
     _store(spark, edges2, edges_path, batch_id)
     _store(spark, labels2, labels_path, batch_id)
+    # the batch's delta edge set, for incremental kernel refreshes
+    # (new_triangles, warm sweeps) that need to know what changed
+    _store(spark, new_edges, os.path.join(state_dir, "last_new_edges"), batch_id)
 
 
 def run_crawl_ingest(
@@ -173,6 +179,71 @@ def refresh_pagerank(
     ).localCheckpoint(eager=True)
     _store(spark, out, scores_path, -1)
     return res
+
+
+def _symmetrize(e: DataFrame) -> DataFrame:
+    return (
+        e.select("src", "dst")
+        .union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .withColumn("weight", F.lit(1.0))
+    )
+
+
+def refresh_plp(spark: SparkSession, state_dir: str, max_iterations: int = 100):
+    """Warm PLP refresh: previous communities seed the sweep (new urls start
+    as singletons — the reference's baseClustering semantics, PLP.cpp:30-34),
+    so a small batch converges in the few sweeps its frontier needs."""
+    from networkit_spark.operators.plp import PLP
+
+    plp_path = os.path.join(state_dir, "plp")
+    d, e, _ = crawl_state(spark, state_dir)
+    und = _symmetrize(e)
+    nodes = d.select(F.col("nid").alias("id"))
+    prev = _load(spark, plp_path, "node long, label long")
+    base = None
+    if not prev.isEmpty():
+        base = nodes.select(F.col("id").alias("node")).join(
+            prev, "node", "left"
+        ).select("node", F.coalesce("label", F.col("node")).alias("label"))
+    res = PLP(max_iterations=max_iterations).run(und, nodes, base_clustering=base)
+    out = res.get_partition().localCheckpoint(eager=True)
+    _store(spark, out, plp_path, -1)
+    return res
+
+
+def refresh_triangles(spark: SparkSession, state_dir: str) -> int:
+    """Incremental triangle total: count only the triangles the last batch
+    created (``operators.triangles.new_triangles`` — O(batch x degree), not
+    a recount) and fold them into the stored running total. Returns it.
+
+    Contract: call once after EVERY ingest drain — ``last_new_edges`` holds
+    only the most recent batch's delta, so a skipped refresh leaves the
+    total stale (re-seed by deleting the ``triangle_total`` state table,
+    which forces one full recount)."""
+    from networkit_spark.operators.triangles import new_triangles, total_triangles
+
+    tri_path = os.path.join(state_dir, "triangle_total")
+    d, e, _ = crawl_state(spark, state_dir)
+    und = _symmetrize(e)
+    prev = _load(spark, tri_path, "total long")
+    new_e = _load(
+        spark, os.path.join(state_dir, "last_new_edges"),
+        "src long, dst long, weight double",
+    )
+    if prev.isEmpty():
+        # first refresh: one full count seeds the running total
+        total = total_triangles(und)
+    else:
+        delta = new_triangles(und, _symmetrize(new_e)).count()
+        total = int(prev.first()["total"]) + int(delta)
+    _store(
+        spark,
+        spark.createDataFrame([(int(total),)], "total long"),
+        tri_path,
+        -1,
+    )
+    return int(total)
 
 
 def crawl_state(spark: SparkSession, state_dir: str):

@@ -83,3 +83,50 @@ def test_crawl_ingest_replay_noop(spark, tmp_path):
     # forced replay of the last batch id is skipped by the marker
     marker = os.path.join(state, "last_applied_batch")
     assert os.path.exists(marker)
+
+
+def test_new_triangles_handcase(spark):
+    from networkit_spark.operators.triangles import new_triangles
+
+    def sym(pairs):
+        rows = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+        return spark.createDataFrame(rows, ["src", "dst"])
+
+    # old graph: path 0-1-2; new edge (0,2) closes one triangle; new edge
+    # (2,3) closes none; new edges (4,5),(4,6),(5,6) form a fully-new one
+    old = [(0, 1), (1, 2), (2, 3)]
+    new = [(0, 2), (4, 5), (4, 6), (5, 6)]
+    tri = new_triangles(sym(old + new), sym(new))
+    got = sorted((r.a, r.b, r.c) for r in tri.collect())
+    assert got == [(0, 1, 2), (4, 5, 6)]
+
+
+def test_crawl_refresh_plp_and_triangles(spark, tmp_path):
+    from networkit_spark.operators.plp import PLP
+    from networkit_spark.operators.triangles import total_triangles
+    from networkit_spark.streaming.crawl import (
+        refresh_plp,
+        refresh_triangles,
+        _symmetrize,
+    )
+
+    pages = synth_pages(spark, 45)
+    drops = str(tmp_path / "drops")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    pid = _page_id(pages)
+    for lo, hi in [(0, 15), (15, 30), (30, 45)]:
+        pages.filter((pid >= lo) & (pid < hi)).coalesce(1).write.mode(
+            "append"
+        ).parquet(drops)
+        run_crawl_ingest(spark, drops, state, ckpt)
+        total = refresh_triangles(spark, state)
+        refresh_plp(spark, state)
+
+    d, e, _ = crawl_state(spark, state)
+    assert total == total_triangles(_symmetrize(e))
+
+    # warm PLP partition is structurally valid: covers all nodes, labels
+    # drawn from node ids
+    plp_labels = spark.read.parquet(str(tmp_path / "state" / "plp"))
+    assert plp_labels.count() == d.count()
