@@ -433,6 +433,27 @@ def main():
         "edges_per_sec_per_superstep": round(m / csr_mean, 1),
     }
     RESULT["edges"] = m
+
+    # -- ingest throughput: pages -> edge table (the flagship source path:
+    # synth html -> frozen text extraction (pandas UDF) -> href regex ->
+    # dictionary encode). Optional under budget pressure; never fatal.
+    if remaining() > 0.55 * BENCH_BUDGET:
+        try:
+            from networkit_spark.sources.pages import build_edges, synth_pages
+
+            t0w = time.monotonic()
+            _n, ing_edges = build_edges(synth_pages(spark, n_pages))
+            n_ing = ing_edges.count()
+            w = time.monotonic() - t0w
+            queries["ingest_pages_to_edges"] = round(w, 3)
+            RESULT["ingest"] = {
+                "pages": n_pages,
+                "edges": n_ing,
+                "pages_per_sec": round(n_pages / w, 1),
+            }
+        except Exception as exc:  # optional stage must not fail the bench
+            RESULT.setdefault("partial", []).append(f"ingest_skipped:{exc}")
+
     spark.stop()
     write_full_and_print_compact(RESULT, final=False)
 
@@ -525,6 +546,15 @@ def main():
 
     def _cap(runs: list) -> float:
         return max(r["edges_per_sec_capability"] for r in runs)
+
+    # entry guard: a small-budget run (smoke / CI) must not start a
+    # cluster-scale worker it can never finish — the pregen alone is minutes
+    if remaining() < 360.0:
+        RESULT.setdefault("partial", []).append(
+            f"scaling_skipped_budget_{remaining():.0f}s"
+        )
+        write_full_and_print_compact(RESULT)
+        return
 
     # initial sample at each level (2 in-JVM repeats each = 2 noise windows
     # per JVM; the lo JVM is the expensive one, spawned exactly once unless
