@@ -164,6 +164,31 @@ def q_host_harmonic(spark, sf_dir):
 
 
 @register(
+    "wat_host_graph",
+    f"""
+WITH {HOST_GRAPH_CTE}
+SELECT src AS src_host, dst AS dst_host, weight FROM hg
+""",
+)
+def q_wat_host_graph(spark, sf_dir):
+    """Host graph built the way the public cc-pyspark webgraph jobs build
+    it: from WAT metadata records only (no HTML parse on the read side) —
+    pages are serialized to WAT segments, the link table is recovered from
+    the JSON link metadata, then contracted to hosts. Must equal the
+    arithmetic host-graph replay exactly."""
+    import tempfile
+
+    from networkit_spark.sources.warc import read_wat_links, write_wat
+
+    n = _n_docs(spark, sf_dir)
+    with tempfile.TemporaryDirectory(prefix="wat_gate_") as td:
+        write_wat(synth_pages(spark, n), td)
+        links = read_wat_links(spark, td)
+        out = host_graph(links).localCheckpoint(eager=True)
+    return out
+
+
+@register(
     "warc_ingest_edges",
     f"""
 WITH {NN_CTE},
