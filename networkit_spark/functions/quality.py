@@ -70,50 +70,65 @@ def repetition_stats(
     """Per-doc repetition fractions: ``top{n}_frac`` for each n in
     ``top_ns`` (chars in the most frequent n-gram) and ``dup{n}_frac`` for
     each n in ``dup_ns`` (chars in all n-grams occurring >= 2 times),
-    rounded to 7 decimals. Docs shorter than n grams score 0.0."""
-    base = docs.select(id_col, F.length(text_col).alias("_chars"))
-    out = base
+    rounded to 7 decimals. Docs shorter than n grams score 0.0.
+
+    Single-pass shape: every requested n's shingle array is built in ONE
+    projection over the text column (tagged union), exploded once, counted
+    in one map-side-combined groupBy — one scan + one shuffle regardless of
+    how many n's are requested, which is what you want when this runs over
+    10^12 documents."""
+    all_ns = tuple(dict.fromkeys(tuple(top_ns) + tuple(dup_ns)))
+    text = F.col(text_col)
+
+    def _tag(n):
+        # single-arg lambda: a 2-arg transform lambda would receive the
+        # ARRAY INDEX as its second argument, not the closure default
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
+
+    tagged_arrays = [F.transform(shingles(text, n), _tag(n)) for n in all_ns]
+    exploded = docs.select(
+        F.col(id_col),
+        F.length(text).alias("_chars"),
+        F.explode(F.concat(*tagged_arrays)).alias("tg"),
+    ).select(id_col, "_chars", F.col("tg.n").alias("n"), F.col("tg.gram").alias("gram"))
+    counts = exploded.groupBy(id_col, "n", "gram").agg(
+        F.count("*").alias("c")
+    )
+    out = docs.select(id_col, F.length(text).alias("_chars"))
+    w = Window.partitionBy(id_col, "n").orderBy(F.desc("c"), F.asc("gram"))
+    tops = (
+        counts.filter(F.col("n").isin(list(top_ns)))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "n", (F.col("c") * F.length("gram")).alias("tl"))
+    )
+    dups = (
+        counts.filter(F.col("n").isin(list(dup_ns)) & (F.col("c") >= 2))
+        .groupBy(id_col, "n")
+        .agg(F.sum(F.col("c") * F.length("gram")).alias("dl"))
+    )
     for n in top_ns:
-        counts = (
-            _grams(docs, id_col, text_col, n)
-            .groupBy(id_col, "gram")
-            .agg(F.count("*").alias("c"))
-        )
-        w = Window.partitionBy(id_col).orderBy(F.desc("c"), F.asc("gram"))
-        top = (
-            counts.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(id_col, (F.col("c") * F.length("gram")).alias(f"_t{n}"))
-        )
-        out = out.join(top, id_col, "left")
-        out = out.withColumn(
+        t = tops.filter(F.col("n") == n).select(id_col, F.col("tl").alias(f"_t{n}"))
+        out = out.join(t, id_col, "left").withColumn(
             f"top{n}_frac",
             F.round(
                 F.least(
                     F.lit(1.0),
-                    F.coalesce(F.col(f"_t{n}"), F.lit(0)) / F.greatest(F.col("_chars"), F.lit(1)),
+                    F.coalesce(F.col(f"_t{n}"), F.lit(0))
+                    / F.greatest(F.col("_chars"), F.lit(1)),
                 ),
                 7,
             ),
         ).drop(f"_t{n}")
     for n in dup_ns:
-        counts = (
-            _grams(docs, id_col, text_col, n)
-            .groupBy(id_col, "gram")
-            .agg(F.count("*").alias("c"))
-        )
-        dup = (
-            counts.filter(F.col("c") >= 2)
-            .groupBy(id_col)
-            .agg(F.sum(F.col("c") * F.length("gram")).alias(f"_d{n}"))
-        )
-        out = out.join(dup, id_col, "left")
-        out = out.withColumn(
+        d = dups.filter(F.col("n") == n).select(id_col, F.col("dl").alias(f"_d{n}"))
+        out = out.join(d, id_col, "left").withColumn(
             f"dup{n}_frac",
             F.round(
                 F.least(
                     F.lit(1.0),
-                    F.coalesce(F.col(f"_d{n}"), F.lit(0)) / F.greatest(F.col("_chars"), F.lit(1)),
+                    F.coalesce(F.col(f"_d{n}"), F.lit(0))
+                    / F.greatest(F.col("_chars"), F.lit(1)),
                 ),
                 7,
             ),
