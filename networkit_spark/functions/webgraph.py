@@ -148,6 +148,20 @@ def host_pagerank(host_edges: DataFrame, iterations: int = 10, damp: float = 0.8
     return out.select(F.col("node").alias("host"), "score")
 
 
+def host_harmonic_approx(host_edges: DataFrame, k: int = 32) -> DataFrame:
+    """(host, score): HyperBall approximate harmonic centrality on the
+    DIRECTED host graph — the scale path (the public cc-webgraph pipeline
+    computes exactly this at 10^9 hosts; `operators.anf.hyperball_harmonic`).
+    Use :func:`host_harmonic` for the exact small-graph variant."""
+    from networkit_spark.operators.anf import hyperball_harmonic
+
+    e = host_edges.select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    out = hyperball_harmonic(e, host_nodes(host_edges), k=k)
+    return out.select(F.col("node").alias("host"), "score")
+
+
 def host_harmonic(host_edges: DataFrame) -> DataFrame:
     """(host, score): exact harmonic centrality on the symmetrized host
     graph — the other Common-Crawl ranking. All-pairs multi-source BFS is

@@ -271,3 +271,78 @@ def neighborhood_function_heuristic(
     for d in range(2, dia):
         result[d - 1] = int(math.floor(hist.get(d, 0) * norm + 0.5)) + result[d - 2]
     return [(h + 1, result[h]) for h in range(dia)]
+
+
+def hyperball_harmonic(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    k: int = 32,
+    r: int = 7,
+    max_h: int = 64,
+) -> DataFrame:
+    """HyperBall-style approximate harmonic centrality — the algorithm the
+    public WebGraph / cc-webgraph pipeline runs to produce Common Crawl's
+    host rankings at 10^9-host scale (Boldi & Vigna, "In-Core Computation
+    of Geometric Centralities with HyperBall", 2013):
+
+        harmonic(v) = sum_u 1/d(u,v)
+                    = sum_{t>=1} (|B_in(v,t)| - |B_in(v,t-1)|) / t
+
+    with the incoming-ball sizes |B_in(v,t)| estimated by per-node
+    Flajolet-Martin sketches (the reference's ANF machinery,
+    ``EffectiveDiameterApproximation.cpp``). The recurrence
+    ``B_in(v,t) = {v} ∪ U_{w->v} B_in(w,t-1)`` gathers along the ORIGINAL
+    edge direction (v ORs its in-neighbors' balls), so the message join is
+    src->dst exactly like PageRank. Same one-OR-gather-shuffle-per-hop
+    profile as PageRank; hash-deterministic init, so results are
+    reproducible under any parallelism. Returns (node, score).
+
+    Accuracy is the FM sketch's (~1.04/sqrt(k) relative std per ball);
+    use the exact multi-source BFS (``operators.closeness.closeness``)
+    when n is small enough to afford it."""
+    spark = edges.sparkSession
+    with aqe_disabled(spark):
+        nodes = nodes if nodes is not None else nodes_from_edges(edges)
+        n = nodes.count()
+        n_bits = min(62, int(math.ceil(math.log2(max(2, n)))) + r)
+        fwd = edges.select("src", "dst").persist()
+        fwd.count()
+        mask_cols = [f"m{j}" for j in range(k)]
+        state = _init_masks(nodes, k, n_bits)
+        state = state.select(
+            "node", *mask_cols,
+            _estimate(state, k).alias("prev_est"),
+            F.lit(0.0).alias("acc"),
+        ).localCheckpoint(eager=True)
+        prev_sum = None
+        for h in range(1, max_h + 1):
+            nbr = (
+                fwd.join(state.withColumnRenamed("node", "src"), "src")
+                .groupBy(F.col("dst").alias("node"))
+                .agg(*[F.bit_or(f"m{j}").alias(f"n{j}") for j in range(k)])
+            )
+            merged = state.join(nbr, "node", "left").select(
+                "node",
+                *[
+                    F.coalesce(
+                        F.col(f"m{j}").bitwiseOR(F.col(f"n{j}")), F.col(f"m{j}")
+                    ).alias(f"m{j}")
+                    for j in range(k)
+                ],
+                "prev_est", "acc",
+            )
+            est = _estimate(merged, k)
+            state = merged.select(
+                "node", *mask_cols,
+                est.alias("prev_est"),
+                (
+                    F.col("acc")
+                    + F.greatest(est - F.col("prev_est"), F.lit(0.0)) / float(h)
+                ).alias("acc"),
+            ).localCheckpoint(eager=True)
+            tot = state.agg(F.sum("prev_est")).first()[0]
+            if prev_sum is not None and abs(tot - prev_sum) < 1e-9:
+                break  # every incoming ball saturated
+            prev_sum = tot
+        fwd.unpersist()
+        return state.select("node", F.col("acc").alias("score"))

@@ -39,3 +39,48 @@ def test_clique_effective_diameter_one(spark):
     e = symmetrize(edges_df(spark, [(a, b) for a in range(8) for b in range(a + 1, 8)]))
     d = effective_diameter_approx(e, nodes_range(spark, 8), ratio=0.9, k=32)
     assert d <= 1.5
+
+
+def test_hyperball_harmonic_directed_star(spark):
+    """Hub of an in-star dominates; estimates track exact in-harmonic."""
+    from pyspark.sql import functions as F
+
+    from networkit_spark.operators.anf import hyperball_harmonic
+    from networkit_spark.operators.closeness import closeness
+
+    rows = [(i, 0) for i in range(1, 21)] + [(i, (i % 20) + 1) for i in range(1, 21)]
+    e = (
+        spark.createDataFrame(rows, ["src", "dst"])
+        .distinct()
+        .withColumn("weight", F.lit(1.0))
+    )
+    nodes = spark.range(21).select(F.col("id"))
+    hb = {r.node: r.score for r in hyperball_harmonic(e, nodes, k=64).collect()}
+    ex = {r.node: r.score for r in closeness(e, nodes, harmonic=True).collect()}
+    assert max(hb, key=hb.get) == max(ex, key=ex.get) == 0
+    pos = [k for k in ex if ex[k] > 0]
+    err = sum(abs(hb[k] - ex[k]) / ex[k] for k in pos) / len(pos)
+    assert err < 0.25  # FM-sketch tolerance at k=64
+
+    # deterministic: same input, same scores
+    hb2 = {r.node: r.score for r in hyperball_harmonic(e, nodes, k=64).collect()}
+    assert hb == hb2
+
+
+def test_host_harmonic_approx_matches_exact_ranking(spark):
+    from networkit_spark.functions.webgraph import (
+        host_graph,
+        host_harmonic,
+        host_harmonic_approx,
+    )
+
+    links = spark.createDataFrame(
+        [(f"https://a{i}.x/p", "https://hub.x/") for i in range(8)]
+        + [("https://hub.x/", "https://a0.x/p"), ("https://a1.x/p", "https://a2.x/p")],
+        ["src_url", "dst_url"],
+    )
+    hg = host_graph(links)
+    approx = {r.host: r.score for r in host_harmonic_approx(hg, k=64).collect()}
+    assert max(approx, key=approx.get) == "hub.x"
+    exact = {r.host: r.score for r in host_harmonic(hg).collect()}
+    assert max(exact, key=exact.get) == "hub.x"
