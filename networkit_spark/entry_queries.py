@@ -271,7 +271,8 @@ PRIORITY = [
     "domain_stats", "domain_capped_survivors", "degree_distribution",
     "clustering_per_degree", "core_shell_sizes", "component_size_distribution",
     "host_graph", "host_harmonic", "canonical_urls", "gopher_repetition",
-    "gopher_quality_flags", "warc_ingest_edges",
+    "gopher_quality_flags", "warc_ingest_edges", "wat_host_graph",
+    "hyperball_ball2", "fractional_degree_ranks",
     "eccentricity_fixed8", "harmonic_fixed8",
 ]
 

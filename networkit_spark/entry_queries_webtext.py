@@ -432,3 +432,91 @@ def q_paragraph_dedup_stats(spark, sf_dir):
     chunks under global first-occurrence survivorship."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return paragraph_dedup_stats(docs)
+
+
+# ---------------------------------------------------------------------------
+# HyperBall engine twin: fixed-2-hop incoming-ball estimate, portable hashes
+# ---------------------------------------------------------------------------
+
+_HB_K = 8
+
+
+def _hb_sql() -> str:
+    js = ", ".join(str(j) for j in range(_HB_K))
+    return f"""
+WITH {EDGES_CTE},
+nodes AS (SELECT doc_id AS node FROM documents),
+h AS (
+  SELECT node, j,
+         ('0x' || substr(md5(node::VARCHAR || '_' || j), 1, 15))::BIGINT AS hv
+  FROM nodes, unnest([{js}]) AS t(j)
+),
+m0 AS (SELECT node, j, CASE WHEN hv = 0 THEN 0 ELSE hv & (-hv) END AS m FROM h),
+g1 AS (
+  SELECT e.dst AS node, m0.j, bit_or(m0.m) AS bm
+  FROM edges e JOIN m0 ON m0.node = e.src GROUP BY 1, 2
+),
+m1 AS (
+  SELECT m0.node, m0.j, m0.m | coalesce(g1.bm, 0) AS m
+  FROM m0 LEFT JOIN g1 ON m0.node = g1.node AND m0.j = g1.j
+),
+g2 AS (
+  SELECT e.dst AS node, m1.j, bit_or(m1.m) AS bm
+  FROM edges e JOIN m1 ON m1.node = e.src GROUP BY 1, 2
+),
+m2 AS (
+  SELECT m1.node, m1.j, m1.m | coalesce(g2.bm, 0) AS m
+  FROM m1 LEFT JOIN g2 ON m1.node = g2.node AND m1.j = g2.j
+)
+SELECT node,
+       round(pow(2.0, avg(bit_count(m & (~(m + 1))))) / 0.77351, 7) AS ball2
+FROM m2 GROUP BY node
+"""
+
+
+@register("hyperball_ball2", _hb_sql())
+def q_hyperball_ball2(spark, sf_dir):
+    """HyperBall ENGINE twin (oracle-pins `operators.anf.hyperball_harmonic`'s
+    machinery): 2 unrolled incoming-ball OR-gather hops over the doc graph
+    with PORTABLE md5 sketch init (the operator uses xxhash64 — same
+    distribution, not DuckDB-replayable), k=8 registers, per-node
+    Flajolet-Martin ball-size estimate after hop 2. Long-format state
+    (node, register, mask): one shuffle per hop, identical to the operator's
+    profile."""
+    from networkit_spark.testgraph import doc_edges
+
+    e = doc_edges(spark, sf_dir).select("src", "dst")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("node")
+    )
+    js = spark.range(_HB_K).select(F.col("id").cast("int").alias("j"))
+    h = docs.crossJoin(js).select(
+        "node", "j",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("_", F.col("node").cast("string"), F.col("j").cast("string"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long").alias("hv"),
+    )
+    m = h.select(
+        "node", "j",
+        F.when(F.col("hv") == 0, F.lit(0).cast("long"))
+        .otherwise(F.col("hv").bitwiseAND(-F.col("hv"))).alias("m"),
+    )
+    for _hop in range(2):
+        g = (
+            e.join(m.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"), "j")
+            .agg(F.bit_or("m").alias("bm"))
+        )
+        m = m.join(g, ["node", "j"], "left").select(
+            "node", "j",
+            F.col("m").bitwiseOR(F.coalesce("bm", F.lit(0).cast("long"))).alias("m"),
+        )
+    mm = F.col("m")
+    low = F.bit_count(mm.bitwiseAND(F.bitwise_not(mm + F.lit(1).cast("long")))).cast("double")
+    return m.groupBy("node").agg(
+        F.round(F.pow(F.lit(2.0), F.avg(low)) / F.lit(0.77351), 7).alias("ball2")
+    )
