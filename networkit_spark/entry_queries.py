@@ -206,6 +206,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         entry_queries_profile,
         entry_queries_round4,
         entry_queries_round4d,
+        entry_queries_round5,
         entry_queries_sparsify,
         entry_queries_text,
         entry_queries_webtext,
@@ -221,6 +222,7 @@ def all_oracles() -> dict[str, str]:
         entry_queries_profile,
         entry_queries_round4,
         entry_queries_round4d,
+        entry_queries_round5,
         entry_queries_sparsify,
         entry_queries_text,
         entry_queries_webtext,

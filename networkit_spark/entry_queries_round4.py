@@ -1251,15 +1251,12 @@ def _lcg_sql(col: str, salt: int, seed: int) -> str:
             f" % {_M31}")
 
 
-def _kadabra_pilot_oracle_sql(samples: int, seed: int, rounds: int = 8) -> str:
-    """Full SQL replay of KADABRA's sampling engine for a FIXED pilot batch
-    (the tau phase of ``KadabraBetweenness.cpp:305-330`` before the
-    adaptive stopping rule takes over): the identical LCG pair draws
-    (``approx_betweenness.sample_pairs``), a level-synchronous forward
-    Brandes BFS with path counts from the sampled sources, and the
-    sigma-weighted backward walk that picks ONE uniformly-random shortest
-    path per pair (``_path_sample_walk`` — cumulative-sigma threshold with
-    the per-step LCG draw), unrolled level by level."""
+def _kadabra_sidhits_parts(samples: int, seed: int, rounds: int = 8) -> list[str]:
+    """Shared CTE prefix replaying KADABRA's sampling engine for sample ids
+    [0, samples): LCG pair draws -> batched sigma BFS -> sigma-weighted
+    uniform path walk, ending in ``sidhits(sid, node)`` — one row per
+    interior node per sample. Used by the pilot twin (aggregate over all
+    sids) and the fixed-epoch twin (split pilot/epoch sids)."""
     parts = [
         f"WITH {UEDGES_CTE}",
         f""", dr AS (
@@ -1314,8 +1311,23 @@ def _kadabra_pilot_oracle_sql(samples: int, seed: int, rounds: int = 8) -> str:
     union = " UNION ALL ".join(
         f"SELECT sid, t AS node FROM w{k} WHERE t <> u" for k in range(1, rounds + 1)
     )
+    parts.append(f", sidhits AS ({union})")
+    return parts
+
+
+def _kadabra_pilot_oracle_sql(samples: int, seed: int, rounds: int = 8) -> str:
+    """Full SQL replay of KADABRA's sampling engine for a FIXED pilot batch
+    (the tau phase of ``KadabraBetweenness.cpp:305-330`` before the
+    adaptive stopping rule takes over): the identical LCG pair draws
+    (``approx_betweenness.sample_pairs``), a level-synchronous forward
+    Brandes BFS with path counts from the sampled sources, and the
+    sigma-weighted backward walk that picks ONE uniformly-random shortest
+    path per pair (``_path_sample_walk`` — cumulative-sigma threshold with
+    the per-step LCG draw), unrolled level by level."""
+    parts = _kadabra_sidhits_parts(samples, seed, rounds)
     parts.append(
-        f""", hits AS (SELECT node, count(*) AS h FROM ({union}) GROUP BY node)
+        f"""
+, hits AS (SELECT node, count(*) AS h FROM sidhits GROUP BY node)
 SELECT d.doc_id AS node,
        round(coalesce(h.h, 0)::DOUBLE / {samples}, 6) AS score
 FROM documents d LEFT JOIN hits h ON d.doc_id = h.node"""

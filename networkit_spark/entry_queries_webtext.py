@@ -160,7 +160,39 @@ def q_host_harmonic(spark, sf_dir):
     diameter is far below that."""
     n = _n_docs(spark, sf_dir)
     hg = host_graph(extract_links(synth_pages(spark, n)))
+    _assert_host_ecc_within(hg, 8)
     return host_harmonic(hg).select("host", F.round("score", 7).alias("score"))
+
+
+def _assert_host_ecc_within(hg, rounds: int) -> None:
+    """Guard the oracle's fixed unroll depth: the SQL twin replays exactly
+    ``rounds`` BFS waves, which is only equivalent to the engine's
+    run-to-fixpoint BFS while the symmetrized host graph's eccentricity
+    stays <= rounds. The gate graph is the ~100-host contraction, so a
+    driver-side BFS sweep is trivially cheap; if the synth generator ever
+    grows the diameter past the unroll, this fails loudly instead of the
+    gate comparing wrong oracle values."""
+    from collections import deque
+
+    adj: dict[str, set[str]] = {}
+    for r in hg.select("src_host", "dst_host").collect():
+        adj.setdefault(r.src_host, set()).add(r.dst_host)
+        adj.setdefault(r.dst_host, set()).add(r.src_host)
+    ecc = 0
+    for s in adj:
+        seen = {s: 0}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            for v in adj[u]:
+                if v not in seen:
+                    seen[v] = seen[u] + 1
+                    q.append(v)
+        ecc = max(ecc, max(seen.values()))
+    assert ecc <= rounds, (
+        f"host graph eccentricity {ecc} exceeds the oracle's {rounds}-wave "
+        f"unroll — regenerate _host_harmonic_sql with a deeper unroll"
+    )
 
 
 @register(

@@ -13,11 +13,10 @@ any LLM data pipeline (they consume the same shingle machinery as
 - ``domain_stats`` / ``cap_per_domain``: per-domain (here: the
   ``source`` column; for real crawls, the parsed URL host) aggregates and
   a deterministic keep-first-k cap per domain — the standard guard
-  against a single domain dominating the training mix. The cap is a
-  rank-within-domain window; heavily skewed domains shuffle all their
-  rows to one partition's window sort, so the cap path documents the
-  two-phase alternative (per-partition count + running offsets) for
-  pathological single-domain skew.
+  against a single domain dominating the training mix. The cap uses a
+  two-phase range-sort + running-offset plan (the ``plans/ids.py``
+  recipe), so even a pathological single hot domain spreads across many
+  range partitions instead of serializing one partition's window sort.
 """
 
 from __future__ import annotations
@@ -81,12 +80,52 @@ def cap_per_domain(
     cap: int,
     domain_col: str = "source",
     order_col: str = "doc_id",
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Keep the first ``cap`` documents per domain (ascending
     ``order_col`` — deterministic survivors). Returns the surviving rows
-    plus their within-domain rank."""
-    w = Window.partitionBy(domain_col).orderBy(F.asc(order_col))
+    plus their within-domain rank.
+
+    Two-phase plan (no per-domain global sort): a naive
+    ``Window.partitionBy(domain)`` funnels a pathological single hot
+    domain's every row through one partition's sort. Instead:
+
+    1. range-partition + sort on ``(domain, order)`` — a hot domain spans
+       MANY range partitions, each task sorts only its slice;
+    2. per-(partition, domain) counts -> running within-domain offsets via
+       a window over the tiny counts table (<= num_partitions rows per
+       domain, never the data);
+    3. within-partition ``row_number`` + offset = global within-domain
+       rank; filter ``<= cap``. The offsets join is an aggregated small
+       side, AQE broadcasts it while it fits.
+    """
+    spark = docs.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = (
+        docs.repartitionByRange(
+            num_partitions, F.col(domain_col), F.col(order_col)
+        )
+        .sortWithinPartitions(domain_col, order_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = ranged.groupBy("_pid", domain_col).count()
+    w_off = (
+        Window.partitionBy(domain_col)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = counts.select(
+        "_pid",
+        domain_col,
+        F.coalesce(F.sum("count").over(w_off), F.lit(0)).alias("_off"),
+    )
+    w_rn = Window.partitionBy("_pid", domain_col).orderBy(F.asc(order_col))
     return (
-        docs.withColumn("domain_rank", F.row_number().over(w).cast("long"))
+        ranged.withColumn("_rn", F.row_number().over(w_rn))
+        .join(offs, ["_pid", domain_col])
+        .withColumn("domain_rank", (F.col("_off") + F.col("_rn")).cast("long"))
         .filter(F.col("domain_rank") <= int(cap))
+        .select(*docs.columns, "domain_rank")
     )

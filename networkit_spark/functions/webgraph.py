@@ -78,12 +78,101 @@ def surt_key(url: Column) -> Column:
 
 def registered_domain(host: Column) -> Column:
     """Last-two-labels heuristic (``example.com``); single-label hosts pass
-    through unchanged. Real pipelines use the Public Suffix List."""
+    through unchanged. For PSL-correct grouping (``example.co.uk``) pass a
+    suffix table to :func:`registered_domain_psl` / :func:`domain_graph`."""
     labels = F.split(host, r"\.")
     return F.when(
         F.size(labels) >= 2,
         F.concat(F.element_at(labels, -2), F.lit("."), F.element_at(labels, -1)),
     ).otherwise(host)
+
+
+def psl_rules(spark, rules) -> DataFrame:
+    """Parse Public Suffix List rules into a (rule, is_exception) table.
+
+    ``rules`` is an iterable of PSL-format lines or a path to a local copy
+    of the list (https://publicsuffix.org/list/ — a data file, shipped by
+    the caller, not bundled). Comments (``//``) and blanks dropped;
+    ``!rule`` marks exceptions; wildcard labels stay literal (``*.ck``)."""
+    if isinstance(rules, str):
+        with open(rules, encoding="utf-8") as f:
+            rules = f.readlines()
+    parsed = []
+    for ln in rules:
+        ln = ln.strip()
+        if not ln or ln.startswith("//"):
+            continue
+        exc = ln.startswith("!")
+        parsed.append((ln[1:] if exc else ln, exc))
+    return spark.createDataFrame(parsed, "rule string, is_exception boolean")
+
+
+_PSL_MAX_LABELS = 8  # longest public suffix in the real PSL is 5 labels
+
+
+def registered_domain_psl(
+    hosts: DataFrame, psl: DataFrame, host_col: str = "host",
+    out_col: str = "registered_domain",
+) -> DataFrame:
+    """(host, registered_domain) under full PSL semantics: longest matching
+    rule wins, ``*`` matches one label, ``!exception`` beats wildcards, and
+    an unmatched TLD falls back to the implicit ``*`` rule. A host that IS
+    a public suffix maps to itself (callers typically drop those rows).
+
+    Plan shape for 10^8 distinct hosts: explode each host into its <= 8
+    trailing-label suffixes, two BROADCAST joins against the (tiny) rule
+    table, one hash agg for the prevailing rule — no Python, no skew
+    (suffix fan-out is a constant factor)."""
+    labels = F.split(F.col(host_col), r"\.")
+    nl = F.size(labels)
+    ks = F.sequence(F.lit(1), F.least(nl, F.lit(_PSL_MAX_LABELS)))
+    hosts_d = hosts.select(host_col).distinct()
+    cand = hosts_d.select(
+        host_col,
+        nl.alias("_nl"),
+        F.explode(
+            F.transform(
+                ks,
+                lambda k: F.struct(
+                    k.alias("k"),
+                    F.array_join(F.slice(labels, nl - k + 1, k), ".").alias("suffix"),
+                    F.when(
+                        k >= 2,
+                        F.concat(
+                            F.lit("*."),
+                            F.array_join(F.slice(labels, nl - k + 2, k - 1), "."),
+                        ),
+                    ).alias("wkey"),
+                ),
+            )
+        ).alias("c"),
+    )
+    exact = cand.join(
+        F.broadcast(psl), cand["c.suffix"] == psl["rule"]
+    ).select(host_col, "_nl", F.col("c.k").alias("k"), "is_exception")
+    wild = cand.filter(F.col("c.wkey").isNotNull()).join(
+        F.broadcast(psl.filter(F.col("rule").startswith("*."))),
+        cand["c.wkey"] == psl["rule"],
+    ).select(host_col, "_nl", F.col("c.k").alias("k"), "is_exception")
+    scored = exact.union(wild).select(
+        host_col,
+        "_nl",
+        F.when(F.col("is_exception"), F.col("k") - 1)
+        .otherwise(F.col("k"))
+        .alias("ps"),
+        F.col("is_exception").cast("int").alias("exc"),
+    )
+    best = scored.groupBy(host_col, "_nl").agg(
+        F.max(F.struct("exc", "ps")).alias("b")
+    )
+    joined = hosts_d.join(best.drop("_nl"), host_col, "left")
+    ps = F.coalesce(F.col("b.ps"), F.lit(1))  # implicit "*" default rule
+    lab2 = F.split(F.col(host_col), r"\.")
+    nl2 = F.size(lab2)
+    rd = F.when(
+        nl2 > ps, F.array_join(F.slice(lab2, nl2 - ps, ps + 1), ".")
+    ).otherwise(F.col(host_col))
+    return joined.select(host_col, rd.alias(out_col))
 
 
 def host_graph(
@@ -112,15 +201,46 @@ def host_graph(
 
 
 def domain_graph(
-    links: DataFrame, src_col: str = "src_url", dst_col: str = "dst_url"
+    links: DataFrame,
+    src_col: str = "src_url",
+    dst_col: str = "dst_url",
+    psl: DataFrame | None = None,
 ) -> DataFrame:
-    """Same contraction one level up: registered-domain graph."""
-    dg = links.select(
-        registered_domain(url_host(F.col(src_col))).alias("src_domain"),
-        registered_domain(url_host(F.col(dst_col))).alias("dst_domain"),
-    ).filter(F.col("src_domain") != F.col("dst_domain"))
+    """Same contraction one level up: registered-domain graph.
+
+    With ``psl`` (a :func:`psl_rules` table) domains follow full Public
+    Suffix List semantics (``example.co.uk`` stays whole); the contraction
+    then goes page links -> host graph -> host->domain map join -> domain
+    agg, so the PSL matching runs once per DISTINCT host, never per link."""
+    if psl is None:
+        dg = links.select(
+            registered_domain(url_host(F.col(src_col))).alias("src_domain"),
+            registered_domain(url_host(F.col(dst_col))).alias("dst_domain"),
+        ).filter(F.col("src_domain") != F.col("dst_domain"))
+        return dg.groupBy("src_domain", "dst_domain").agg(
+            F.count("*").cast("double").alias("weight")
+        )
+    hg = host_graph(links, src_col, dst_col, drop_intra_host=False)
+    dmap = registered_domain_psl(host_nodes(hg).select(F.col("id").alias("host")), psl)
+    dg = (
+        hg.join(
+            dmap.select(
+                F.col("host").alias("src_host"),
+                F.col("registered_domain").alias("src_domain"),
+            ),
+            "src_host",
+        )
+        .join(
+            dmap.select(
+                F.col("host").alias("dst_host"),
+                F.col("registered_domain").alias("dst_domain"),
+            ),
+            "dst_host",
+        )
+        .filter(F.col("src_domain") != F.col("dst_domain"))
+    )
     return dg.groupBy("src_domain", "dst_domain").agg(
-        F.count("*").cast("double").alias("weight")
+        F.sum("weight").cast("double").alias("weight")
     )
 
 
@@ -162,13 +282,27 @@ def host_harmonic_approx(host_edges: DataFrame, k: int = 32) -> DataFrame:
     return out.select(F.col("node").alias("host"), "score")
 
 
-def host_harmonic(host_edges: DataFrame) -> DataFrame:
+HOST_HARMONIC_MAX_N = 100_000
+
+
+def host_harmonic(
+    host_edges: DataFrame, max_nodes: int = HOST_HARMONIC_MAX_N
+) -> DataFrame:
     """(host, score): exact harmonic centrality on the symmetrized host
     graph — the other Common-Crawl ranking. All-pairs multi-source BFS is
-    proportionate here because the host graph is the *contracted* table
-    (10^8 nodes worst case, and the closeness operator batches sources)."""
+    quadratic in hosts, so it is guarded at ``max_nodes`` (mirroring the
+    driver-side generator guards): above that, use
+    :func:`host_harmonic_approx` (HyperBall — the algorithm the public
+    cc-webgraph pipeline itself runs at 10^9 hosts)."""
     from networkit_spark.operators.closeness import closeness
 
+    n_hosts = host_nodes(host_edges).count()
+    if n_hosts > max_nodes:
+        raise ValueError(
+            f"host_harmonic is exact all-pairs (O(n*m)) and guarded at "
+            f"n <= {max_nodes} hosts; got n={n_hosts}. Use "
+            f"host_harmonic_approx for the HyperBall scale path."
+        )
     und = (
         host_edges.select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst"))
         .union(

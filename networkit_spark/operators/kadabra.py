@@ -75,7 +75,8 @@ def _accumulate(apx: DataFrame, hits: DataFrame) -> DataFrame:
 
 
 def _delta_guess(
-    bet: DataFrame, n: int, err: float, delta: float
+    bet: DataFrame, n: int, err: float, delta: float,
+    iters: int | None = None,
 ) -> tuple[DataFrame, float]:
     """Absolute-mode ``computeDeltaGuess`` (KadabraBetweenness.cpp:173-228):
     binary-search ``c`` in [0, (1/err^2) ln(4n(1-bf)/delta)] until the total
@@ -88,8 +89,12 @@ def _delta_guess(
     a, b = 0.0, (1.0 / err / err) * math.log(n * 4 * (1 - bf) / delta)
     target = delta / 2.0 * (1 - bf)
     e2 = err * err
-    # exp(-c*err^2/bet) with bet=0 -> exp(-inf) = 0, the C++ semantics
-    while b - a > err / 10.0:
+    # exp(-c*err^2/bet) with bet=0 -> exp(-inf) = 0, the C++ semantics.
+    # iters pins the halving count (oracle twins unroll EXACTLY this many
+    # rounds in SQL); None = the reference's width-threshold loop.
+    k = 0
+    while (b - a > err / 10.0) if iters is None else (k < iters):
+        k += 1
         c = (a + b) / 2.0
         s = bet.agg(
             F.sum(
@@ -138,6 +143,84 @@ def _g_col(bt, t: int, omega: float, du):
         * (tmp + F.sqrt(tmp * tmp + 2.0 * bt * F.lit(omega) / logd))
     )
     return F.least(chern, 1.0 - bt)
+
+
+def kadabra_fixed_epochs(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    err: float = 0.05,
+    delta: float = 0.1,
+    tau: int = 64,
+    batch_sizes: tuple[int, ...] = (64, 128),
+    vd: int = 16,
+    seed: int = 42,
+    undirected: bool = True,
+    delta_guess_iters: int = 24,
+) -> DataFrame:
+    """KADABRA with the adaptivity pinned: the pilot phase, the
+    delta-allocation binary search (EXACTLY ``delta_guess_iters``
+    halvings), and ``len(batch_sizes)`` fixed-size epochs, then the
+    per-node f/g Chernoff bounds of the final convergence check — every
+    piece of ``kadabra_betweenness`` EXCEPT the data-dependent stopping
+    rule, so the whole run is SQL-replayable (gate query
+    ``kadabra_two_epochs``). ``vd`` (vertex-diameter upper bound) is a
+    pinned parameter for the same reason. Returns
+    (node, score, f, g)."""
+    spark = edges.sparkSession
+    with aqe_disabled(spark):
+        nodes = nodes if nodes is not None else nodes_from_edges(edges)
+        diam_ub = max(vd - 1, 2)
+        omega = (
+            0.5
+            / err
+            / err
+            * (math.log2(max(diam_ub - 1, 1)) + 1 + math.log(0.5 / delta))
+        )
+        from networkit_spark.plans.ids import dense_ids
+
+        nd = (
+            dense_ids(nodes.select(F.col("id")), "id", id_col="idx")
+            .select("idx", "id")
+            .persist()
+        )
+        n = nd.count()
+        node_col = nodes.select(F.col("id").alias("node"))
+
+        pilot = sample_pairs(nd, n, 0, tau, seed)
+        pilot_hits = path_sample_hits(edges, pilot, seed)
+        bet = (
+            node_col.join(pilot_hits, "node", "left")
+            .select(
+                "node",
+                (F.coalesce(F.col("hits"), F.lit(0)) / F.lit(float(tau))).alias(
+                    "bet"
+                ),
+            )
+            .persist()
+        )
+        bet.count()
+        guess, _b = _delta_guess(bet, n, err, delta, iters=delta_guess_iters)
+        guess = guess.localCheckpoint(eager=True)
+        bet.unpersist()
+
+        apx = truncate_lineage(
+            node_col.select("node", F.lit(0).cast("long").alias("apx"))
+        )
+        sid_off = tau
+        for bsz in batch_sizes:
+            samples = sample_pairs(nd, n, sid_off, bsz, seed)
+            sid_off += bsz
+            apx = _accumulate(apx, path_sample_hits(edges, samples, seed))
+        t = sum(batch_sizes)
+        nd.unpersist()
+        bt = F.col("apx") / F.lit(float(t))
+        mult = (2.0 if undirected else 1.0) / t
+        return apx.join(guess, "node").select(
+            "node",
+            (F.col("apx") * F.lit(mult)).alias("score"),
+            _f_col(bt, t, omega, F.col("dl")).alias("f"),
+            _g_col(bt, t, omega, F.col("du")).alias("g"),
+        )
 
 
 def kadabra_betweenness(

@@ -109,13 +109,18 @@ class Sparsifier:
 
     def sparsify_to_ratio(self, und_edges: DataFrame, edge_ratio: float,
                           scores: DataFrame | None = None) -> DataFrame:
+        # localCheckpoint (NOT persist/unpersist): the returned filter is
+        # lazy, so the caller's action must see the SAME float scores the
+        # threshold was computed from. A persist released in `finally`
+        # forces a full recompute at consumption time, and iteratively
+        # accumulated float scores (AlgebraicDistance, SCAN, Multiscale)
+        # are not bitwise-stable across recomputations — the edge defining
+        # the k-th-order-statistic threshold t can land one ulp below t
+        # and silently drop (round-4 verdict, finding #1).
         s = scores if scores is not None else self.scores(und_edges)
-        s = s.persist()
-        try:
-            t = threshold_for_ratio(s, edge_ratio, above=self.above)
-            return global_threshold_filter(und_edges, s, t, above=self.above)
-        finally:
-            s.unpersist()
+        s = s.localCheckpoint(eager=True)
+        t = threshold_for_ratio(s, edge_ratio, above=self.above)
+        return global_threshold_filter(und_edges, s, t, above=self.above)
 
 
 class TriangleSparsifier(Sparsifier):

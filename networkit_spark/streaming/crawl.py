@@ -36,9 +36,10 @@ from __future__ import annotations
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from networkit_spark.plans.ids import dense_ids
 from networkit_spark.sources.pages import extract_links
 from networkit_spark.streaming.events import update_components_additions
 
@@ -86,11 +87,16 @@ def apply_pages_batch(
         .distinct()
     )
     new_urls = batch_urls.join(url_dict.select("url"), "url", "left_anti")
-    base = (url_dict.agg(F.max("nid")).collect()[0][0] or -1) + 1
-    w = Window.orderBy("url")  # batch-local: new urls per micro-batch are
-    # a small set, the window sort never sees the full dictionary
-    appended = new_urls.select(
-        "url", (F.row_number().over(w) - 1 + base).cast("long").alias("nid")
+    # explicit None check: `or -1` would treat a valid max nid of 0 as
+    # falsy and restart ids at 0, colliding with the existing entry
+    mx = url_dict.agg(F.max("nid")).collect()[0][0]
+    base = (mx if mx is not None else -1) + 1
+    # distributed dense-id assignment (plans/ids.dense_ids: range shuffle +
+    # per-partition offsets) instead of a batch-local Window.orderBy —
+    # same ascending-url semantics, but a huge backfill "batch" of new
+    # urls no longer funnels through a single-partition sort
+    appended = dense_ids(new_urls, "url", id_col="nid").select(
+        "url", (F.col("nid") + F.lit(base)).cast("long").alias("nid")
     )
     url_dict2 = url_dict.union(appended).localCheckpoint(eager=True)
 
@@ -118,8 +124,16 @@ def apply_pages_batch(
     _store(spark, edges2, edges_path, batch_id)
     _store(spark, labels2, labels_path, batch_id)
     # the batch's delta edge set, for incremental kernel refreshes
-    # (new_triangles, warm sweeps) that need to know what changed
-    _store(spark, new_edges, os.path.join(state_dir, "last_new_edges"), batch_id)
+    # (new_triangles, warm sweeps). Keyed by batch id so one availableNow
+    # drain applying SEVERAL micro-batches accumulates every delta —
+    # refresh_triangles consumes-and-clears the whole pending set. A
+    # replay of an already-applied batch overwrites only its own subdir
+    # (idempotent), never another batch's delta.
+    _store(
+        spark, new_edges,
+        os.path.join(state_dir, "pending_new_edges", f"batch={batch_id}"),
+        batch_id,
+    )
 
 
 def run_crawl_ingest(
@@ -213,29 +227,41 @@ def refresh_plp(spark: SparkSession, state_dir: str, max_iterations: int = 100):
 
 
 def refresh_triangles(spark: SparkSession, state_dir: str) -> int:
-    """Incremental triangle total: count only the triangles the last batch
-    created (``operators.triangles.new_triangles`` — O(batch x degree), not
-    a recount) and fold them into the stored running total. Returns it.
+    """Incremental triangle total: count only the triangles the pending
+    ingest batches created (``operators.triangles.new_triangles`` —
+    O(batch x degree), not a recount) and fold them into the stored running
+    total. Returns it.
 
-    Contract: call once after EVERY ingest drain — ``last_new_edges`` holds
-    only the most recent batch's delta, so a skipped refresh leaves the
-    total stale (re-seed by deleting the ``triangle_total`` state table,
-    which forces one full recount)."""
+    Deltas are consumed-and-cleared: ``pending_new_edges/batch=<id>``
+    accumulates one subdir per applied micro-batch, so a drain that applied
+    SEVERAL micro-batches folds every delta exactly once (a triangle absent
+    before the drain must contain >= 1 pending edge, and the sorted-triple
+    dedup in ``new_triangles`` never double-counts triangles spanning two
+    pending batches). Re-seed by deleting the ``triangle_total`` state
+    table, which forces one full recount."""
+    import glob as _glob
+
     from networkit_spark.operators.triangles import new_triangles, total_triangles
 
     tri_path = os.path.join(state_dir, "triangle_total")
+    pend_dir = os.path.join(state_dir, "pending_new_edges")
     d, e, _ = crawl_state(spark, state_dir)
     und = _symmetrize(e)
     prev = _load(spark, tri_path, "total long")
-    new_e = _load(
-        spark, os.path.join(state_dir, "last_new_edges"),
-        "src long, dst long, weight double",
-    )
+    batch_dirs = sorted(_glob.glob(os.path.join(pend_dir, "batch=*")))
     if prev.isEmpty():
-        # first refresh: one full count seeds the running total
+        # first refresh: one full count seeds the running total (pending
+        # deltas are already inside the edge state, so just clear them)
         total = total_triangles(und)
     else:
-        delta = new_triangles(und, _symmetrize(new_e)).count()
+        ready = [p for p in batch_dirs if os.path.exists(os.path.join(p, "_SUCCESS"))]
+        if ready:
+            new_e = spark.read.schema(
+                "src long, dst long, weight double"
+            ).parquet(*ready)
+            delta = new_triangles(und, _symmetrize(new_e)).count()
+        else:
+            delta = 0
         total = int(prev.first()["total"]) + int(delta)
     _store(
         spark,
@@ -243,6 +269,8 @@ def refresh_triangles(spark: SparkSession, state_dir: str) -> int:
         tri_path,
         -1,
     )
+    for p in batch_dirs:  # consume-and-clear
+        shutil.rmtree(p, ignore_errors=True)
     return int(total)
 
 
