@@ -218,6 +218,35 @@ def worker_main():
     print("BENCHWORKER " + json.dumps(out))
 
 
+def dram_probe(threads: int, seconds: float = 2.0, mb: int = 64) -> float:
+    """Aggregate memcpy bandwidth (GB/s, read+write) with ``threads``
+    concurrent single-pinned numpy workers streaming ``mb``-MB buffers —
+    the measured Amdahl decomposition for the same-box secondary scaling
+    pair: a superstep is bandwidth-bound past the point where this curve
+    flattens, and a 4x-executor cluster brings 4x memory controllers
+    where this box brings one."""
+    code = (
+        "import numpy, time\n"
+        f"a = numpy.zeros({mb} << 20, dtype=numpy.uint8)\n"
+        "b = numpy.empty_like(a)\n"
+        "t0 = time.perf_counter(); n = 0\n"
+        f"while time.perf_counter() - t0 < {seconds}:\n"
+        "    numpy.copyto(b, a); n += 1\n"
+        "print(n * a.nbytes * 2 / (time.perf_counter() - t0))"
+    )
+    procs = []
+    for i in range(threads):
+        cmd = [sys.executable, "-c", code]
+        if os.path.exists("/usr/bin/taskset"):
+            cmd = ["taskset", "-c", str(i)] + cmd
+        procs.append(subprocess.Popen(cmd, stdout=subprocess.PIPE, text=True))
+    total = 0.0
+    for p in procs:
+        out, _ = p.communicate(timeout=max(60.0, seconds * 10))
+        total += float(out.strip().splitlines()[-1])
+    return total / 1e9
+
+
 def spawn_worker(cores: int, n_pages: int, iters: int, kernel: str = "shuffle",
                  repeats: int = 1) -> dict:
     """Run fixed-superstep PageRank in a fresh JVM pinned to ``cores``
@@ -696,6 +725,95 @@ def main():
                 "when the core counts coincide (identical job/input/cores)"
             ),
         }
+
+    # measured Amdahl decomposition for the secondary pair: aggregate DRAM
+    # copy bandwidth at the pair's two thread counts. The superstep is
+    # bandwidth-bound at full box width, so bw(hi)/(4*bw(lo)) is the
+    # hardware ceiling the secondary efficiency is bounded by ON THIS BOX —
+    # recorded in the artifact itself, not just the markdown narrative
+    # (a 4x-executor cluster brings 4x memory controllers; the primary
+    # pinned pair above is the honest executor-scaling stand-in).
+    if remaining() > 45.0:
+        try:
+            bw_lo = dram_probe(sec_lo_cores)
+            bw_hi = dram_probe(CPUS)
+            scaling_rec = RESULT.setdefault("scaling", {})
+            scaling_rec["dram_bandwidth_probe"] = {
+                "threads_lo": sec_lo_cores,
+                "threads_hi": CPUS,
+                "gbps_lo": round(bw_lo, 2),
+                "gbps_hi": round(bw_hi, 2),
+                "bandwidth_scaling_efficiency": round(bw_hi / (4.0 * bw_lo), 3),
+                "note": (
+                    "numpy memcpy streams, one pinned process per thread; "
+                    "read+write bytes counted. Roofline decomposition: a "
+                    "FULLY bandwidth-bound superstep scales at this ratio, "
+                    "a fully compute-bound one at ~1.0; the secondary "
+                    "pair's observed efficiency landing between the two is "
+                    "the shared-memory-controller signature this probe "
+                    "quantifies — a 4x-executor cluster scales bandwidth "
+                    "with executors and has no such ceiling"
+                ),
+            }
+        except Exception as e:  # noqa: BLE001 — diagnostic only, never fatal
+            RESULT.setdefault("partial", []).append(
+                f"dram_probe_failed: {type(e).__name__}: {str(e)[:80]}"
+            )
+
+    # -- webtext-tier scale smoke (round-4 verdict item 10): the flagship
+    # crawl path at the 1M-page scale — page ingest (synth html -> frozen
+    # extractor -> href regex -> dictionary encode), host-graph contraction,
+    # host PageRank, and HyperBall approximate harmonic on the PAGE-level
+    # graph. Budget-gated like the ingest stage; full numbers land in
+    # BENCH/bench_full.json under "webtext".
+    if remaining() > 300.0:
+        try:
+            from networkit_spark.functions.webgraph import (
+                host_graph,
+                host_pagerank,
+            )
+            from networkit_spark.operators.anf import hyperball_harmonic
+            from networkit_spark.sources.pages import (
+                build_edges,
+                extract_links,
+                synth_pages,
+            )
+
+            wt_pages = int(os.environ.get("SPARK_GRAFT_WEBTEXT_PAGES", "1000000"))
+            wspark = get_spark(cores=CPUS, shuffle_partitions=CPUS,
+                               app_name="bench_webtext", extra_conf=ITER_CACHE_CONF)
+            wt: dict = {"pages": wt_pages}
+            pages = synth_pages(wspark, wt_pages)
+            t0w = time.monotonic()
+            nodes_w, edges_w = build_edges(pages)
+            edges_w = edges_w.persist()
+            wt["page_edges"] = edges_w.count()
+            wt["ingest_sec"] = round(time.monotonic() - t0w, 3)
+            wt["ingest_pages_per_sec"] = round(wt_pages / wt["ingest_sec"], 1)
+
+            t0w = time.monotonic()
+            hg = host_graph(extract_links(pages)).persist()
+            wt["host_edges"] = hg.count()
+            wt["host_graph_sec"] = round(time.monotonic() - t0w, 3)
+
+            t0w = time.monotonic()
+            host_pagerank(hg, iterations=10).count()
+            wt["host_pagerank_fixed10_sec"] = round(time.monotonic() - t0w, 3)
+
+            if remaining() > 120.0:
+                t0w = time.monotonic()
+                hyperball_harmonic(
+                    edges_w.select("src", "dst"),
+                    nodes_w.select("id"),
+                    k=32,
+                ).count()
+                wt["hyperball_page_graph_sec"] = round(time.monotonic() - t0w, 3)
+            RESULT["webtext"] = wt
+            wspark.stop()
+        except Exception as e:  # noqa: BLE001 — optional stage, never fatal
+            RESULT.setdefault("partial", []).append(
+                f"webtext_stage_failed: {type(e).__name__}: {str(e)[:120]}"
+            )
 
     write_full_and_print_compact(RESULT)
 

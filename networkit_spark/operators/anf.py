@@ -305,7 +305,11 @@ def hyperball_harmonic(
         nodes = nodes if nodes is not None else nodes_from_edges(edges)
         n = nodes.count()
         n_bits = min(62, int(math.ceil(math.log2(max(2, n)))) + r)
-        fwd = edges.select("src", "dst").persist()
+        # loop-invariant edge table pre-partitioned on the per-hop join key
+        # (the PageRank contrib recipe): with the shuffle_hash hint below,
+        # only the sketch state shuffles per hop — never the m-row edges
+        shuf = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        fwd = edges.select("src", "dst").repartition(shuf, "src").persist()
         fwd.count()
         mask_cols = [f"m{j}" for j in range(k)]
         state = _init_masks(nodes, k, n_bits)
@@ -317,7 +321,10 @@ def hyperball_harmonic(
         prev_sum = None
         for h in range(1, max_h + 1):
             nbr = (
-                fwd.join(state.withColumnRenamed("node", "src"), "src")
+                fwd.join(
+                    state.withColumnRenamed("node", "src").hint("shuffle_hash"),
+                    "src",
+                )
                 .groupBy(F.col("dst").alias("node"))
                 .agg(*[F.bit_or(f"m{j}").alias(f"n{j}") for j in range(k)])
             )

@@ -182,7 +182,13 @@ class ConnectedComponents:
             und = und.union(
                 und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
             )
-        und = und.dropDuplicates(["src", "dst"]).persist()
+        # loop-invariant edge table pre-partitioned on the per-round join
+        # key: with the shuffle_hash hint below only the (frontier-pruned)
+        # label table shuffles per round, never the m-row edge table
+        shuf = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        und = (
+            und.dropDuplicates(["src", "dst"]).repartition(shuf, "src").persist()
+        )
         m = und.count()
 
         init = nodes.select(F.col("id").alias("node"), F.col("id").alias("label"))

@@ -29,6 +29,31 @@ from pyspark.sql import functions as F
 from networkit_spark.graph import nodes_from_edges
 
 
+_BROADCAST_FRONTIER_MAX = 1_000_000
+
+
+def _persist_by_src(edges: DataFrame, *cols: str) -> DataFrame:
+    """Loop-invariant edge table pre-partitioned on the per-round join key
+    (the PageRank contrib recipe): the frontier join reuses the persisted
+    partitioning, so the m-row edge table never re-shuffles or re-sorts."""
+    spark = edges.sparkSession
+    shuf = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return edges.select(*cols).repartition(shuf, "src").persist()
+
+
+def _expand(e: DataFrame, frontier: DataFrame, cnt: int | None):
+    """Frontier expansion join with the scale-right strategy: BROADCAST the
+    frontier while its row count is known small (no exchange of anything
+    but the tiny frontier), shuffle-hash against the pre-partitioned edge
+    table otherwise (only the frontier shuffles)."""
+    f = frontier.withColumnRenamed("node", "src")
+    if cnt is not None and cnt < _BROADCAST_FRONTIER_MAX:
+        f = F.broadcast(f)
+    else:
+        f = f.hint("shuffle_hash")
+    return e.join(f, "src")
+
+
 def bfs_distances(
     edges: DataFrame,
     source: int,
@@ -39,20 +64,22 @@ def bfs_distances(
     Ref: ``BFS.cpp:17`` semantics (follows out-edges as stored; symmetrize
     for undirected)."""
     spark = edges.sparkSession
-    e = edges.select("src", "dst").persist()
+    e = _persist_by_src(edges, "src", "dst")
     e.count()
     dist = spark.createDataFrame([(source, 0)], "node long, dist long")
     frontier = dist
+    cnt = 1
     for _ in range(max_rounds):
         nxt = (
-            e.join(frontier.withColumnRenamed("node", "src"), "src")
+            _expand(e, frontier, cnt)
             .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
             .join(dist.select("node"), "node", "left_anti")
             .localCheckpoint(eager=True)
         )
-        if nxt.count() == 0:
+        cnt = nxt.count()
+        if cnt == 0:
             break
         dist = dist.union(nxt).localCheckpoint(eager=True)
         frontier = nxt
@@ -68,13 +95,14 @@ def sssp_distances(
     """Weighted single-source shortest paths by relaxation rounds
     (Dijkstra-equivalent results for non-negative weights; ``Dijkstra.cpp:19``)."""
     spark = edges.sparkSession
-    e = edges.select("src", "dst", "weight").persist()
+    e = _persist_by_src(edges, "src", "dst", "weight")
     e.count()
     dist = spark.createDataFrame([(source, 0.0)], "node long, dist double")
     frontier = dist
+    cnt = 1
     for _ in range(max_rounds):
         cand = (
-            e.join(frontier.withColumnRenamed("node", "src"), "src")
+            _expand(e, frontier, cnt)
             .select(
                 F.col("dst").alias("node"), (F.col("dist") + F.col("weight")).alias("nd")
             )
@@ -97,7 +125,8 @@ def sssp_distances(
             F.col("old").isNull() | (F.col("dist") < F.col("old"))
         ).select("node", "dist")
         dist = merged.select("node", "dist")
-        if frontier.count() == 0:
+        cnt = frontier.count()
+        if cnt == 0:
             break
     e.unpersist()
     return dist
@@ -109,22 +138,24 @@ def multi_source_bfs(
     max_rounds: int = 10_000,
 ) -> DataFrame:
     """(source, node, dist) for every source in ``sources(id)`` at once."""
-    e = edges.select("src", "dst").persist()
+    e = _persist_by_src(edges, "src", "dst")
     e.count()
     dist = sources.select(
         F.col("id").alias("source"), F.col("id").alias("node"), F.lit(0).cast("long").alias("dist")
     ).localCheckpoint(eager=True)
     frontier = dist
+    cnt = dist.count()
     for _ in range(max_rounds):
         nxt = (
-            e.join(frontier.withColumnRenamed("node", "src"), "src")
+            _expand(e, frontier, cnt)
             .select("source", F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
             .groupBy("source", "node")
             .agg(F.min("dist").alias("dist"))
             .join(dist.select("source", "node"), ["source", "node"], "left_anti")
             .localCheckpoint(eager=True)
         )
-        if nxt.count() == 0:
+        cnt = nxt.count()
+        if cnt == 0:
             break
         dist = dist.union(nxt).localCheckpoint(eager=True)
         frontier = nxt

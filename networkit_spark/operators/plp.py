@@ -100,8 +100,17 @@ class PLP:
             if self.update_threshold is not None
             else max(0, int(n / 1e5))
         )
+        shuf = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
-        e = edges.select("src", "dst", "weight").persist()
+        # loop-invariant edge table pre-partitioned on the per-sweep join
+        # key (the PageRank contrib recipe): the state join reuses the
+        # persisted partitioning, so only the n-row label table shuffles
+        # per sweep — never the m-row edge table
+        e = (
+            edges.select("src", "dst", "weight")
+            .repartition(shuf, "src")
+            .persist()
+        )
         m = e.count()
 
         if base_clustering is not None:
@@ -113,11 +122,16 @@ class PLP:
         # a different label next sweep (PLP.cpp:98-104 reactivation); those
         # nodes still need their FULL neighborhood tally, so the step is
         # two-phase: affected = N_out(changed); recompute edges into affected.
-        frontier = {"df": None}
+        # The dst-side semi-join cannot reuse e's src partitioning, so the
+        # pruning only runs once the frontier is small enough to pay for
+        # itself (< n/2 changed), and broadcasts the affected set when the
+        # changed count bounds it under ~1M rows.
+        frontier = {"df": None, "changed": None}
 
         def step(state: DataFrame, i: int):
             edges_in = e
-            if frontier["df"] is not None:
+            ch = frontier["changed"]
+            if frontier["df"] is not None and ch is not None and ch < n / 2:
                 affected = (
                     e.join(
                         frontier["df"].withColumnRenamed("node", "src"), "src", "left_semi"
@@ -125,18 +139,29 @@ class PLP:
                     .select("dst")
                     .distinct()
                 )
+                if ch < 1_000_000:
+                    affected = F.broadcast(affected)
                 edges_in = e.join(affected, "dst", "left_semi")
             # shuffle-hash hints: avoid per-sweep sort-merge re-sorts of the
-            # persisted edge table (checkpointed state has unknown stats)
+            # persisted edge table (checkpointed state has unknown stats).
+            # ONE dst exchange feeds BOTH aggregations: hash-partitioning on
+            # dst alone satisfies the (dst, label) grouping AND the argmax
+            # grouping, so the tally agg and the struct-max agg run
+            # exchange-free back to back.
+            msgs = edges_in.join(
+                state.select(F.col("node").alias("src"), "label").hint("shuffle_hash"),
+                "src",
+            ).select("dst", "label", "weight")
             cand = (
-                edges_in.join(
-                    state.select(F.col("node").alias("src"), "label").hint("shuffle_hash"),
-                    "src",
-                )
-                .groupBy(F.col("dst").alias("node"), "label")
+                msgs.repartition(shuf, "dst")
+                .groupBy("dst", "label")
                 .agg(F.sum("weight").alias("w"))
             )
-            best = _argmax_labels(cand)
+            best = (
+                cand.groupBy("dst")
+                .agg(F.max(F.struct(F.col("w"), (-F.col("label")).alias("nl"))).alias("top"))
+                .select(F.col("dst").alias("node"), (-F.col("top.nl")).alias("nlabel"))
+            )
             new = (
                 state.join(best.hint("shuffle_hash"), "node", "left")
                 .select(
@@ -151,6 +176,7 @@ class PLP:
             changed_df = new.filter(F.col("label") != F.col("prev")).select("node")
             changed = changed_df.count()
             frontier["df"] = changed_df if changed else None
+            frontier["changed"] = changed
             return new.select("node", "label"), {
                 "changed": changed, "edges_processed": m, "_checkpointed": True,
             }
