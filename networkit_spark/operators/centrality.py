@@ -70,12 +70,26 @@ def degree_centrality(
 
 
 def _gather(contrib: DataFrame, scores: DataFrame, expr) -> DataFrame:
-    """sum over in-edges of expr(weight, score[src]), grouped by dst."""
+    """sum over in-edges of expr(weight, score[src]), grouped by dst.
+    shuffle_hash on the score side: with ``contrib`` persisted
+    pre-partitioned by src (see :func:`_persist_contrib`), only the n-row
+    score table shuffles per iteration — never the m-row edge table."""
     return (
-        contrib.join(scores.select(F.col("node").alias("src"), "score"), "src")
+        contrib.join(
+            scores.select(F.col("node").alias("src"), "score").hint("shuffle_hash"),
+            "src",
+        )
         .groupBy(F.col("dst").alias("node"))
         .agg(expr.alias("m"))
     )
+
+
+def _persist_contrib(edges: DataFrame, *cols: str) -> DataFrame:
+    """Loop-invariant edge table pre-partitioned on the per-iteration join
+    key (the PageRank contrib recipe)."""
+    spark = edges.sparkSession
+    shuf = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return edges.select(*cols).repartition(shuf, "src").persist()
 
 
 def eigenvector_centrality(
@@ -85,7 +99,7 @@ def eigenvector_centrality(
     max_iterations: int = 500,
 ) -> ScoresResult:
     nodes = nodes if nodes is not None else nodes_from_edges(edges)
-    e = edges.select("src", "dst", "weight").persist()
+    e = _persist_contrib(edges, "src", "dst", "weight")
     e.count()
     scores = nodes.select(F.col("id").alias("node"), F.lit(1.0).alias("score"))
     scores = scores.localCheckpoint(eager=True)
@@ -126,7 +140,7 @@ def katz_centrality(
     in_edges: bool = True,
 ) -> ScoresResult:
     nodes = nodes if nodes is not None else nodes_from_edges(edges)
-    e = (edges if in_edges else transpose(edges)).select("src", "dst", "weight").persist()
+    e = _persist_contrib(edges if in_edges else transpose(edges), "src", "dst", "weight")
     e.count()
     if alpha is None:
         # default alpha = 1/(1 + max out-degree) (KatzCentrality.cpp:15-17)
