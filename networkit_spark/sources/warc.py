@@ -443,7 +443,10 @@ def read_wat_links(spark: SparkSession, path: str) -> DataFrame:
                 for url, _date, hdr, payload in _iter_records(data):
                     if hdr.get("warc-type") != "metadata":
                         continue
-                    meta = json.loads(payload.decode("utf-8", "replace"))
+                    try:
+                        meta = json.loads(payload.decode("utf-8", "replace"))
+                    except ValueError:  # malformed metadata record: skip,
+                        continue        # don't fail the whole segment task
                     links = (
                         meta.get("Envelope", {})
                         .get("Payload-Metadata", {})

@@ -338,3 +338,19 @@ def test_host_harmonic_guard(spark):
     assert host_harmonic(e).count() == 3
     with pytest.raises(ValueError, match="host_harmonic_approx"):
         host_harmonic(e, max_nodes=2)
+
+
+def test_wat_malformed_json_record_skipped(spark, tmp_path):
+    from networkit_spark.sources.warc import read_wat_links
+
+    good = _record(
+        "https://w.example/p/1",
+        b'{"Envelope": {"Payload-Metadata": {"HTTP-Response-Metadata": '
+        b'{"HTML-Metadata": {"Links": [{"url": "https://w.example/p/2"}]}}}}}',
+        warc_type="metadata",
+    )
+    bad = _record("https://w.example/p/bad", b"{not json", warc_type="metadata")
+    p = tmp_path / "seg.warc.wat"
+    p.write_bytes(good + bad)
+    got = [(r.src_url, r.dst_url) for r in read_wat_links(spark, str(p)).collect()]
+    assert got == [("https://w.example/p/1", "https://w.example/p/2")]
