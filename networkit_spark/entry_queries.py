@@ -266,6 +266,7 @@ PRIORITY = [
     # webtext/Common-Crawl family: host-graph ranking + chunk dedup
     "host_pagerank_fixed10", "paragraph_dedup_stats",
     # (positions 51+ below in case the gate window widens)
+    "kadabra_two_epochs",
     "events_sessions", "events_tumbling_1h", "ivf_topk", "near_dup_clusters",
     "subgraph_nodes_lt100", "compact_subgraph_ids", "scc_labels",
     "inspect_communities_mod10", "degree_gini", "approx_avg_local_cc",

@@ -62,7 +62,9 @@ def bfs_with_sigma(
     sigma_pred)) — the Brandes forward pass, level-synchronous, all sources
     in one job.
     """
-    e = edges.select("src", "dst").persist()
+    from networkit_spark.operators.distance import _expand, _persist_by_src
+
+    e = _persist_by_src(edges, "src", "dst")
     e.count()
     dist = sources.select(
         F.col("id").alias("source"),
@@ -71,10 +73,11 @@ def bfs_with_sigma(
         F.lit(1.0).alias("sigma"),
     ).localCheckpoint(eager=True)
     frontier = dist
+    cnt = dist.count()
     preds = None
     for _ in range(max_rounds):
         reach = (
-            e.join(frontier.withColumnRenamed("node", "src"), "src")
+            _expand(e, frontier, cnt)
             .select(
                 "source",
                 F.col("dst").alias("node"),
@@ -94,6 +97,7 @@ def bfs_with_sigma(
         ).localCheckpoint(eager=True)
         dist = dist.union(nxt).localCheckpoint(eager=True)
         frontier = nxt
+        cnt = nxt.count()
     e.unpersist()
     if preds is None:
         preds = dist.sparkSession.createDataFrame(
