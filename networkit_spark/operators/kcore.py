@@ -49,8 +49,14 @@ def k_core(und_edges: DataFrame, k: int, max_rounds: int = 100) -> DataFrame:
 def _h_index_step(und_edges: DataFrame, core: DataFrame) -> DataFrame:
     """c'(u) = h-index of neighbor core values: the largest h such that at
     least h neighbors have value >= h."""
+    # shuffle_hash on the core side: with the edge table persisted
+    # pre-partitioned by src (coreness), only the n-row core vector
+    # shuffles per h-index round
     nb = und_edges.join(
-        core.select(F.col("node").alias("src"), F.col("c").alias("cv")), "src"
+        core.select(F.col("node").alias("src"), F.col("c").alias("cv")).hint(
+            "shuffle_hash"
+        ),
+        "src",
     ).select(F.col("dst").alias("node"), "cv")
     w = Window.partitionBy("node").orderBy(F.desc("cv"))
     ranked = nb.withColumn("rk", F.row_number().over(w))
@@ -68,7 +74,8 @@ def coreness(
 ) -> DataFrame:
     """(node, core) for every node; isolated nodes get core 0."""
     nodes = nodes if nodes is not None else nodes_from_edges(und_edges)
-    e = und_edges.select("src", "dst").persist()
+    shuf = int(und_edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    e = und_edges.select("src", "dst").repartition(shuf, "src").persist()
     e.count()
     deg = e.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("c"))
     core = (

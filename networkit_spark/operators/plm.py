@@ -77,7 +77,14 @@ def _local_move_sweeps(
         .persist()
     )
     wdeg.count()
-    e = edges.filter(F.col("src") != F.col("dst")).persist()
+    # loop-invariant edge table pre-partitioned on the per-sweep join key
+    # (the PageRank contrib recipe): only the label table shuffles per sweep
+    shuf = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    e = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .repartition(shuf, "src")
+        .persist()
+    )
     e.count()
 
     labels = truncate_lineage(
@@ -99,7 +106,9 @@ def _local_move_sweeps(
         # w_uc for every (node u, neighbor community c)
         wuc = (
             e.join(
-                labels.select(F.col("node").alias("src"), F.col("comm").alias("c")),
+                labels.select(
+                    F.col("node").alias("src"), F.col("comm").alias("c")
+                ).hint("shuffle_hash"),
                 "src",
             )
             .groupBy(F.col("dst").alias("node"), "c")
