@@ -154,9 +154,15 @@ def map_equation_fixed(
     if totvol == 0:
         return nodes.select(F.col("id").alias("node"), F.col("id").alias("label"))
     wdeg = e.groupBy(F.col("src").alias("node")).agg(F.sum("weight").alias("wdeg"))
+    # loop-invariant pre-partition (the PageRank contrib recipe): the sweep
+    # joins e on src every iteration, so only the label table shuffles
+    shuf = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    e = e.repartition(shuf, "src").persist()
+    wdeg = wdeg.localCheckpoint(eager=True)
     labels = nodes.select(F.col("id").alias("node"), F.col("id").alias("comm"))
     for k in range(iterations):
         labels = truncate_lineage(_sweep(e, labels, wdeg, totvol, k % 2).select("node", "comm"))
+    e.unpersist()
     return _normalize(labels)
 
 

@@ -31,11 +31,20 @@ from networkit_spark.plans.iteration import aqe_disabled
 
 
 def _propagate_max_color(edges: DataFrame, nodes: DataFrame, max_rounds: int = 1000) -> DataFrame:
+    from networkit_spark.operators.distance import _persist_by_src
+
+    # loop-invariant within this call (the outer SCC loop shrinks the edge
+    # set BETWEEN calls): pre-partition once, shuffle only the color vector
+    e = _persist_by_src(edges, "src", "dst")
+    e.count()
     color = nodes.select(F.col("id").alias("node"), F.col("id").alias("color"))
     color = color.localCheckpoint(eager=True)
     for _ in range(max_rounds):
         cand = (
-            edges.join(color.select(F.col("node").alias("src"), "color"), "src")
+            e.join(
+                color.select(F.col("node").alias("src"), "color").hint("shuffle_hash"),
+                "src",
+            )
             .groupBy(F.col("dst").alias("node"))
             .agg(F.max("color").alias("nc"))
         )
@@ -52,6 +61,7 @@ def _propagate_max_color(edges: DataFrame, nodes: DataFrame, max_rounds: int = 1
         color = new.select("node", "color")
         if changed == 0:
             break
+    e.unpersist()
     return color
 
 
@@ -63,11 +73,18 @@ def _backward_in_color(edges: DataFrame, color: DataFrame, max_rounds: int = 100
     )
     labeled = roots.localCheckpoint(eager=True)
     frontier = labeled
+    cnt = labeled.count()
     # walk transpose edges: u labeled if u -> v, label(v) set, color(u)==label
-    te = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    from networkit_spark.operators.distance import _expand, _persist_by_src
+
+    te = _persist_by_src(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+        "src", "dst",
+    )
+    te.count()
     for _ in range(max_rounds):
         nxt = (
-            te.join(frontier.withColumnRenamed("node", "src"), "src")
+            _expand(te, frontier, cnt)
             .select(F.col("dst").alias("node"), "label")
             .join(color, "node")
             .filter(F.col("color") == F.col("label"))
@@ -76,10 +93,12 @@ def _backward_in_color(edges: DataFrame, color: DataFrame, max_rounds: int = 100
             .join(labeled.select("node"), "node", "left_anti")
             .localCheckpoint(eager=True)
         )
-        if nxt.count() == 0:
+        cnt = nxt.count()
+        if cnt == 0:
             break
         labeled = labeled.union(nxt).localCheckpoint(eager=True)
         frontier = nxt
+    te.unpersist()
     return labeled
 
 
