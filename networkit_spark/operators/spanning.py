@@ -173,7 +173,10 @@ def _boruvka(
     broadcast: bool = False,
 ) -> ForestResult:
     nodes = nodes if nodes is not None else nodes_from_edges(edges)
-    e = _sym(edges).persist()
+    # loop-invariant pre-partition on the first label join's key: only the
+    # label table and the already-joined stream shuffle per round
+    shuf = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    e = _sym(edges).repartition(shuf, "src").persist()
     e.count()
     labels = truncate_lineage(
         nodes.select(F.col("id").alias("node"), F.col("id").alias("label"))
@@ -185,9 +188,9 @@ def _boruvka(
         rounds += 1
         le = (
             e.join(labels.withColumnRenamed("node", "src")
-                   .withColumnRenamed("label", "slbl"), "src")
+                   .withColumnRenamed("label", "slbl").hint("shuffle_hash"), "src")
             .join(labels.withColumnRenamed("node", "dst")
-                  .withColumnRenamed("label", "dlbl"), "dst")
+                  .withColumnRenamed("label", "dlbl").hint("shuffle_hash"), "dst")
             .filter(F.col("slbl") != F.col("dlbl"))
         )
         best = (
